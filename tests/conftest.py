@@ -1,0 +1,17 @@
+"""Test configuration: run all tests on a virtual 8-device CPU mesh.
+
+The JAX analogue of a fake distributed backend (SURVEY.md §4): pmap/pjit code
+paths compile and execute on N host-platform devices, so every sharding test
+runs without TPU hardware.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
