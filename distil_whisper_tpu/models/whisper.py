@@ -1,0 +1,313 @@
+"""Whisper encoder-decoder, pure-functional JAX.
+
+One implementation serves training, short-form inference, long-form and
+speculative decoding (the reference maintains three copies: torch, flax model,
+flax drivers — cf. SURVEY.md §2).  Design choices, TPU-first:
+
+* **Stacked layers + ``lax.scan``**: all per-layer weights carry a leading
+  ``layers`` axis; the forward pass scans one super-block.  This is what the
+  reference builds with flax ``scan_with_axes`` and a scan<->unroll converter
+  (modeling_flax_whisper.py:543-651, :1270-1458) — here it is simply the native
+  parameter layout.
+* **Static shapes**: encoder always sees [B, n_mels, 3000] -> [B, 1500, d];
+  the decoder KV cache is a fixed [L, B, 448, H, hd] ring written with
+  ``dynamic_update_slice`` (cf. the one-hot cache trick at
+  modeling_flax_whisper.py:384-453 — same contract, simpler primitive).
+* **fp32 islands in a bf16 sea**: LayerNorm and softmax run fp32 internally
+  (reference layers.py:759-812, :123-194); matmuls ride the MXU in bf16.
+* **Remat**: ``remat=True`` wraps each scanned layer in ``jax.checkpoint``
+  (reference's ``gradient_checkpointing``, modeling_flax_whisper.py:563-571).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import WhisperConfig
+from ..ops.attention import mha, causal_mask
+
+Params = Dict[str, Any]
+
+
+# ----------------------------------------------------------------------
+# Primitives
+# ----------------------------------------------------------------------
+
+
+def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """LayerNorm with fp32 internals (T5X-style), output in x.dtype."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"].astype(jnp.float32)
+            + p["bias"].astype(jnp.float32)).astype(dtype)
+
+
+def dense(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    y = jnp.einsum("...i,io->...o", x, p["kernel"].astype(x.dtype),
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def _split_heads(x: jnp.ndarray, n_heads: int) -> jnp.ndarray:
+    b, t, d = x.shape
+    return x.reshape(b, t, n_heads, d // n_heads)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    b, t, h, hd = x.shape
+    return x.reshape(b, t, h * hd)
+
+
+def attention_block(p: Params, x_q: jnp.ndarray, x_kv: jnp.ndarray,
+                    n_heads: int, mask=None) -> jnp.ndarray:
+    """Full (uncached) MHA: project, attend, output-project."""
+    q = _split_heads(dense(p["q"], x_q), n_heads)
+    k = _split_heads(dense(p["k"], x_kv), n_heads)
+    v = _split_heads(dense(p["v"], x_kv), n_heads)
+    return dense(p["out"], _merge_heads(mha(q, k, v, mask)))
+
+
+def mlp_block(fc1: Params, fc2: Params, x: jnp.ndarray) -> jnp.ndarray:
+    h = jax.nn.gelu(dense(fc1, x), approximate=False)
+    return dense(fc2, h)
+
+
+# ----------------------------------------------------------------------
+# Encoder
+# ----------------------------------------------------------------------
+
+
+def _conv1d(p: Params, x: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """x [B, T, C_in], kernel (3, C_in, C_out), SAME-1 padding like torch."""
+    y = jax.lax.conv_general_dilated(
+        x, p["kernel"].astype(x.dtype), window_strides=(stride,),
+        padding=[(1, 1)], dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    return y + p["bias"].astype(x.dtype)
+
+
+def _encoder_layer(lp: Params, x: jnp.ndarray, n_heads: int) -> jnp.ndarray:
+    r = x
+    x = layer_norm(lp["self_attn_ln"], x)
+    x = r + attention_block(lp["self_attn"], x, x, n_heads)
+    r = x
+    x = layer_norm(lp["final_ln"], x)
+    return r + mlp_block(lp["fc1"], lp["fc2"], x)
+
+
+def encode(params: Params, cfg: WhisperConfig, mel: jnp.ndarray,
+           dtype=jnp.float32, remat: bool = False,
+           output_hidden_states: bool = False,
+           freeze: bool = False):
+    """mel [B, n_mels, 3000] -> encoder states [B, 1500, d].
+
+    With ``output_hidden_states`` also returns [n_layers+1, B, 1500, d]
+    (embedding output + every layer output, HF convention) for hidden-state
+    distillation.  ``freeze`` stops gradients at the output (reference
+    modeling_flax_whisper.py:1152-1153).
+    """
+    x = mel.astype(dtype).transpose(0, 2, 1)  # [B, 3000, n_mels]
+    x = jax.nn.gelu(_conv1d(params["conv1"], x, 1), approximate=False)
+    x = jax.nn.gelu(_conv1d(params["conv2"], x, 2), approximate=False)  # [B,1500,d]
+    # Sinusoidal positions are constants, never trained
+    # (reference modeling_flax_whisper.py:982-985).
+    x = x + jax.lax.stop_gradient(params["pos_emb"]).astype(dtype)
+
+    layer = _encoder_layer
+    if remat:
+        layer = jax.checkpoint(layer, static_argnums=(2,))
+
+    def body(carry, lp):
+        y = layer(lp, carry, cfg.encoder_attention_heads)
+        return y, (carry if output_hidden_states else None)
+
+    y, hs = jax.lax.scan(body, x, params["layers"])
+    y = layer_norm(params["ln_post"], y)
+    if freeze:
+        y = jax.lax.stop_gradient(y)
+    if output_hidden_states:
+        all_hs = jnp.concatenate([hs, y[None]], axis=0)
+        return y, all_hs
+    return y
+
+
+# ----------------------------------------------------------------------
+# Decoder (shared path for training, prefill and cached decode)
+# ----------------------------------------------------------------------
+
+
+def init_cache(cfg: WhisperConfig, batch: int, dtype=jnp.float32,
+               max_len: Optional[int] = None) -> Params:
+    """Static-shape self-attention KV cache: [L, B, max_len, H, hd]."""
+    max_len = max_len or cfg.max_target_positions
+    h, hd = cfg.decoder_attention_heads, cfg.decoder_head_dim
+    shape = (cfg.decoder_layers, batch, max_len, h, hd)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def cross_kv(params: Params, cfg: WhisperConfig, enc: jnp.ndarray) -> Params:
+    """Cross-attention K/V, computed once per utterance: [L, B, 1500, H, hd]."""
+    h = cfg.decoder_attention_heads
+
+    def per_layer(lp):
+        k = _split_heads(dense(lp["cross_attn"]["k"], enc), h)
+        v = _split_heads(dense(lp["cross_attn"]["v"], enc), h)
+        return k, v
+
+    k, v = jax.lax.map(per_layer, params["layers"])
+    return {"k": k, "v": v}
+
+
+def _decoder_layer(lp: Params, x: jnp.ndarray, self_k, self_v, ck, cv,
+                   n_heads: int, self_mask) -> jnp.ndarray:
+    """One decoder layer given already-materialised K/V for both attentions."""
+    r = x
+    h = layer_norm(lp["self_attn_ln"], x)
+    q = _split_heads(dense(lp["self_attn"]["q"], h), n_heads)
+    a = mha(q, self_k, self_v, self_mask)
+    x = r + dense(lp["self_attn"]["out"], _merge_heads(a))
+
+    r = x
+    h = layer_norm(lp["cross_attn_ln"], x)
+    q = _split_heads(dense(lp["cross_attn"]["q"], h), n_heads)
+    a = mha(q, ck, cv)  # encoder length is always full: no mask
+    x = r + dense(lp["cross_attn"]["out"], _merge_heads(a))
+
+    r = x
+    h = layer_norm(lp["final_ln"], x)
+    return r + mlp_block(lp["fc1"], lp["fc2"], h)
+
+
+def decode(params: Params, cfg: WhisperConfig, tokens: jnp.ndarray,
+           enc: Optional[jnp.ndarray] = None,
+           cross: Optional[Params] = None,
+           cache: Optional[Params] = None,
+           pos_offset=0,
+           attention_mask: Optional[jnp.ndarray] = None,
+           dtype=jnp.float32, remat: bool = False,
+           output_hidden_states: bool = False):
+    """Decoder forward.
+
+    tokens [B, S] at global positions ``pos_offset .. pos_offset+S-1``.
+    Exactly one of ``enc`` (encoder states, K/V projected on the fly) or
+    ``cross`` (precomputed K/V from :func:`cross_kv`) must be given.
+
+    Without ``cache``: full self-attention over S (training / scoring path).
+    With ``cache``: keys/values are written into the static cache at
+    ``pos_offset`` and attention spans the whole cache (generation path).
+
+    Returns ``(logits [B, S, V], new_cache, hidden_states?)`` where
+    hidden_states is [n_layers+1, B, S, d] when requested.
+    """
+    b, s = tokens.shape
+    n_heads = cfg.decoder_attention_heads
+
+    tok_emb = params["tok_emb"]
+    x = tok_emb.astype(dtype)[tokens]
+    # Learned positions, sliced at the (possibly dynamic) offset.
+    pos = jax.lax.dynamic_slice_in_dim(params["pos_emb"].astype(dtype),
+                                       pos_offset, s, axis=0)
+    x = x + pos
+
+    if cache is not None:
+        tk = cache["k"].shape[2]
+        self_mask = causal_mask(s, tk, pos_offset)
+    else:
+        self_mask = causal_mask(s, s, 0)
+    if attention_mask is not None:
+        # [B, S_k] padding mask combined with causality (training only).
+        self_mask = jnp.logical_and(self_mask, attention_mask[:, None, None, :])
+
+    layer = _decoder_layer
+    if remat:
+        layer = jax.checkpoint(layer, static_argnums=(6,))
+
+    if cross is None:
+        assert enc is not None, "decode() needs enc or cross"
+        cross = cross_kv(params, cfg, enc.astype(dtype))
+    ck_all = cross["k"].astype(dtype)
+    cv_all = cross["v"].astype(dtype)
+
+    if cache is None:
+        def body(carry, xs):
+            lp, ck, cv = xs
+            h = layer_norm(lp["self_attn_ln"], carry)
+            k = _split_heads(dense(lp["self_attn"]["k"], h), n_heads)
+            v = _split_heads(dense(lp["self_attn"]["v"], h), n_heads)
+            y = layer(lp, carry, k, v, ck, cv, n_heads, self_mask)
+            return y, (carry if output_hidden_states else None)
+
+        y, hs = jax.lax.scan(body, x, (params["layers"], ck_all, cv_all))
+        new_cache = None
+    else:
+        def body(carry, xs):
+            lp, ck, cv, cache_k, cache_v = xs
+            h = layer_norm(lp["self_attn_ln"], carry)
+            k = _split_heads(dense(lp["self_attn"]["k"], h), n_heads)
+            v = _split_heads(dense(lp["self_attn"]["v"], h), n_heads)
+            cache_k = jax.lax.dynamic_update_slice_in_dim(
+                cache_k, k.astype(cache_k.dtype), pos_offset, axis=1)
+            cache_v = jax.lax.dynamic_update_slice_in_dim(
+                cache_v, v.astype(cache_v.dtype), pos_offset, axis=1)
+            y = layer(lp, carry, cache_k.astype(dtype), cache_v.astype(dtype),
+                      ck, cv, n_heads, self_mask)
+            return y, (cache_k, cache_v,
+                       carry if output_hidden_states else None)
+
+        y, (nk, nv, hs) = jax.lax.scan(
+            body, x, (params["layers"], ck_all, cv_all,
+                      cache["k"], cache["v"]))
+        new_cache = {"k": nk, "v": nv}
+
+    y = layer_norm(params["ln"], y)
+    logits = jnp.einsum("bsd,vd->bsv", y, tok_emb.astype(dtype),
+                        preferred_element_type=jnp.float32)
+
+    if output_hidden_states:
+        all_hs = jnp.concatenate([hs, y[None]], axis=0)
+        return logits, new_cache, all_hs
+    return logits, new_cache
+
+
+# ----------------------------------------------------------------------
+# Full forward (training path)
+# ----------------------------------------------------------------------
+
+
+def forward(params: Params, cfg: WhisperConfig, mel: jnp.ndarray,
+            decoder_input_ids: jnp.ndarray,
+            decoder_attention_mask: Optional[jnp.ndarray] = None,
+            dtype=jnp.float32, remat: bool = False,
+            freeze_encoder: bool = False,
+            output_hidden_states: bool = False):
+    """Encoder + teacher-forced decoder.  Returns logits (+ aux dict).
+
+    ``params`` is the full tree ({'encoder': ..., 'decoder': ...});
+    :func:`encode`/:func:`decode` take the respective subtrees directly.
+    """
+    if output_hidden_states:
+        enc, enc_hs = encode(params["encoder"], cfg, mel, dtype=dtype,
+                             remat=remat, output_hidden_states=True,
+                             freeze=freeze_encoder)
+        logits, _, dec_hs = decode(
+            params["decoder"], cfg, decoder_input_ids, enc=enc,
+            attention_mask=decoder_attention_mask, dtype=dtype, remat=remat,
+            output_hidden_states=True)
+        return logits, {"encoder_last_hidden_state": enc,
+                        "encoder_hidden_states": enc_hs,
+                        "decoder_hidden_states": dec_hs}
+    enc = encode(params["encoder"], cfg, mel, dtype=dtype, remat=remat,
+                 freeze=freeze_encoder)
+    logits, _ = decode(params["decoder"], cfg, decoder_input_ids, enc=enc,
+                       attention_mask=decoder_attention_mask,
+                       dtype=dtype, remat=remat)
+    return logits, {"encoder_last_hidden_state": enc}

@@ -14,4 +14,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The environment's sitecustomize force-registers the remote 'axon' TPU
+# platform regardless of JAX_PLATFORMS; override it post-import so tests run
+# on local virtual CPU devices.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -63,8 +63,8 @@ def test_log_mel_batched_per_sample_max(audio):
     together = np.asarray(log_mel_spectrogram(jnp.asarray(batch), cfg))
     solo0 = np.asarray(log_mel_spectrogram(jnp.asarray(batch[0]), cfg)[0])
     solo1 = np.asarray(log_mel_spectrogram(jnp.asarray(batch[1]), cfg)[0])
-    np.testing.assert_allclose(together[0], solo0, atol=1e-6)
-    np.testing.assert_allclose(together[1], solo1, atol=1e-6)
+    np.testing.assert_allclose(together[0], solo0, atol=1e-4)
+    np.testing.assert_allclose(together[1], solo1, atol=1e-4)
 
 
 def test_pad_or_trim():
