@@ -2,3 +2,6 @@ from .generate import (  # noqa: F401
     GenerationOptions, GenerateOutput, generate, encode_and_generate,
     build_generate,
 )
+from .sequential import (  # noqa: F401
+    SequentialOptions, SequentialTranscriber, compression_ratio,
+)

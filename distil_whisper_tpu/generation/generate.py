@@ -82,6 +82,7 @@ def generate(dec_params: Dict[str, Any], cfg: WhisperConfig,
              opts: GenerationOptions,
              temperature=0.0,
              rng: Optional[jax.Array] = None,
+             pad_len: Optional[jnp.ndarray] = None,
              dtype=jnp.float32) -> GenerateOutput:
     """Autoregressively extend ``prompt_ids`` [B, P] by up to max_new_tokens.
 
@@ -89,6 +90,9 @@ def generate(dec_params: Dict[str, Any], cfg: WhisperConfig,
     The prompt must already contain decoder_start/lang/task tokens (the modern
     HF convention); ``opts.forced_decoder_ids`` is also honoured for parity
     with the reference's ``pipeline_generate``.
+
+    ``pad_len`` [B] marks left-padded prompt slots (condition-on-prev prompts
+    of varying length share one compiled program; cf. models.whisper.decode).
     """
     b, p = prompt_ids.shape
     total = p + opts.max_new_tokens
@@ -101,12 +105,20 @@ def generate(dec_params: Dict[str, Any], cfg: WhisperConfig,
     prompt_ids = prompt_ids.astype(jnp.int32)
     cache = init_cache(cfg, b, dtype=dtype, max_len=total)
     prefill_logits, cache = decode(dec_params, cfg, prompt_ids, cross=cross,
-                                   cache=cache, pos_offset=0, dtype=dtype)
+                                   cache=cache, pos_offset=0, pad_len=pad_len,
+                                   dtype=dtype)
 
-    # <|nospeech|> probability from the raw logits at decoder position 0
-    # (HF WhisperNoSpeechDetection / OpenAI sot_index convention).
+    # <|nospeech|> probability from the raw logits at the SOT position
+    # (HF WhisperNoSpeechDetection / OpenAI sot_index convention).  With a
+    # left-padded prompt the SOT slot is pad_len[b] rather than 0.
     if opts.no_speech_token_id is not None:
-        probs0 = jax.nn.softmax(prefill_logits[:, 0].astype(jnp.float32), -1)
+        if pad_len is None:
+            sot_logits = prefill_logits[:, 0]
+        else:
+            sot_logits = jnp.take_along_axis(
+                prefill_logits, pad_len.astype(jnp.int32)[:, None, None], axis=1
+            )[:, 0]
+        probs0 = jax.nn.softmax(sot_logits.astype(jnp.float32), -1)
         no_speech_prob = probs0[:, opts.no_speech_token_id]
     else:
         no_speech_prob = jnp.zeros((b,), jnp.float32)
@@ -152,7 +164,8 @@ def generate(dec_params: Dict[str, Any], cfg: WhisperConfig,
         # Next-step logits (skipped on the final token to avoid a wasted step).
         def do_decode(cache):
             lg, cache = decode(dec_params, cfg, nxt[:, None], cross=cross,
-                               cache=cache, pos_offset=s["cur"], dtype=dtype)
+                               cache=cache, pos_offset=s["cur"],
+                               pad_len=pad_len, dtype=dtype)
             return lg[:, -1].astype(jnp.float32), cache
 
         def skip(cache):
@@ -181,12 +194,14 @@ def encode_and_generate(params: Dict[str, Any], cfg: WhisperConfig,
                         mel: jnp.ndarray, prompt_ids: jnp.ndarray,
                         opts: GenerationOptions, temperature=0.0,
                         rng: Optional[jax.Array] = None,
+                        pad_len: Optional[jnp.ndarray] = None,
                         dtype=jnp.float32) -> GenerateOutput:
     """mel [B, n_mels, 3000] + prompt -> GenerateOutput (one jittable fn)."""
     enc = encode(params["encoder"], cfg, mel, dtype=dtype)
     cross = cross_kv(params["decoder"], cfg, enc)
     return generate(params["decoder"], cfg, cross, prompt_ids, opts,
-                    temperature=temperature, rng=rng, dtype=dtype)
+                    temperature=temperature, rng=rng, pad_len=pad_len,
+                    dtype=dtype)
 
 
 def build_generate(cfg: WhisperConfig, opts: GenerationOptions, dtype=jnp.float32):

@@ -193,17 +193,24 @@ def decode(params: Params, cfg: WhisperConfig, tokens: jnp.ndarray,
            cache: Optional[Params] = None,
            pos_offset=0,
            attention_mask: Optional[jnp.ndarray] = None,
+           pad_len: Optional[jnp.ndarray] = None,
            dtype=jnp.float32, remat: bool = False,
            output_hidden_states: bool = False):
     """Decoder forward.
 
-    tokens [B, S] at global positions ``pos_offset .. pos_offset+S-1``.
+    tokens [B, S] at global cache slots ``pos_offset .. pos_offset+S-1``.
     Exactly one of ``enc`` (encoder states, K/V projected on the fly) or
     ``cross`` (precomputed K/V from :func:`cross_kv`) must be given.
 
     Without ``cache``: full self-attention over S (training / scoring path).
     With ``cache``: keys/values are written into the static cache at
     ``pos_offset`` and attention spans the whole cache (generation path).
+
+    ``pad_len`` [B] supports *left-padded prompts* with one compiled program:
+    the first ``pad_len[b]`` cache slots are padding — they are masked out of
+    self-attention and position embeddings are shifted so the first real token
+    sits at position 0 (the HF batched-long-form convention: left-pad +
+    decoder_attention_mask).
 
     Returns ``(logits [B, S, V], new_cache, hidden_states?)`` where
     hidden_states is [n_layers+1, B, S, d] when requested.
@@ -213,16 +220,28 @@ def decode(params: Params, cfg: WhisperConfig, tokens: jnp.ndarray,
 
     tok_emb = params["tok_emb"]
     x = tok_emb.astype(dtype)[tokens]
-    # Learned positions, sliced at the (possibly dynamic) offset.
-    pos = jax.lax.dynamic_slice_in_dim(params["pos_emb"].astype(dtype),
-                                       pos_offset, s, axis=0)
+    if pad_len is None:
+        # Learned positions, sliced at the (possibly dynamic) offset.
+        pos = jax.lax.dynamic_slice_in_dim(params["pos_emb"].astype(dtype),
+                                           pos_offset, s, axis=0)
+    else:
+        # Per-sample shift: slot j holds absolute position j - pad_len[b].
+        slots = pos_offset + jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
+        positions = jnp.clip(slots - pad_len[:, None].astype(jnp.int32), 0,
+                             cfg.max_target_positions - 1)
+        pos = params["pos_emb"].astype(dtype)[positions]
     x = x + pos
 
     if cache is not None:
         tk = cache["k"].shape[2]
         self_mask = causal_mask(s, tk, pos_offset)
     else:
+        tk = s
         self_mask = causal_mask(s, s, 0)
+    if pad_len is not None:
+        key_slots = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, tk), 3)
+        self_mask = jnp.logical_and(
+            self_mask, key_slots >= pad_len[:, None, None, None].astype(jnp.int32))
     if attention_mask is not None:
         # [B, S_k] padding mask combined with causality (training only).
         self_mask = jnp.logical_and(self_mask, attention_mask[:, None, None, :])

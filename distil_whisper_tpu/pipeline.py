@@ -1,0 +1,179 @@
+"""User-facing ASR pipeline: short-form + chunked long-form transcription.
+
+The TPU-native counterpart of the reference's ``FlaxWhisperPipeline``
+(training/flax/distil_whisper/pipeline.py): audio -> strided 30 s chunks
+(stride = chunk/6 by default, reference :325) -> batched log-mel -> one jitted
+encode+generate program -> timestamp/LCS merge of overlapping chunks
+(``WhisperTokenizer.decode_asr``).
+
+All device work is fixed-shape: every chunk is a padded 30 s window, ragged
+final batches are padded to the compiled batch size and dropped after
+(reference pads the same way, pipeline.py:394-408).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .audio.io import load_audio
+from .audio.mel import log_mel_spectrogram
+from .config import WhisperConfig
+from .generation import GenerationOptions, encode_and_generate
+from .models import load_params
+from .models.whisper import encode
+from .tokenizer import WhisperTokenizer
+
+
+class WhisperPipeline:
+    """``pipeline = WhisperPipeline(ckpt_dir); pipeline(audio, chunk_length_s=30)``"""
+
+    def __init__(self, checkpoint: str, dtype=jnp.bfloat16,
+                 batch_size: int = 8, max_new_tokens: int = 128,
+                 params=None, cfg: Optional[WhisperConfig] = None,
+                 tokenizer: Optional[WhisperTokenizer] = None):
+        if params is None or cfg is None:
+            params, cfg = load_params(checkpoint, cfg, dtype=dtype)
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer or WhisperTokenizer.from_pretrained(checkpoint)
+        self.dtype = dtype
+        self.batch_size = batch_size
+        self.max_new_tokens = max_new_tokens
+        self._generate_cache: Dict[Any, Any] = {}
+
+    # ------------------------------------------------------------------
+    def _jitted_generate(self, opts: GenerationOptions, prompt_len: int):
+        key = (opts, prompt_len)
+        if key not in self._generate_cache:
+            def fn(params, mel, prompt, temperature, rng):
+                return encode_and_generate(params, self.cfg, mel, prompt, opts,
+                                           temperature=temperature, rng=rng,
+                                           dtype=self.dtype)
+            self._generate_cache[key] = jax.jit(fn)
+        return self._generate_cache[key]
+
+    def detect_language(self, mel: jnp.ndarray) -> List[str]:
+        """Language id from the first window (argmax over language tokens at
+        the SOT position)."""
+        tok = self.tokenizer
+        if "_detect" not in self._generate_cache:
+            from .models.whisper import decode as dec_fn, cross_kv, init_cache
+
+            def fn(params, mel):
+                enc = encode(params["encoder"], self.cfg, mel, dtype=self.dtype)
+                cross = cross_kv(params["decoder"], self.cfg, enc)
+                cache = init_cache(self.cfg, mel.shape[0], dtype=self.dtype)
+                prompt = jnp.full((mel.shape[0], 1),
+                                  self.cfg.decoder_start_token_id, jnp.int32)
+                logits, _ = dec_fn(params["decoder"], self.cfg, prompt,
+                                   cross=cross, cache=cache, pos_offset=0,
+                                   dtype=self.dtype)
+                return logits[:, 0]
+            self._generate_cache["_detect"] = jax.jit(fn)
+        logits = np.asarray(self._generate_cache["_detect"](self.params, mel))
+        lang_ids = sorted(tok.lang_to_id.values())
+        best = np.asarray(lang_ids)[np.argmax(logits[:, lang_ids], axis=-1)]
+        return [tok.id_to_lang[int(i)] for i in best]
+
+    # ------------------------------------------------------------------
+    def _chunk(self, audio: np.ndarray, chunk_length_s: float,
+               stride_length_s) -> List[Dict[str, Any]]:
+        sr = self.cfg.sampling_rate
+        chunk_len = int(round(chunk_length_s * sr))
+        if stride_length_s is None:
+            stride_length_s = chunk_length_s / 6.0
+        if isinstance(stride_length_s, (int, float)):
+            stride_length_s = [stride_length_s, stride_length_s]
+        stride_left = int(round(stride_length_s[0] * sr))
+        stride_right = int(round(stride_length_s[1] * sr))
+        step = chunk_len - stride_left - stride_right
+        if step <= 0:
+            raise ValueError("strides are larger than the chunk length")
+
+        chunks = []
+        for start in range(0, max(len(audio), 1), step):
+            piece = audio[start:start + chunk_len]
+            is_first = start == 0
+            is_last = start + chunk_len >= len(audio)
+            chunks.append({
+                "audio": piece,
+                "stride": (len(piece) / sr,
+                           0.0 if is_first else stride_left / sr,
+                           0.0 if is_last else stride_right / sr),
+            })
+            if is_last:
+                break
+        return chunks
+
+    # ------------------------------------------------------------------
+    def __call__(self, audio, chunk_length_s: float = 30.0,
+                 stride_length_s=None, batch_size: Optional[int] = None,
+                 language: Optional[str] = None, task: str = "transcribe",
+                 return_timestamps: bool = False,
+                 return_language: bool = False,
+                 max_new_tokens: Optional[int] = None,
+                 generate_kwargs: Optional[dict] = None) -> Dict[str, Any]:
+        tok = self.tokenizer
+        cfg = self.cfg
+        batch_size = batch_size or self.batch_size
+        max_new = max_new_tokens or self.max_new_tokens
+
+        wav = load_audio(audio, cfg.sampling_rate)
+        chunks = self._chunk(wav, chunk_length_s, stride_length_s)
+        single = len(chunks) == 1
+
+        # features for every chunk, always a full padded 30 s window
+        mels = np.stack([
+            np.asarray(log_mel_spectrogram(jnp.asarray(c["audio"]), cfg)[0])
+            for c in chunks])
+
+        if language is None and len(tok.lang_to_id) > 1:
+            language = self.detect_language(jnp.asarray(mels[:1],
+                                                        self.dtype))[0]
+        prompt = tok.prompt_ids(language=language, task=task,
+                                no_timestamps=not return_timestamps)
+        opts = GenerationOptions.from_config(
+            cfg, max_new_tokens=max_new,
+            return_timestamps=bool(return_timestamps),
+            no_speech_token_id=tok.no_speech,
+            **(generate_kwargs or {}))
+        fn = self._jitted_generate(opts, len(prompt))
+
+        outputs: List[Dict[str, Any]] = []
+        rng = jax.random.PRNGKey(0)
+        for i in range(0, len(mels), batch_size):
+            batch = mels[i:i + batch_size]
+            n = len(batch)
+            if n < batch_size:  # pad ragged final batch to the compiled shape
+                batch = np.concatenate(
+                    [batch, np.zeros((batch_size - n,) + batch.shape[1:],
+                                     batch.dtype)])
+            prompts = jnp.asarray([prompt] * batch_size, jnp.int32)
+            out = fn(self.params, jnp.asarray(batch), prompts, 0.0, rng)
+            seqs = np.asarray(out.sequences)
+            lens = np.asarray(out.seq_len)
+            for j in range(n):
+                outputs.append({
+                    "tokens": seqs[j][:lens[j]].tolist(),
+                    "stride": chunks[i + j]["stride"],
+                })
+
+        if single:
+            ids = outputs[0]["tokens"]
+            text = tok.decode(ids, skip_special_tokens=True)
+            result: Dict[str, Any] = {"text": text}
+            if return_timestamps:
+                _, opt = tok.decode_asr(
+                    [{"tokens": ids}], return_timestamps=True,
+                    return_language=return_language)
+                result.update(opt)
+            return result
+
+        text, optional = tok.decode_asr(outputs,
+                                        return_timestamps=return_timestamps,
+                                        return_language=return_language)
+        return {"text": text, **optional}

@@ -1,0 +1,194 @@
+"""Chunked pipeline + sequential long-form tests.
+
+Chunk math is pinned to HF's ``chunk_iter``; segment cutting is pinned to HF's
+``_retrieve_segment``; end-to-end runs use a tiny random model with the real
+Whisper special-token id layout.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from distil_whisper_tpu.config import WhisperConfig
+from distil_whisper_tpu.models import init_params
+from distil_whisper_tpu.tokenizer import WhisperTokenizer
+from distil_whisper_tpu.tokenizer.bpe import ByteLevelBPE, bytes_to_unicode
+from distil_whisper_tpu.pipeline import WhisperPipeline
+from distil_whisper_tpu.generation.sequential import (
+    SequentialOptions, SequentialTranscriber,
+)
+from distil_whisper_tpu.audio.mel import log_mel_spectrogram
+
+CFG = WhisperConfig(
+    vocab_size=51865, num_mel_bins=80, d_model=64,
+    encoder_layers=2, decoder_layers=2,
+    encoder_attention_heads=4, decoder_attention_heads=4,
+    encoder_ffn_dim=96, decoder_ffn_dim=96,
+)
+
+
+def _real_layout_tokenizer():
+    """Tiny BPE but the *real* multilingual-v2 special-token id layout."""
+    units = list(bytes_to_unicode().values())
+    vocab = {u: i for i, u in enumerate(units)}
+    bpe = ByteLevelBPE(vocab, [])
+    added = {"<|endoftext|>": 50257, "<|startoftranscript|>": 50258,
+             "<|en|>": 50259, "<|fr|>": 50265,
+             "<|translate|>": 50358, "<|transcribe|>": 50359,
+             "<|startoflm|>": 50360, "<|startofprev|>": 50361,
+             "<|nospeech|>": 50362, "<|notimestamps|>": 50363}
+    return WhisperTokenizer(bpe, added)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = init_params(CFG, jax.random.PRNGKey(0))
+    tok = _real_layout_tokenizer()
+    return params, tok
+
+
+def test_chunk_math_matches_hf():
+    """Our chunker == HF pipeline chunk_iter boundaries and strides."""
+    from transformers.pipelines.audio_utils import ffmpeg_read  # noqa: F401
+    from transformers.pipelines.automatic_speech_recognition import chunk_iter
+
+    class _NoopFE:
+        sampling_rate = 16000
+
+        def __call__(self, audio, sampling_rate, return_tensors, **kw):
+            import torch
+            return {"input_features": torch.zeros((1, 80, 10))}
+
+    sr = 16000
+    audio = np.zeros(int(73.7 * sr), np.float32)
+    chunk_s, stride_s = 30.0, 5.0
+    golden = [dict(stride=c["stride"], is_last=c["is_last"])
+              for c in chunk_iter(audio, _NoopFE(), int(chunk_s * sr),
+                                  int(stride_s * sr), int(stride_s * sr))]
+
+    pipe = WhisperPipeline.__new__(WhisperPipeline)
+    pipe.cfg = CFG
+    chunks = pipe._chunk(audio, chunk_s, stride_s)
+    assert len(chunks) == len(golden)
+    for ours, g in zip(chunks, golden):
+        chunk_len, left, right = g["stride"]  # in samples
+        np.testing.assert_allclose(
+            ours["stride"], (chunk_len / sr, left / sr, right / sr))
+
+
+def test_pipeline_end_to_end_long(setup):
+    params, tok = setup
+    pipe = WhisperPipeline.__new__(WhisperPipeline)
+    pipe.params, pipe.cfg, pipe.tokenizer = params, CFG, tok
+    pipe.dtype = jnp.float32
+    pipe.batch_size = 4
+    pipe.max_new_tokens = 16
+    pipe._generate_cache = {}
+
+    rng = np.random.default_rng(0)
+    audio = (0.1 * rng.standard_normal(int(70.0 * 16000))).astype(np.float32)
+    out = pipe(audio, chunk_length_s=30.0, language="en",
+               return_timestamps=True)
+    assert isinstance(out["text"], str)
+    assert "chunks" in out
+    starts = [c["timestamp"][0] for c in out["chunks"]
+              if c["timestamp"][0] is not None]
+    assert starts == sorted(starts)
+
+
+def test_pipeline_short_form(setup):
+    params, tok = setup
+    pipe = WhisperPipeline.__new__(WhisperPipeline)
+    pipe.params, pipe.cfg, pipe.tokenizer = params, CFG, tok
+    pipe.dtype = jnp.float32
+    pipe.batch_size = 2
+    pipe.max_new_tokens = 12
+    pipe._generate_cache = {}
+    audio = np.zeros(16000 * 4, np.float32)
+    out = pipe(audio, language="en")
+    assert isinstance(out["text"], str)
+
+
+def test_cut_segments_matches_hf(setup):
+    """Segment slicing/advance parity vs HF _retrieve_segment."""
+    import torch
+    from transformers.models.whisper.generation_whisper import WhisperGenerationMixin
+
+    params, tok = setup
+    tr = SequentialTranscriber(params, CFG, tok, SequentialOptions(),
+                               language="en", batch_size=2)
+    tsb = tok.timestamp_begin
+
+    cases = [
+        # paired timestamps mid-stream + unfinished tail (advance to pair)
+        [tsb + 0, 65, 66, tsb + 100, tsb + 100, 67, tsb + 120],
+        # single trailing timestamp (full-window advance)
+        [tsb + 0, 65, 66, tsb + 100],
+        # no timestamps at all
+        [65, 66, 67],
+        # multiple complete segments
+        [tsb + 0, 65, tsb + 50, tsb + 50, 66, tsb + 90, tsb + 90],
+    ]
+    for tokens in cases:
+        seek_num_frames = 3000
+        segments, advance = tr._cut_segments(tokens, 0.0, seek_num_frames)
+
+        seek_sequence = torch.tensor(tokens)
+        golden_segments, golden_idxs = WhisperGenerationMixin._retrieve_segment(
+            seek_sequence=seek_sequence,
+            seek_outputs=[{}],
+            time_offset=torch.tensor([0.0]),
+            timestamp_begin=tsb,
+            seek_num_frames=torch.tensor([seek_num_frames]),
+            time_precision=0.02,
+            time_precision_features=0.01,
+            input_stride=2,
+            prev_idx=0,
+            idx=0,
+            return_token_timestamps=False,
+            decoder_input_ids=torch.zeros((1, 1), dtype=torch.long),
+        )
+        if isinstance(golden_segments, dict):
+            golden_segments = [golden_segments]
+        assert len(segments) == len(golden_segments), tokens
+        for ours, g in zip(segments, golden_segments):
+            assert ours["tokens"] == list(g["tokens"].numpy()), tokens
+            np.testing.assert_allclose(ours["start"], float(g["start"]), atol=1e-6)
+            np.testing.assert_allclose(ours["end"], float(g["end"]), atol=1e-6)
+
+
+def test_sequential_end_to_end(setup):
+    params, tok = setup
+    rng = np.random.default_rng(1)
+    audio = (0.05 * rng.standard_normal(int(65.0 * 16000))).astype(np.float32)
+    feats = np.asarray(log_mel_spectrogram(
+        jnp.asarray(audio), CFG, pad_to_chunk=False)[0])
+    tr = SequentialTranscriber(params, CFG, tok,
+                               SequentialOptions(max_new_tokens=24,
+                                                 temperatures=(0.0, 1.0)),
+                               language="en", batch_size=2)
+    results = tr.transcribe([feats, feats[:, :3500]])
+    assert len(results) == 2
+    for r in results:
+        assert isinstance(r["text"], str)
+        assert len(r["segments"]) >= 1
+        for s in r["segments"]:
+            assert s["end"] >= s["start"] >= 0.0
+
+
+def test_sequential_condition_on_prev(setup):
+    """condition_on_prev uses the fixed left-padded prompt layout and still
+    produces valid segments (one compiled program for all context lengths)."""
+    params, tok = setup
+    rng = np.random.default_rng(2)
+    audio = (0.05 * rng.standard_normal(int(62.0 * 16000))).astype(np.float32)
+    feats = np.asarray(log_mel_spectrogram(
+        jnp.asarray(audio), CFG, pad_to_chunk=False)[0])
+    tr = SequentialTranscriber(
+        params, CFG, tok,
+        SequentialOptions(max_new_tokens=16, temperatures=(0.0,),
+                          condition_on_prev_tokens=True),
+        language="en", batch_size=1)
+    results = tr.transcribe([feats])
+    assert len(results[0]["segments"]) >= 1
