@@ -1,0 +1,86 @@
+"""Distillation losses: CE + temperature-scaled KL + hidden-state MSE.
+
+Semantics pinned to the reference trainers: loss = 0.8*CE + kl_weight*T^2*KL
+(+ mse_weight*MSE on mapped hidden states, flax path only), every term
+token-masked and normalised by the *global* number of label tokens
+(reference flax/run_distillation.py:1660-1718, 1797-1827; torch
+run_distillation.py:1453-1495).  Under jit+GSPMD the global sum is just a sum
+over the sharded array — XLA inserts the ICI all-reduce the reference does by
+hand with ``psum``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+LABEL_PAD = -100
+
+
+def token_mask(labels: jnp.ndarray) -> jnp.ndarray:
+    """fp32 mask of supervised positions ([B, S]); prompt/pad carry -100."""
+    return (labels != LABEL_PAD).astype(jnp.float32)
+
+
+def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
+                  label_smoothing: float = 0.0
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Masked token-level CE.  Returns (summed loss, token count)."""
+    mask = token_mask(labels)
+    safe = jnp.maximum(labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    if label_smoothing > 0.0:
+        v = logits.shape[-1]
+        smooth = -jnp.mean(logp, axis=-1)
+        nll = (1.0 - label_smoothing) * nll + label_smoothing * smooth
+        # constant normaliser so the minimum is 0 (flax reference convention,
+        # run_finetuning.py label-smoothed loss)
+        low_conf = label_smoothing / (v - 1)
+        norm = -((1.0 - label_smoothing) * jnp.log(1.0 - label_smoothing)
+                 + (v - 1) * low_conf * jnp.log(low_conf + 1e-20))
+        nll = nll - norm
+    return jnp.sum(nll * mask), jnp.sum(mask)
+
+
+def kl_divergence(teacher_logits: jnp.ndarray, student_logits: jnp.ndarray,
+                  labels: jnp.ndarray, temperature: float = 2.0
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Masked KL(teacher ‖ student) with T^2 scaling, teacher stop-gradient."""
+    mask = token_mask(labels)
+    t = jax.lax.stop_gradient(teacher_logits.astype(jnp.float32)) / temperature
+    s = student_logits.astype(jnp.float32) / temperature
+    t_prob = jax.nn.softmax(t, axis=-1)
+    kl = jnp.sum(t_prob * (jax.nn.log_softmax(t, axis=-1)
+                           - jax.nn.log_softmax(s, axis=-1)), axis=-1)
+    kl = kl * (temperature ** 2)
+    return jnp.sum(kl * mask), jnp.sum(mask)
+
+
+def hidden_state_mse(teacher_hs: jnp.ndarray, student_hs: jnp.ndarray,
+                     layer_map: Sequence[int], labels: jnp.ndarray
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """MSE between student layers and mapped teacher layers.
+
+    teacher_hs/student_hs: [L+1, B, S, D] (embeddings + every layer).
+    ``layer_map[i]`` = teacher hidden-state index supervising student layer i+1
+    (reference ``get_layers_to_supervise``, flax/run_distillation.py:971-985).
+    """
+    mask = token_mask(labels)[None, :, :, None]
+    t = jax.lax.stop_gradient(
+        teacher_hs[jnp.asarray(layer_map)].astype(jnp.float32))
+    s = student_hs[1:].astype(jnp.float32)
+    se = jnp.square(s - t) * mask
+    return jnp.sum(jnp.mean(se, axis=-1)), jnp.sum(token_mask(labels)) * len(layer_map)
+
+
+def get_layers_to_supervise(student_layers: int, teacher_layers: int
+                            ) -> list:
+    """Maximally-spaced teacher layers, last pinned (reference
+    create_student_model.py:129-144 convention applied to supervision)."""
+    import numpy as np
+    return [int(i) for i in
+            np.linspace(teacher_layers // student_layers, teacher_layers,
+                        student_layers).astype(int)]

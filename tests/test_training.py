@@ -1,0 +1,208 @@
+"""Distillation training tests: loss parity vs torch formulas, student init
+parity vs the reference layer map, end-to-end loss descent, sharded step."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from distil_whisper_tpu.config import WhisperConfig
+from distil_whisper_tpu.models import init_params, param_axes
+from distil_whisper_tpu.training import (
+    DistillConfig, OptimizerConfig, TrainState, build_train_step,
+    build_finetune_step, cross_entropy, kl_divergence,
+    init_student_from_teacher, student_layer_map, make_optimizer,
+)
+
+TEACHER_CFG = WhisperConfig(
+    vocab_size=512, num_mel_bins=80, d_model=64,
+    encoder_layers=2, decoder_layers=4,
+    encoder_attention_heads=4, decoder_attention_heads=4,
+    encoder_ffn_dim=96, decoder_ffn_dim=96)
+
+
+def _batch(bsz=4, seq=12, vocab=512, seed=0):
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, vocab, (bsz, seq))
+    labels[:, :3] = -100  # masked prompt region
+    return {
+        "input_features": jnp.asarray(
+            rng.standard_normal((bsz, 80, 3000)), jnp.float32),
+        "decoder_input_ids": jnp.asarray(
+            rng.integers(0, vocab, (bsz, seq)), jnp.int32),
+        "labels": jnp.asarray(labels, jnp.int32),
+    }
+
+
+def test_ce_matches_torch():
+    import torch
+    import torch.nn.functional as F
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((2, 10, 512)).astype(np.float32)
+    labels = rng.integers(0, 512, (2, 10))
+    labels[0, :4] = -100
+    ours_sum, ours_n = cross_entropy(jnp.asarray(logits), jnp.asarray(labels))
+    golden = F.cross_entropy(torch.from_numpy(logits).reshape(-1, 512),
+                             torch.from_numpy(labels).reshape(-1),
+                             ignore_index=-100, reduction="sum")
+    np.testing.assert_allclose(float(ours_sum), float(golden), rtol=1e-5)
+    assert int(ours_n) == (labels != -100).sum()
+
+
+def test_kl_matches_torch_formula():
+    """Pin to the reference kl_divergence (torch run_distillation.py:1453):
+    KLDiv(log_softmax(student/T), softmax(teacher/T)) * T^2, masked-sum."""
+    import torch
+    import torch.nn.functional as F
+    rng = np.random.default_rng(1)
+    t = rng.standard_normal((2, 8, 512)).astype(np.float32)
+    s = rng.standard_normal((2, 8, 512)).astype(np.float32)
+    labels = rng.integers(0, 512, (2, 8))
+    labels[1, :5] = -100
+    T = 2.0
+    ours_sum, _ = kl_divergence(jnp.asarray(t), jnp.asarray(s),
+                                jnp.asarray(labels), temperature=T)
+    mask = torch.from_numpy((labels != -100)).float()
+    golden = (F.kl_div(F.log_softmax(torch.from_numpy(s) / T, dim=-1),
+                       F.softmax(torch.from_numpy(t) / T, dim=-1),
+                       reduction="none").sum(-1) * mask).sum() * T * T
+    np.testing.assert_allclose(float(ours_sum), float(golden), rtol=1e-4)
+
+
+def test_student_layer_map_matches_reference():
+    # large-v3: 32 decoder layers -> 2 students takes first and last
+    assert list(student_layer_map(32, 2)) == [0, 31]
+    # 24 -> 4 maximally spaced with last pinned
+    m = list(student_layer_map(24, 4))
+    assert m[0] == 0 and m[-1] == 23 and m == sorted(m)
+
+
+def test_student_init_copies_layers():
+    teacher = init_params(TEACHER_CFG, jax.random.PRNGKey(0))
+    student, s_cfg = init_student_from_teacher(teacher, TEACHER_CFG,
+                                               decoder_layers=2)
+    assert s_cfg.decoder_layers == 2
+    t_k = np.asarray(teacher["decoder"]["layers"]["self_attn"]["q"]["kernel"])
+    s_k = np.asarray(student["decoder"]["layers"]["self_attn"]["q"]["kernel"])
+    np.testing.assert_array_equal(s_k[0], t_k[0])
+    np.testing.assert_array_equal(s_k[1], t_k[3])
+    # encoder copied wholesale
+    np.testing.assert_array_equal(
+        np.asarray(student["encoder"]["conv1"]["kernel"]),
+        np.asarray(teacher["encoder"]["conv1"]["kernel"]))
+
+
+def test_distillation_loss_descends():
+    """Ten steps of distillation must reduce the loss (shared frozen enc)."""
+    teacher = init_params(TEACHER_CFG, jax.random.PRNGKey(0))
+    student, s_cfg = init_student_from_teacher(teacher, TEACHER_CFG,
+                                               decoder_layers=2)
+    opt_cfg = OptimizerConfig(learning_rate=3e-3, warmup_steps=1,
+                              total_steps=20, precision="full",
+                              frozen_prefixes=("encoder",))
+    tx = make_optimizer(opt_cfg, student)
+    state, tx = TrainState.create(student, opt_cfg, tx)
+    dcfg = DistillConfig(mse_weight=1.0, freeze_encoder=True,
+                         share_encoder=True)
+    train_step, eval_step = build_train_step(s_cfg, TEACHER_CFG, dcfg,
+                                             opt_cfg, tx)
+    jit_step = jax.jit(train_step)
+    batch = _batch()
+    losses = []
+    for _ in range(10):
+        state, metrics = jit_step(state, teacher, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+    # frozen encoder must not have moved
+    np.testing.assert_array_equal(
+        np.asarray(state.params["encoder"]["conv1"]["kernel"]),
+        np.asarray(student["encoder"]["conv1"]["kernel"]))
+
+
+def test_precision_modes_run():
+    teacher = init_params(TEACHER_CFG, jax.random.PRNGKey(0))
+    student, s_cfg = init_student_from_teacher(teacher, TEACHER_CFG,
+                                               decoder_layers=2)
+    batch = _batch(bsz=2)
+    for precision in ("full", "half_mixed", "full_mixed"):
+        opt_cfg = OptimizerConfig(learning_rate=1e-4, warmup_steps=1,
+                                  total_steps=10, precision=precision)
+        tx = make_optimizer(opt_cfg, student)
+        state, tx = TrainState.create(student, opt_cfg, tx)
+        train_step, _ = build_train_step(s_cfg, TEACHER_CFG, DistillConfig(),
+                                         opt_cfg, tx)
+        state, metrics = jax.jit(train_step)(state, teacher, batch)
+        assert np.isfinite(float(metrics["loss"])), precision
+        leaf = state.params["decoder"]["tok_emb"]
+        assert leaf.dtype == opt_cfg.param_dtype
+
+
+def test_gradient_accumulation():
+    teacher = init_params(TEACHER_CFG, jax.random.PRNGKey(0))
+    student, s_cfg = init_student_from_teacher(teacher, TEACHER_CFG,
+                                               decoder_layers=2)
+    opt_cfg = OptimizerConfig(learning_rate=1e-3, warmup_steps=0,
+                              total_steps=10, precision="full",
+                              gradient_accumulation_steps=2)
+    tx = make_optimizer(opt_cfg, student)
+    state, tx = TrainState.create(student, opt_cfg, tx)
+    train_step, _ = build_train_step(s_cfg, TEACHER_CFG, DistillConfig(),
+                                     opt_cfg, tx)
+    jit_step = jax.jit(train_step)
+    before = np.asarray(student["decoder"]["tok_emb"])
+    state, _ = jit_step(state, teacher, _batch(bsz=2, seed=1))
+    # after 1 of 2 accumulation micro-steps params must be unchanged
+    np.testing.assert_array_equal(
+        np.asarray(state.params["decoder"]["tok_emb"]), before)
+    state, _ = jit_step(state, teacher, _batch(bsz=2, seed=2))
+    assert not np.array_equal(
+        np.asarray(state.params["decoder"]["tok_emb"]), before)
+
+
+def test_finetune_step():
+    cfg = TEACHER_CFG
+    params = init_params(cfg, jax.random.PRNGKey(1))
+    opt_cfg = OptimizerConfig(learning_rate=1e-3, warmup_steps=1,
+                              total_steps=10, precision="full")
+    tx = make_optimizer(opt_cfg, params)
+    state, tx = TrainState.create(params, opt_cfg, tx)
+    train_step, eval_step = build_finetune_step(cfg, opt_cfg, tx,
+                                                label_smoothing=0.1)
+    batch = _batch(bsz=2)
+    state, m1 = jax.jit(train_step)(state, batch)
+    for _ in range(5):
+        state, m2 = jax.jit(train_step)(state, batch)
+    assert float(m2["loss"]) < float(m1["loss"])
+
+
+def test_sharded_train_step_8dev():
+    """The full distillation step over a ('data','model') mesh — the
+    multi-device regression the reference never had (SURVEY.md §4)."""
+    from distil_whisper_tpu.parallel import (make_mesh, shard_params,
+                                             shard_batch)
+    mesh = make_mesh((4, 2))
+    teacher = init_params(TEACHER_CFG, jax.random.PRNGKey(0))
+    student, s_cfg = init_student_from_teacher(teacher, TEACHER_CFG,
+                                               decoder_layers=2)
+    teacher = shard_params(teacher, param_axes(TEACHER_CFG), mesh)
+    student = shard_params(student, param_axes(s_cfg), mesh)
+    opt_cfg = OptimizerConfig(learning_rate=1e-3, warmup_steps=1,
+                              total_steps=10, precision="full")
+    tx = make_optimizer(opt_cfg, student)
+    state, tx = TrainState.create(student, opt_cfg, tx)
+    train_step, _ = build_train_step(s_cfg, TEACHER_CFG, DistillConfig(),
+                                     opt_cfg, tx)
+    batch = shard_batch(_batch(bsz=8), mesh)
+    state, metrics = jax.jit(train_step)(state, teacher, batch)
+    sharded_loss = float(metrics["loss"])
+
+    # single-device replica must produce the same loss
+    state1, tx1 = TrainState.create(
+        jax.device_get(student), opt_cfg,
+        make_optimizer(opt_cfg, jax.device_get(student)))
+    train_step1, _ = build_train_step(s_cfg, TEACHER_CFG, DistillConfig(),
+                                      opt_cfg, tx1)
+    _, metrics1 = jax.jit(train_step1)(state1, jax.device_get(teacher),
+                                       jax.device_get(batch))
+    np.testing.assert_allclose(sharded_loss, float(metrics1["loss"]),
+                               rtol=2e-4)
