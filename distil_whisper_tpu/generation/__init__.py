@@ -5,3 +5,4 @@ from .generate import (  # noqa: F401
 from .sequential import (  # noqa: F401
     SequentialOptions, SequentialTranscriber, compression_ratio,
 )
+from .speculative import speculative_generate, SpeculativeOutput  # noqa: F401

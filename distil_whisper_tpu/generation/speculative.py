@@ -1,0 +1,171 @@
+"""Speculative decoding: distil draft proposes, teacher verifies.
+
+The reference gets this from HF assisted generation (``assistant_model``,
+reference training/run_eval.py:578-599; identical-outputs assertion at
+flax/run_speculative_decoding.py:101-116).  Greedy acceptance: the draft
+proposes ``gamma`` tokens autoregressively; the teacher scores all of them in
+ONE decode; the longest matching prefix plus the teacher's own next token are
+accepted.  Output is therefore *identical* to teacher-only greedy decoding —
+the speedup comes from the teacher running one (gamma+1)-token decode per
+~(n_accepted+1) tokens emitted.
+
+TPU design: the whole accept/verify loop is a single ``lax.while_loop``
+(traced cursor, fixed-shape caches, stale cache entries proven overwritten
+before read by the causality argument in the loop body), so there is no
+host round-trip per token.  Both models may share encoder states: a distil
+draft is just a 2-layer decoder on the teacher's ``cross_kv``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import WhisperConfig
+from ..models.whisper import decode, init_cache
+from . import logits as L
+from .generate import GenerationOptions
+
+
+class SpeculativeOutput(NamedTuple):
+    sequences: jnp.ndarray   # [1, total]
+    seq_len: jnp.ndarray     # [1]
+    rounds: jnp.ndarray      # number of verify rounds executed
+    drafted: jnp.ndarray     # total draft tokens proposed
+    accepted: jnp.ndarray    # total draft tokens accepted
+
+
+def _process(scores, gen_idx, cfg, opts, prompt_len):
+    scores = L.force_tokens(scores, gen_idx, opts.forced_decoder_ids, prompt_len)
+    scores = L.suppress_tokens_at_begin(scores, gen_idx, opts.begin_suppress_tokens)
+    scores = L.suppress_tokens(scores, opts.suppress_tokens)
+    scores = L.min_new_tokens(scores, gen_idx, opts.min_new_tokens,
+                              cfg.eos_token_id)
+    return scores
+
+
+def speculative_generate(
+        teacher_dec: Dict[str, Any], teacher_cfg: WhisperConfig,
+        draft_dec: Dict[str, Any], draft_cfg: WhisperConfig,
+        teacher_cross: Dict[str, Any], draft_cross: Dict[str, Any],
+        prompt_ids: jnp.ndarray, opts: GenerationOptions,
+        gamma: int = 5, dtype=jnp.float32) -> SpeculativeOutput:
+    """Greedy speculative decoding, batch 1 (the reference's regime —
+    'low batch sizes', README.md:425-427).
+
+    ``opts.return_timestamps`` is not supported here: the timestamp FSM is
+    sequential by construction and would serialise verification.
+    """
+    assert prompt_ids.shape[0] == 1, "speculative decoding is batch-1"
+    assert not opts.return_timestamps, "use plain generate for timestamps"
+    b, p = prompt_ids.shape
+    total = p + opts.max_new_tokens
+    assert total <= min(teacher_cfg.max_target_positions,
+                        draft_cfg.max_target_positions)
+    eos = teacher_cfg.eos_token_id
+
+    prompt_ids = prompt_ids.astype(jnp.int32)
+    # gamma+1 slack: the verify window may overhang the budget near the end —
+    # without it dynamic_update_slice would clamp the start index and corrupt
+    # already-accepted tokens.  Overhang slots are junk and sliced off below.
+    slack = gamma + 1
+    t_cache = init_cache(teacher_cfg, b, dtype=dtype, max_len=total + slack)
+    d_cache = init_cache(draft_cfg, b, dtype=dtype, max_len=total + slack)
+
+    # Prefill both models on the prompt.
+    t_logits, t_cache = decode(teacher_dec, teacher_cfg, prompt_ids,
+                               cross=teacher_cross, cache=t_cache,
+                               pos_offset=0, dtype=dtype)
+    _, d_cache = decode(draft_dec, draft_cfg, prompt_ids[:, :-1],
+                        cross=draft_cross, cache=d_cache,
+                        pos_offset=0, dtype=dtype)
+    # First token comes straight from the teacher (position p).
+    first_scores = _process(t_logits[:, -1].astype(jnp.float32), 0,
+                            teacher_cfg, opts, p)
+    first_tok = jnp.argmax(first_scores, axis=-1).astype(jnp.int32)
+
+    tokens = jnp.full((b, total + slack), teacher_cfg.pad_token_id, jnp.int32)
+    tokens = jax.lax.dynamic_update_slice(tokens, prompt_ids, (0, 0))
+    tokens = jax.lax.dynamic_update_slice(tokens, first_tok[:, None], (0, p))
+
+    state = dict(
+        tokens=tokens,
+        cur=jnp.asarray(p + 1, jnp.int32),   # tokens[0..cur-1] accepted
+        t_cache=t_cache, d_cache=d_cache,
+        finished=(first_tok[0] == eos),
+        rounds=jnp.zeros((), jnp.int32),
+        drafted=jnp.zeros((), jnp.int32),
+        accepted=jnp.zeros((), jnp.int32),
+    )
+
+    def cond(s):
+        return jnp.logical_and(s["cur"] < total, ~s["finished"])
+
+    def body(s):
+        cur = s["cur"]
+
+        # ---- draft proposes gamma tokens (sequential, tiny model) ----
+        def draft_step(carry, _):
+            tok, offset, cache = carry
+            lg, cache = decode(draft_dec, draft_cfg, tok[:, None],
+                               cross=draft_cross, cache=cache,
+                               pos_offset=offset, dtype=dtype)
+            gen_idx = offset + 1 - p
+            scores = _process(lg[:, -1].astype(jnp.float32), gen_idx,
+                              draft_cfg, opts, p)
+            nxt = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+            return (nxt, offset + 1, cache), nxt
+
+        last_tok = jax.lax.dynamic_slice(s["tokens"], (0, cur - 1), (b, 1))[:, 0]
+        (_, _, d_cache), drafts = jax.lax.scan(
+            draft_step, (last_tok, cur - 1, s["d_cache"]), None, length=gamma)
+        drafts = drafts[:, 0]  # [gamma]
+
+        # ---- teacher verifies [last_accepted, d_0..d_{gamma-1}] at once ----
+        t_in = jnp.concatenate([last_tok, drafts])[None, :]  # [1, gamma+1]
+        t_logits, t_cache = decode(teacher_dec, teacher_cfg, t_in,
+                                   cross=teacher_cross, cache=s["t_cache"],
+                                   pos_offset=cur - 1, dtype=dtype)
+        # column i predicts absolute position cur + i
+        cols = []
+        for i in range(gamma + 1):
+            gi = cur + i - p
+            cols.append(jnp.argmax(
+                _process(t_logits[:, i].astype(jnp.float32), gi,
+                         teacher_cfg, opts, p), axis=-1)[0])
+        t_choice = jnp.stack(cols).astype(jnp.int32)  # [gamma+1]
+
+        matches = (drafts == t_choice[:gamma])
+        n = jnp.sum(jnp.cumprod(matches.astype(jnp.int32)))  # accepted drafts
+        candidate = jnp.concatenate(
+            [drafts, t_choice[gamma:]])                       # [gamma+1]
+        accepted_vec = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (gamma + 1,), 0) == n,
+            t_choice, candidate)
+
+        # EOS inside the accepted window ends the sequence early.
+        idx = jax.lax.broadcasted_iota(jnp.int32, (gamma + 1,), 0)
+        in_window = idx <= n
+        is_eos = jnp.logical_and(accepted_vec == eos, in_window)
+        eos_idx = jnp.min(jnp.where(is_eos, idx, gamma + 1))
+        n_eff = jnp.minimum(n, eos_idx)
+        finished = jnp.logical_or(jnp.any(is_eos), cur + n_eff + 1 >= total)
+
+        tokens = jax.lax.dynamic_update_slice(
+            s["tokens"], accepted_vec[None, :], (0, cur))
+        return dict(tokens=tokens, cur=cur + n_eff + 1,
+                    t_cache=t_cache, d_cache=d_cache, finished=finished,
+                    rounds=s["rounds"] + 1,
+                    drafted=s["drafted"] + gamma,
+                    accepted=s["accepted"] + n_eff)
+
+    state = jax.lax.while_loop(cond, body, state)
+    seq_len = jnp.minimum(state["cur"], total)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (b, total), 1)
+    tokens = jnp.where(iota < seq_len, state["tokens"][:, :total],
+                       teacher_cfg.pad_token_id)
+    return SpeculativeOutput(sequences=tokens, seq_len=seq_len[None],
+                             rounds=state["rounds"], drafted=state["drafted"],
+                             accepted=state["accepted"])

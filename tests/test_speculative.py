@@ -1,0 +1,80 @@
+"""Speculative decoding: outputs must be IDENTICAL to teacher-only greedy
+(the reference's own assertion, flax/run_speculative_decoding.py:114-116)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from distil_whisper_tpu.config import WhisperConfig
+from distil_whisper_tpu.models import init_params
+from distil_whisper_tpu.models.whisper import encode, cross_kv
+from distil_whisper_tpu.generation import GenerationOptions, generate
+from distil_whisper_tpu.generation.speculative import speculative_generate
+from distil_whisper_tpu.training import init_student_from_teacher
+
+TEACHER_CFG = WhisperConfig(
+    vocab_size=512, num_mel_bins=80, d_model=64,
+    encoder_layers=2, decoder_layers=4,
+    encoder_attention_heads=4, decoder_attention_heads=4,
+    encoder_ffn_dim=96, decoder_ffn_dim=96,
+    pad_token_id=0, eos_token_id=2, decoder_start_token_id=3,
+    begin_suppress_tokens=())
+
+
+@pytest.fixture(scope="module")
+def setup():
+    teacher = init_params(TEACHER_CFG, jax.random.PRNGKey(0))
+    draft, d_cfg = init_student_from_teacher(teacher, TEACHER_CFG,
+                                             decoder_layers=2)
+    rng = np.random.default_rng(3)
+    mel = jnp.asarray(rng.standard_normal((1, 80, 3000)), jnp.float32)
+    enc = encode(teacher["encoder"], TEACHER_CFG, mel)
+    t_cross = cross_kv(teacher["decoder"], TEACHER_CFG, enc)
+    d_cross = cross_kv(draft["decoder"], d_cfg, enc)
+    return teacher, draft, d_cfg, t_cross, d_cross
+
+
+@pytest.mark.parametrize("gamma", [1, 3, 5])
+def test_identical_to_teacher_greedy(setup, gamma):
+    teacher, draft, d_cfg, t_cross, d_cross = setup
+    opts = GenerationOptions(max_new_tokens=32, suppress_tokens=(7, 8))
+    prompt = jnp.asarray([[3]], jnp.int32)
+
+    golden = generate(teacher["decoder"], TEACHER_CFG, t_cross, prompt, opts)
+    g_seq = np.asarray(golden.sequences)[0][:int(golden.seq_len[0])]
+
+    out = speculative_generate(
+        teacher["decoder"], TEACHER_CFG, draft["decoder"], d_cfg,
+        t_cross, d_cross, prompt, opts, gamma=gamma)
+    s_seq = np.asarray(out.sequences)[0][:int(out.seq_len[0])]
+    np.testing.assert_array_equal(s_seq, g_seq)
+
+
+def test_draft_equals_teacher_accepts_everything(setup):
+    """Draft == teacher -> every proposal accepted, minimal rounds."""
+    teacher, _, _, t_cross, _ = setup
+    opts = GenerationOptions(max_new_tokens=20)
+    prompt = jnp.asarray([[3]], jnp.int32)
+    out = speculative_generate(
+        teacher["decoder"], TEACHER_CFG, teacher["decoder"], TEACHER_CFG,
+        t_cross, t_cross, prompt, opts, gamma=4)
+    assert int(out.accepted) == int(out.drafted) or bool(
+        int(out.seq_len[0]) < 21 + 1)  # early EOS also fine
+    golden = generate(teacher["decoder"], TEACHER_CFG, t_cross, prompt, opts)
+    np.testing.assert_array_equal(
+        np.asarray(out.sequences)[0][:int(out.seq_len[0])],
+        np.asarray(golden.sequences)[0][:int(golden.seq_len[0])])
+
+
+def test_speculative_jits(setup):
+    teacher, draft, d_cfg, t_cross, d_cross = setup
+    opts = GenerationOptions(max_new_tokens=16)
+
+    @jax.jit
+    def fn(t_dec, d_dec, t_cross, d_cross, prompt):
+        return speculative_generate(t_dec, TEACHER_CFG, d_dec, d_cfg,
+                                    t_cross, d_cross, prompt, opts, gamma=3)
+    prompt = jnp.asarray([[3]], jnp.int32)
+    out = fn(teacher["decoder"], draft["decoder"], t_cross, d_cross, prompt)
+    assert int(out.seq_len[0]) > 1
