@@ -91,6 +91,37 @@ class WhisperTokenizer:
         """Plain-text BPE encode (no special tokens added)."""
         return self.bpe.encode(text)
 
+    def encode_transcript(self, text: str) -> List[int]:
+        """Encode a string that may embed special/timestamp markers
+        (``<|...|>``) — how pseudo-label transcripts are stored on disk."""
+        import re
+        out: List[int] = []
+        pos = 0
+        for m in re.finditer(r"<\|[^|<>]*\|>", text):
+            if m.start() > pos:
+                out.extend(self.bpe.encode(text[pos:m.start()]))
+            marker = m.group(0)
+            inner = marker[2:-2]
+            if marker in self.added_tokens:
+                out.append(self.added_tokens[marker])
+            else:
+                try:
+                    out.append(self.timestamp_token(float(inner)))
+                except ValueError:
+                    out.extend(self.bpe.encode(marker))
+            pos = m.end()
+        if pos < len(text):
+            out.extend(self.bpe.encode(text[pos:]))
+        return out
+
+    def build_transcript_ids(self, text: str, language: Optional[str] = None,
+                             task: str = "transcribe",
+                             timestamps: bool = False) -> List[int]:
+        """Full label sequence for plain text: prompt + text + eos (what HF's
+        ``tokenizer(text)`` with special tokens produces for training)."""
+        return (self.prompt_ids(language, task, no_timestamps=not timestamps)
+                + self.encode(" " + text.strip()) + [self.eos])
+
     def timestamp_token(self, seconds: float) -> int:
         return self.timestamp_begin + int(round(seconds / TIME_PRECISION))
 
