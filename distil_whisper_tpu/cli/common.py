@@ -1,0 +1,78 @@
+"""Shared CLI helpers: dataset loading, logging, tokenizer-artifact copying."""
+
+from __future__ import annotations
+
+import json
+import logging
+import shutil
+import sys
+from pathlib import Path
+from typing import Any, Dict, Iterable, List, Optional
+
+import numpy as np
+
+logger = logging.getLogger("distil_whisper_tpu")
+
+TOKENIZER_FILES = ("vocab.json", "merges.txt", "tokenizer.json",
+                   "added_tokens.json", "special_tokens_map.json",
+                   "tokenizer_config.json", "normalizer.json",
+                   "preprocessor_config.json", "generation_config.json")
+
+
+def setup_logging(verbose: bool = True) -> None:
+    logging.basicConfig(
+        stream=sys.stdout,
+        level=logging.INFO if verbose else logging.WARNING,
+        format="%(asctime)s [%(levelname)s] %(name)s: %(message)s")
+
+
+def copy_tokenizer_files(src: str, dst: str) -> None:
+    """Carry tokenizer/processor artifacts alongside exported weights."""
+    dst_p = Path(dst)
+    dst_p.mkdir(parents=True, exist_ok=True)
+    for name in TOKENIZER_FILES:
+        s = Path(src) / name
+        if s.exists():
+            shutil.copy(s, dst_p / name)
+
+
+def load_dataset_any(path: str, split: Optional[str] = None):
+    """Load a dataset from local disk.
+
+    Accepts: a ``datasets`` save_to_disk dir (Dataset or DatasetDict), or a
+    JSONL manifest with {"audio": <wav path>|{"array": ...}, "text": ...}.
+    """
+    p = Path(path)
+    if p.is_dir():
+        import datasets
+        ds = datasets.load_from_disk(str(p))
+        if split is not None and hasattr(ds, "keys") and split in ds:
+            ds = ds[split]
+        return ds
+    if p.suffix in (".jsonl", ".json"):
+        import datasets
+        rows = []
+        with open(p) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    rows.append(json.loads(line))
+        return datasets.Dataset.from_list(rows)
+    raise FileNotFoundError(f"cannot interpret dataset path {path}")
+
+
+def batched(iterable: Iterable, n: int) -> Iterable[List]:
+    buf: List[Any] = []
+    for x in iterable:
+        buf.append(x)
+        if len(buf) == n:
+            yield buf
+            buf = []
+    if buf:
+        yield buf
+
+
+def write_jsonl(path: str, rows: Iterable[Dict[str, Any]]) -> None:
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")

@@ -1,0 +1,286 @@
+"""Knowledge distillation trainer (pseudo-labelled data -> distil student).
+
+CLI mirror of the reference ``run_distillation.py`` (torch) /
+``flax/run_distillation.py`` (TPU): WER-threshold filtering of pseudo-labels,
+timestamp/condition-on-prev label sampling, 0.8*CE + kl_weight*T^2*KL
+(+ mse_weight hidden-state MSE), shared frozen encoder, mixed-precision
+GSPMD training over a ('data','model') mesh, eval WER via jitted generate,
+step checkpoints with rotation + best-by-val-WER, final HF-format export.
+
+    python -m distil_whisper_tpu.cli.run_distillation \
+        --teacher_checkpoint /ckpts/whisper-large-v3 \
+        --student_checkpoint ./distil-init \
+        --train_dataset_path ./pl_out/dataset --output_dir ./distil-run \
+        --max_steps 80000 --per_device_train_batch_size 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio.io import load_audio
+from ..audio.mel import log_mel_spectrogram
+from ..generation import GenerationOptions, encode_and_generate
+from ..models import load_params, param_axes, save_pretrained
+from ..models.params import to_fp32
+from ..parallel import (make_mesh, shard_params, shard_batch,
+                        shardings_for_tree, replicated, DEFAULT_RULES)
+from ..tokenizer import (WhisperTokenizer, EnglishTextNormalizer,
+                         BasicTextNormalizer)
+from ..metrics import process_words
+from ..training import (Collator, DistillConfig, OptimizerConfig, TrainState,
+                        build_train_step, CheckpointManager, is_wer_in_range,
+                        prepare_labels, make_optimizer)
+from .common import load_dataset_any, logger, setup_logging, copy_tokenizer_files
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--teacher_checkpoint", required=True)
+    p.add_argument("--student_checkpoint", required=True)
+    p.add_argument("--train_dataset_path", required=True)
+    p.add_argument("--eval_dataset_path", default=None)
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--max_steps", type=int, default=1000)
+    p.add_argument("--per_device_train_batch_size", type=int, default=8)
+    p.add_argument("--per_device_eval_batch_size", type=int, default=8)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--warmup_steps", type=int, default=50)
+    p.add_argument("--lr_scheduler_type", default="constant_with_warmup")
+    p.add_argument("--weight_decay", type=float, default=0.0)
+    p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--precision", default="half_mixed",
+                   choices=["full", "half_mixed", "full_mixed"])
+    p.add_argument("--wer_threshold", type=float, default=10.0)
+    p.add_argument("--use_pseudo_labels", action="store_true", default=True)
+    p.add_argument("--no_pseudo_labels", dest="use_pseudo_labels",
+                   action="store_false")
+    p.add_argument("--timestamp_probability", type=float, default=0.2)
+    p.add_argument("--condition_on_prev_probability", type=float, default=0.2)
+    p.add_argument("--max_label_length", type=int, default=448)
+    p.add_argument("--freeze_encoder", action="store_true", default=True)
+    p.add_argument("--train_encoder", dest="freeze_encoder",
+                   action="store_false")
+    p.add_argument("--ce_weight", type=float, default=0.8)
+    p.add_argument("--kl_weight", type=float, default=1.0)
+    p.add_argument("--mse_weight", type=float, default=0.0)
+    p.add_argument("--temperature", type=float, default=2.0)
+    p.add_argument("--language", default=None)
+    p.add_argument("--task", default="transcribe")
+    p.add_argument("--eval_steps", type=int, default=500)
+    p.add_argument("--save_steps", type=int, default=500)
+    p.add_argument("--save_total_limit", type=int, default=1)
+    p.add_argument("--logging_steps", type=int, default=25)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--model_parallel", type=int, default=1)
+    p.add_argument("--resume_from_checkpoint", action="store_true")
+    p.add_argument("--gradient_checkpointing", action="store_true")
+    p.add_argument("--eval_max_new_tokens", type=int, default=128)
+    return p.parse_args(argv)
+
+
+def _prepare_samples(ds, tok, cfg, args, normalizer, rng):
+    """Filter + label-prepare + feature-extract (host side)."""
+    text_col = "whisper_transcript" if args.use_pseudo_labels else "text"
+    samples = []
+    n_filtered = 0
+    for row in ds:
+        transcript = row.get(text_col)
+        if args.use_pseudo_labels and args.wer_threshold is not None:
+            if not is_wer_in_range(row.get("text", ""), transcript,
+                                   normalizer, args.wer_threshold):
+                n_filtered += 1
+                continue
+        audio = load_audio(row["audio"], cfg.sampling_rate)
+        prev = row.get("condition_on_prev")
+        labels = prepare_labels(
+            tok, transcript, is_pseudo_label=args.use_pseudo_labels,
+            language=args.language, task=args.task,
+            prev_ids=list(prev)[1:] if prev else None,
+            timestamp_probability=args.timestamp_probability,
+            condition_on_prev_probability=args.condition_on_prev_probability,
+            max_label_length=args.max_label_length, rng=rng)
+        if not (1 < len(labels) < args.max_label_length):
+            n_filtered += 1
+            continue
+        mel = np.asarray(log_mel_spectrogram(jnp.asarray(audio), cfg)[0])
+        samples.append({"input_features": mel, "labels": labels,
+                        "text": row.get("text", "")})
+    logger.info("prepared %d samples (%d filtered)", len(samples), n_filtered)
+    return samples
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    setup_logging()
+    rng = np.random.default_rng(args.seed)
+
+    teacher, teacher_cfg = load_params(args.teacher_checkpoint)
+    student, student_cfg = load_params(args.student_checkpoint)
+    tok = WhisperTokenizer.from_pretrained(args.teacher_checkpoint)
+    normalizer = (EnglishTextNormalizer(tok.spelling_mapping)
+                  if args.language in (None, "en", "english")
+                  else BasicTextNormalizer())
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh((n_dev // args.model_parallel, args.model_parallel))
+    logger.info("mesh: %s", dict(mesh.shape))
+    teacher = shard_params(teacher, param_axes(teacher_cfg), mesh)
+    student = shard_params(student, param_axes(student_cfg), mesh)
+
+    opt_cfg = OptimizerConfig(
+        learning_rate=args.learning_rate, warmup_steps=args.warmup_steps,
+        total_steps=args.max_steps, schedule=args.lr_scheduler_type,
+        weight_decay=args.weight_decay, max_grad_norm=args.max_grad_norm,
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
+        precision=args.precision,
+        frozen_prefixes=("encoder",) if args.freeze_encoder else ())
+    tx = make_optimizer(opt_cfg, to_fp32(student))
+    state, tx = TrainState.create(student, opt_cfg, tx)
+    s_shardings = shardings_for_tree(param_axes(student_cfg), mesh,
+                                     DEFAULT_RULES)
+    state = TrainState(
+        step=jax.device_put(state.step, replicated(mesh)),
+        params=jax.tree.map(jax.device_put, state.params, s_shardings),
+        opt_state=jax.device_put(state.opt_state, replicated(mesh)))
+
+    dcfg = DistillConfig(
+        ce_weight=args.ce_weight, kl_weight=args.kl_weight,
+        temperature=args.temperature, mse_weight=args.mse_weight,
+        freeze_encoder=args.freeze_encoder,
+        share_encoder=args.freeze_encoder,
+        remat=args.gradient_checkpointing)
+    train_step, eval_step = build_train_step(student_cfg, teacher_cfg, dcfg,
+                                             opt_cfg, tx)
+    jit_train = jax.jit(train_step, donate_argnums=(0,))
+    jit_eval = jax.jit(eval_step)
+
+    mgr = CheckpointManager(args.output_dir,
+                            save_total_limit=args.save_total_limit)
+    start_step = 0
+    if args.resume_from_checkpoint:
+        resumed = mgr.resume_latest(jax.device_get(state))
+        if resumed is not None:
+            start_step, state = resumed
+            state = TrainState(
+                step=jax.device_put(state.step, replicated(mesh)),
+                params=jax.tree.map(jax.device_put, state.params, s_shardings),
+                opt_state=jax.device_put(state.opt_state, replicated(mesh)))
+            logger.info("resumed from step %d", start_step)
+
+    train_ds = load_dataset_any(args.train_dataset_path, "train")
+    samples = _prepare_samples(train_ds, tok, teacher_cfg, args, normalizer,
+                               rng)
+    if not samples:
+        raise RuntimeError("no training samples after filtering")
+    collator = Collator(decoder_start_token_id=teacher_cfg.decoder_start_token_id,
+                        pad_token_id=teacher_cfg.pad_token_id,
+                        max_target_length=args.max_label_length)
+    eval_samples = None
+    if args.eval_dataset_path:
+        eval_ds = load_dataset_any(args.eval_dataset_path, "validation")
+        eval_args = argparse.Namespace(**{**vars(args),
+                                          "use_pseudo_labels": False,
+                                          "wer_threshold": None,
+                                          "condition_on_prev_probability": 0.0,
+                                          "timestamp_probability": 0.0})
+        eval_samples = _prepare_samples(eval_ds, tok, teacher_cfg, eval_args,
+                                        normalizer, rng)
+
+    bsz = args.per_device_train_batch_size * mesh.shape["data"]
+    order = rng.permutation(len(samples))
+    cursor = 0
+    best_wer = float("inf")
+    t_start = time.perf_counter()
+
+    def next_batch():
+        nonlocal order, cursor
+        idx = []
+        while len(idx) < bsz:
+            if cursor >= len(order):
+                order = rng.permutation(len(samples))
+                cursor = 0
+            idx.append(order[cursor])
+            cursor += 1
+        return collator([samples[i] for i in idx])
+
+    def run_eval(step):
+        nonlocal best_wer
+        if not eval_samples:
+            return
+        opts = GenerationOptions.from_config(
+            student_cfg, max_new_tokens=args.eval_max_new_tokens)
+        prompt = tok.prompt_ids(language=args.language, task=args.task)
+
+        @jax.jit
+        def gen_fn(params, mel, prompts):
+            return encode_and_generate(params, student_cfg, mel, prompts,
+                                       opts, dtype=opt_cfg.compute_dtype)
+        ebsz = args.per_device_eval_batch_size * mesh.shape["data"]
+        refs, hyps, losses = [], [], []
+        for i in range(0, len(eval_samples), ebsz):
+            group = eval_samples[i:i + ebsz]
+            n = len(group)
+            batch = collator(group)
+            if n < ebsz:
+                pad = {k: np.concatenate(
+                    [v, np.repeat(v[-1:], ebsz - n, axis=0)])
+                    for k, v in batch.items()}
+                batch = pad
+            sb = shard_batch(jax.tree.map(jnp.asarray, batch), mesh)
+            losses.append(float(jit_eval(state.params, teacher, sb)["ce_loss"]))
+            prompts = jnp.asarray([prompt] * ebsz, jnp.int32)
+            out = gen_fn(state.params, sb["input_features"], prompts)
+            seqs = np.asarray(out.sequences)[:n]
+            lens = np.asarray(out.seq_len)[:n]
+            for j in range(n):
+                hyps.append(normalizer(tok.decode(
+                    seqs[j][:lens[j]].tolist())))
+                refs.append(normalizer(group[j]["text"]))
+        pairs = [(r, h) for r, h in zip(refs, hyps) if r.strip()]
+        if not pairs:
+            return
+        stats = process_words([r for r, _ in pairs], [h for _, h in pairs])
+        wer = 100 * stats.wer
+        logger.info("eval @%d: ce=%.4f wer=%.2f%% (I=%d S=%d D=%d)",
+                    step, np.mean(losses), wer, stats.insertions,
+                    stats.substitutions, stats.deletions)
+        if wer < best_wer:
+            best_wer = wer
+            mgr.save_best(step, jax.device_get(state), wer)
+
+    for step in range(start_step, args.max_steps):
+        batch = shard_batch(jax.tree.map(jnp.asarray, next_batch()), mesh)
+        state, metrics = jit_train(state, teacher, batch)
+        if (step + 1) % args.logging_steps == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            sps = (step + 1 - start_step) / (time.perf_counter() - t_start)
+            logger.info("step %d: loss=%.4f ce=%.4f kl=%.4f gnorm=%.2f "
+                        "(%.2f steps/s)", step + 1, m["loss"], m["ce_loss"],
+                        m["kl_loss"], m["grad_norm"], sps)
+        if (step + 1) % args.eval_steps == 0:
+            run_eval(step + 1)
+        if (step + 1) % args.save_steps == 0:
+            mgr.save(step + 1, jax.device_get(state))
+
+    run_eval(args.max_steps)
+    mgr.save(args.max_steps, jax.device_get(state))
+    # final HF-format export (the reference's end-of-training-weights)
+    final_dir = Path(args.output_dir) / "end-of-training-weights"
+    save_pretrained(to_fp32(jax.device_get(state.params)), student_cfg,
+                    str(final_dir))
+    copy_tokenizer_files(args.teacher_checkpoint, str(final_dir))
+    logger.info("final weights exported to %s (best val WER %.2f%%)",
+                final_dir, best_wer)
+    return str(final_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,216 @@
+"""Evaluation harness: four inference modes + WER / RTFx / hallucination.
+
+CLI mirror of the reference ``run_eval.py`` (modes documented at
+training/README.md:327-346):
+
+* ``short``       — batched 30 s greedy generate
+* ``sequential``  — OpenAI-style long-form with temperature fallback
+  (auto-selected when any input exceeds 30 s, reference :726-735)
+* ``chunked``     — strided-chunk pipeline with timestamp/LCS merge
+* ``speculative`` — draft-assisted decoding (``--assistant_checkpoint``)
+
+Metrics: WER (+I/S/D splits), RTFx = audio-time / transcription-time
+(reference :894), tokens/s, and for long-form the hallucination stats
+IER/SER/DER + repeated 5-grams (flax/run_long_form_transcription.py:524-550).
+
+    python -m distil_whisper_tpu.cli.run_eval \
+        --model_checkpoint ./distil-large-v3 --dataset_path ./test_set \
+        --mode short --language en
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio.io import load_audio
+from ..audio.mel import log_mel_spectrogram
+from ..generation import (GenerationOptions, encode_and_generate,
+                          SequentialOptions, SequentialTranscriber,
+                          speculative_generate)
+from ..models import load_params, param_axes
+from ..models.whisper import encode, cross_kv
+from ..parallel import make_mesh, shard_params
+from ..tokenizer import (WhisperTokenizer, EnglishTextNormalizer,
+                         BasicTextNormalizer)
+from ..metrics import process_words, count_repeated_ngrams
+from ..pipeline import WhisperPipeline
+from .common import batched, load_dataset_any, logger, setup_logging
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model_checkpoint", required=True)
+    p.add_argument("--dataset_path", required=True)
+    p.add_argument("--split", default=None)
+    p.add_argument("--mode", default="short",
+                   choices=["short", "sequential", "chunked", "speculative"])
+    p.add_argument("--assistant_checkpoint", default=None)
+    p.add_argument("--language", default=None)
+    p.add_argument("--task", default="transcribe")
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--max_new_tokens", type=int, default=128)
+    p.add_argument("--chunk_length_s", type=float, default=25.0)
+    p.add_argument("--return_timestamps", action="store_true")
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--output_json", default=None)
+    p.add_argument("--gamma", type=int, default=5,
+                   help="draft tokens per speculative round")
+    args = p.parse_args(argv)
+    return args
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    setup_logging()
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    params, cfg = load_params(args.model_checkpoint, dtype=dtype)
+    tok = WhisperTokenizer.from_pretrained(args.model_checkpoint)
+    mesh = make_mesh()
+    params = shard_params(params, param_axes(cfg), mesh)
+    normalizer = (EnglishTextNormalizer(tok.spelling_mapping)
+                  if args.language in (None, "en", "english")
+                  else BasicTextNormalizer())
+
+    ds = load_dataset_any(args.dataset_path, args.split)
+    audios, texts = [], []
+    for row in ds:
+        audios.append(load_audio(row["audio"], cfg.sampling_rate))
+        texts.append(row.get("text", ""))
+    audio_seconds = sum(len(a) for a in audios) / cfg.sampling_rate
+    logger.info("%d samples, %.1f audio-s, mode=%s", len(audios),
+                audio_seconds, args.mode)
+
+    t0 = time.perf_counter()
+    n_tokens = 0
+    hyps = []
+
+    if args.mode == "short":
+        prompt = tok.prompt_ids(language=args.language, task=args.task,
+                                no_timestamps=not args.return_timestamps)
+        opts = GenerationOptions.from_config(
+            cfg, max_new_tokens=args.max_new_tokens,
+            return_timestamps=args.return_timestamps,
+            no_speech_token_id=tok.no_speech)
+
+        @jax.jit
+        def gen(params, mel, prompts):
+            return encode_and_generate(params, cfg, mel, prompts, opts,
+                                       dtype=dtype)
+        for group in batched(list(zip(audios, texts)), args.batch_size):
+            n = len(group)
+            mels = np.stack([np.asarray(
+                log_mel_spectrogram(jnp.asarray(a), cfg)[0])
+                for a, _ in group])
+            if n < args.batch_size:
+                mels = np.concatenate([mels, np.zeros(
+                    (args.batch_size - n,) + mels.shape[1:], mels.dtype)])
+            prompts = jnp.asarray([prompt] * args.batch_size, jnp.int32)
+            out = gen(params, jnp.asarray(mels, dtype), prompts)
+            seqs, lens = np.asarray(out.sequences)[:n], np.asarray(out.seq_len)[:n]
+            for j in range(n):
+                ids = seqs[j][:lens[j]].tolist()
+                n_tokens += max(len(ids) - len(prompt), 0)
+                hyps.append(tok.decode(ids))
+
+    elif args.mode == "sequential":
+        tr = SequentialTranscriber(
+            params, cfg, tok,
+            SequentialOptions(max_new_tokens=args.max_new_tokens),
+            language=args.language, task=args.task,
+            batch_size=args.batch_size, dtype=dtype)
+        feats = [np.asarray(log_mel_spectrogram(
+            jnp.asarray(a), cfg, pad_to_chunk=False)[0]) for a in audios]
+        results = tr.transcribe(feats)
+        for r in results:
+            hyps.append(r["text"])
+            n_tokens += sum(len(s["tokens"]) for s in r["segments"])
+
+    elif args.mode == "chunked":
+        pipe = WhisperPipeline(args.model_checkpoint, dtype=dtype,
+                               batch_size=args.batch_size,
+                               max_new_tokens=args.max_new_tokens,
+                               params=params, cfg=cfg, tokenizer=tok)
+        for a in audios:
+            out = pipe(a, chunk_length_s=args.chunk_length_s,
+                       language=args.language, task=args.task,
+                       return_timestamps=True)
+            hyps.append(out["text"])
+
+    elif args.mode == "speculative":
+        assert args.assistant_checkpoint, "--assistant_checkpoint required"
+        draft, draft_cfg = load_params(args.assistant_checkpoint, dtype=dtype)
+        draft = shard_params(draft, param_axes(draft_cfg), mesh)
+        prompt = tok.prompt_ids(language=args.language, task=args.task)
+        opts = GenerationOptions.from_config(
+            cfg, max_new_tokens=args.max_new_tokens)
+
+        @jax.jit
+        def spec(t_params, d_params, mel, prompt_ids):
+            enc = encode(t_params["encoder"], cfg, mel, dtype=dtype)
+            t_cross = cross_kv(t_params["decoder"], cfg, enc)
+            # distil drafts share the teacher encoder (reference :585-599)
+            d_enc = (enc if draft_cfg.d_model == cfg.d_model
+                     else encode(d_params["encoder"], draft_cfg, mel,
+                                 dtype=dtype))
+            d_cross = cross_kv(d_params["decoder"], draft_cfg, d_enc)
+            return speculative_generate(
+                t_params["decoder"], cfg, d_params["decoder"], draft_cfg,
+                t_cross, d_cross, prompt_ids, opts, gamma=args.gamma,
+                dtype=dtype)
+        prompt_arr = jnp.asarray([prompt], jnp.int32)
+        accepted = drafted = 0
+        for a in audios:
+            mel = jnp.asarray(np.asarray(
+                log_mel_spectrogram(jnp.asarray(a), cfg)), dtype)
+            out = spec(params, draft, mel, prompt_arr)
+            ids = np.asarray(out.sequences)[0][:int(out.seq_len[0])].tolist()
+            n_tokens += max(len(ids) - len(prompt), 0)
+            accepted += int(out.accepted)
+            drafted += int(out.drafted)
+            hyps.append(tok.decode(ids))
+        if drafted:
+            logger.info("speculative acceptance rate: %.1f%%",
+                        100 * accepted / drafted)
+
+    wall = time.perf_counter() - t0
+    rtfx = audio_seconds / wall
+
+    result = {"mode": args.mode, "num_samples": len(audios),
+              "audio_seconds": round(audio_seconds, 2),
+              "transcription_seconds": round(wall, 2),
+              "rtfx": round(rtfx, 2),
+              "tokens_per_second": round(n_tokens / wall, 2)}
+
+    refs_n = [normalizer(t) for t in texts]
+    hyps_n = [normalizer(h) for h in hyps]
+    pairs = [(r, h) for r, h in zip(refs_n, hyps_n) if r.strip()]
+    if pairs:
+        stats = process_words([r for r, _ in pairs], [h for _, h in pairs])
+        result.update({
+            "wer": round(100 * stats.wer, 4),
+            "ier": round(100 * stats.ier, 4),
+            "ser": round(100 * stats.ser, 4),
+            "der": round(100 * stats.der, 4),
+            "repeated_5grams": sum(count_repeated_ngrams(h, 5)
+                                   for h in hyps_n),
+        })
+
+    logger.info("results: %s", json.dumps(result))
+    print(json.dumps(result))
+    if args.output_json:
+        with open(args.output_json, "w") as f:
+            json.dump({**result, "predictions": hyps, "references": texts},
+                      f, indent=2)
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -90,7 +90,8 @@ class WhisperConfig:
             if k in fields:
                 if isinstance(v, list):
                     v = tuple(tuple(x) if isinstance(x, list) else x for x in v)
-                if v is None and k in ("suppress_tokens", "forced_decoder_ids"):
+                if v is None and k in ("suppress_tokens", "forced_decoder_ids",
+                                       "begin_suppress_tokens"):
                     v = ()
                 kw[k] = v
         return cls(**kw)
