@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..audio.io import load_audio
-from ..audio.mel import log_mel_spectrogram
+from ..audio import compute_mel
 from ..generation import GenerationOptions, encode_and_generate
 from ..models import load_params, param_axes, save_pretrained
 from ..models.params import to_fp32
@@ -110,7 +110,7 @@ def _prepare_samples(ds, tok, cfg, args, normalizer, rng):
         if not (1 < len(labels) < args.max_label_length):
             n_filtered += 1
             continue
-        mel = np.asarray(log_mel_spectrogram(jnp.asarray(audio), cfg)[0])
+        mel = np.asarray(compute_mel(jnp.asarray(audio), cfg)[0])
         samples.append({"input_features": mel, "labels": labels,
                         "text": row.get("text", "")})
     logger.info("prepared %d samples (%d filtered)", len(samples), n_filtered)

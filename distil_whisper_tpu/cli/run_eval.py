@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..audio.io import load_audio
-from ..audio.mel import log_mel_spectrogram
+from ..audio import compute_mel
 from ..generation import (GenerationOptions, encode_and_generate,
                           SequentialOptions, SequentialTranscriber,
                           speculative_generate)
@@ -107,7 +107,7 @@ def main(argv=None):
         for group in batched(list(zip(audios, texts)), args.batch_size):
             n = len(group)
             mels = np.stack([np.asarray(
-                log_mel_spectrogram(jnp.asarray(a), cfg)[0])
+                compute_mel(jnp.asarray(a), cfg)[0])
                 for a, _ in group])
             if n < args.batch_size:
                 mels = np.concatenate([mels, np.zeros(
@@ -126,7 +126,7 @@ def main(argv=None):
             SequentialOptions(max_new_tokens=args.max_new_tokens),
             language=args.language, task=args.task,
             batch_size=args.batch_size, dtype=dtype)
-        feats = [np.asarray(log_mel_spectrogram(
+        feats = [np.asarray(compute_mel(
             jnp.asarray(a), cfg, pad_to_chunk=False)[0]) for a in audios]
         results = tr.transcribe(feats)
         for r in results:
@@ -169,7 +169,7 @@ def main(argv=None):
         accepted = drafted = 0
         for a in audios:
             mel = jnp.asarray(np.asarray(
-                log_mel_spectrogram(jnp.asarray(a), cfg)), dtype)
+                compute_mel(jnp.asarray(a), cfg)), dtype)
             out = spec(params, draft, mel, prompt_arr)
             ids = np.asarray(out.sequences)[0][:int(out.seq_len[0])].tolist()
             n_tokens += max(len(ids) - len(prompt), 0)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..audio.io import load_audio
-from ..audio.mel import log_mel_spectrogram
+from ..audio import compute_mel
 from ..generation import GenerationOptions, encode_and_generate
 from ..models import load_params, param_axes
 from ..parallel import make_mesh, shard_params, shard_batch
@@ -113,7 +113,7 @@ def main(argv=None):
     for step, group in enumerate(batched(samples, bsz)):
         n = len(group)
         mels = np.stack([np.asarray(
-            log_mel_spectrogram(jnp.asarray(g["audio"]), cfg)[0])
+            compute_mel(jnp.asarray(g["audio"]), cfg)[0])
             for g in group])
         if n < bsz:
             mels = np.concatenate(

@@ -168,12 +168,13 @@ def cross_kv(params: Params, cfg: WhisperConfig, enc: jnp.ndarray) -> Params:
 
 
 def _decoder_layer(lp: Params, x: jnp.ndarray, self_k, self_v, ck, cv,
-                   n_heads: int, self_mask) -> jnp.ndarray:
+                   n_heads: int, self_mask, self_causal: bool = False
+                   ) -> jnp.ndarray:
     """One decoder layer given already-materialised K/V for both attentions."""
     r = x
     h = layer_norm(lp["self_attn_ln"], x)
     q = _split_heads(dense(lp["self_attn"]["q"], h), n_heads)
-    a = mha(q, self_k, self_v, self_mask)
+    a = mha(q, self_k, self_v, self_mask, causal=self_causal)
     x = r + dense(lp["self_attn"]["out"], _merge_heads(a))
 
     r = x
@@ -232,9 +233,16 @@ def decode(params: Params, cfg: WhisperConfig, tokens: jnp.ndarray,
         pos = params["pos_emb"].astype(dtype)[positions]
     x = x + pos
 
+    self_causal = False
     if cache is not None:
         tk = cache["k"].shape[2]
         self_mask = causal_mask(s, tk, pos_offset)
+    elif attention_mask is None and pad_len is None:
+        # pure causal full-sequence attention: leave the mask implicit so the
+        # flash kernel handles it (training fast path)
+        tk = s
+        self_mask = None
+        self_causal = True
     else:
         tk = s
         self_mask = causal_mask(s, s, 0)
@@ -248,7 +256,7 @@ def decode(params: Params, cfg: WhisperConfig, tokens: jnp.ndarray,
 
     layer = _decoder_layer
     if remat:
-        layer = jax.checkpoint(layer, static_argnums=(6,))
+        layer = jax.checkpoint(layer, static_argnums=(6, 8))
 
     if cross is None:
         assert enc is not None, "decode() needs enc or cross"
@@ -262,7 +270,7 @@ def decode(params: Params, cfg: WhisperConfig, tokens: jnp.ndarray,
             h = layer_norm(lp["self_attn_ln"], carry)
             k = _split_heads(dense(lp["self_attn"]["k"], h), n_heads)
             v = _split_heads(dense(lp["self_attn"]["v"], h), n_heads)
-            y = layer(lp, carry, k, v, ck, cv, n_heads, self_mask)
+            y = layer(lp, carry, k, v, ck, cv, n_heads, self_mask, self_causal)
             return y, (carry if output_hidden_states else None)
 
         y, hs = jax.lax.scan(body, x, (params["layers"], ck_all, cv_all))
@@ -278,7 +286,7 @@ def decode(params: Params, cfg: WhisperConfig, tokens: jnp.ndarray,
             cache_v = jax.lax.dynamic_update_slice_in_dim(
                 cache_v, v.astype(cache_v.dtype), pos_offset, axis=1)
             y = layer(lp, carry, cache_k.astype(dtype), cache_v.astype(dtype),
-                      ck, cv, n_heads, self_mask)
+                      ck, cv, n_heads, self_mask, False)
             return y, (cache_k, cache_v,
                        carry if output_hidden_states else None)
 

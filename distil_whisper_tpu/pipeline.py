@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .audio.io import load_audio
-from .audio.mel import log_mel_spectrogram
+from .audio import compute_mel
 from .config import WhisperConfig
 from .generation import GenerationOptions, encode_and_generate
 from .models import load_params
@@ -128,7 +128,7 @@ class WhisperPipeline:
 
         # features for every chunk, always a full padded 30 s window
         mels = np.stack([
-            np.asarray(log_mel_spectrogram(jnp.asarray(c["audio"]), cfg)[0])
+            np.asarray(compute_mel(jnp.asarray(c["audio"]), cfg)[0])
             for c in chunks])
 
         if language is None and len(tok.lang_to_id) > 1:
