@@ -6,3 +6,4 @@ from .sequential import (  # noqa: F401
     SequentialOptions, SequentialTranscriber, compression_ratio,
 )
 from .speculative import speculative_generate, SpeculativeOutput  # noqa: F401
+from .beam import beam_search, encode_and_beam_search, BeamOutput  # noqa: F401
