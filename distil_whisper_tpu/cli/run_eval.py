@@ -62,6 +62,7 @@ def parse_args(argv=None):
     p.add_argument("--output_json", default=None)
     p.add_argument("--gamma", type=int, default=5,
                    help="draft tokens per speculative round")
+    p.add_argument("--num_beams", type=int, default=1)
     args = p.parse_args(argv)
     return args
 
@@ -100,10 +101,19 @@ def main(argv=None):
             return_timestamps=args.return_timestamps,
             no_speech_token_id=tok.no_speech)
 
-        @jax.jit
-        def gen(params, mel, prompts):
-            return encode_and_generate(params, cfg, mel, prompts, opts,
-                                       dtype=dtype)
+        if args.num_beams > 1:
+            from ..generation import encode_and_beam_search
+
+            @jax.jit
+            def gen(params, mel, prompts):
+                return encode_and_beam_search(params, cfg, mel, prompts, opts,
+                                              num_beams=args.num_beams,
+                                              dtype=dtype)
+        else:
+            @jax.jit
+            def gen(params, mel, prompts):
+                return encode_and_generate(params, cfg, mel, prompts, opts,
+                                           dtype=dtype)
         for group in batched(list(zip(audios, texts)), args.batch_size):
             n = len(group)
             mels = np.stack([np.asarray(

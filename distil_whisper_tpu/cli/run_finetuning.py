@@ -1,0 +1,129 @@
+"""Plain CE fine-tuning (no teacher) — CLI mirror of the reference
+``flax/run_finetuning.py``: same skeleton as distillation with label-smoothed
+cross-entropy only.
+
+    python -m distil_whisper_tpu.cli.run_finetuning \
+        --model_checkpoint /ckpts/whisper-small \
+        --train_dataset_path ./data --output_dir ./ft-run --max_steps 5000
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import load_params, param_axes, save_pretrained
+from ..models.params import to_fp32
+from ..parallel import (make_mesh, shard_params, shard_batch,
+                        shardings_for_tree, replicated, DEFAULT_RULES)
+from ..tokenizer import (WhisperTokenizer, EnglishTextNormalizer,
+                         BasicTextNormalizer)
+from ..training import (Collator, OptimizerConfig, TrainState,
+                        build_finetune_step, CheckpointManager, make_optimizer)
+from .common import load_dataset_any, logger, setup_logging, copy_tokenizer_files
+from .run_distillation import _prepare_samples
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model_checkpoint", required=True)
+    p.add_argument("--train_dataset_path", required=True)
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--max_steps", type=int, default=1000)
+    p.add_argument("--per_device_train_batch_size", type=int, default=8)
+    p.add_argument("--learning_rate", type=float, default=1e-5)
+    p.add_argument("--warmup_steps", type=int, default=50)
+    p.add_argument("--label_smoothing", type=float, default=0.0)
+    p.add_argument("--weight_decay", type=float, default=0.0)
+    p.add_argument("--precision", default="half_mixed",
+                   choices=["full", "half_mixed", "full_mixed"])
+    p.add_argument("--freeze_encoder", action="store_true")
+    p.add_argument("--gradient_checkpointing", action="store_true")
+    p.add_argument("--max_label_length", type=int, default=448)
+    p.add_argument("--language", default=None)
+    p.add_argument("--task", default="transcribe")
+    p.add_argument("--save_steps", type=int, default=500)
+    p.add_argument("--save_total_limit", type=int, default=1)
+    p.add_argument("--logging_steps", type=int, default=25)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--model_parallel", type=int, default=1)
+    args = p.parse_args(argv)
+    setup_logging()
+    rng = np.random.default_rng(args.seed)
+
+    params, cfg = load_params(args.model_checkpoint)
+    tok = WhisperTokenizer.from_pretrained(args.model_checkpoint)
+    normalizer = (EnglishTextNormalizer(tok.spelling_mapping)
+                  if args.language in (None, "en", "english")
+                  else BasicTextNormalizer())
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh((n_dev // args.model_parallel, args.model_parallel))
+    params = shard_params(params, param_axes(cfg), mesh)
+
+    opt_cfg = OptimizerConfig(
+        learning_rate=args.learning_rate, warmup_steps=args.warmup_steps,
+        total_steps=args.max_steps, weight_decay=args.weight_decay,
+        precision=args.precision,
+        frozen_prefixes=("encoder",) if args.freeze_encoder else ())
+    tx = make_optimizer(opt_cfg, to_fp32(params))
+    state, tx = TrainState.create(params, opt_cfg, tx)
+    shardings = shardings_for_tree(param_axes(cfg), mesh, DEFAULT_RULES)
+    state = TrainState(
+        step=jax.device_put(state.step, replicated(mesh)),
+        params=jax.tree.map(jax.device_put, state.params, shardings),
+        opt_state=jax.device_put(state.opt_state, replicated(mesh)))
+
+    train_step, _ = build_finetune_step(
+        cfg, opt_cfg, tx, label_smoothing=args.label_smoothing,
+        remat=args.gradient_checkpointing, freeze_encoder=args.freeze_encoder)
+    jit_train = jax.jit(train_step, donate_argnums=(0,))
+
+    ft_args = argparse.Namespace(**{**vars(args), "use_pseudo_labels": False,
+                                    "wer_threshold": None,
+                                    "timestamp_probability": 0.0,
+                                    "condition_on_prev_probability": 0.0})
+    train_ds = load_dataset_any(args.train_dataset_path, "train")
+    samples = _prepare_samples(train_ds, tok, cfg, ft_args, normalizer, rng)
+    collator = Collator(decoder_start_token_id=cfg.decoder_start_token_id,
+                        pad_token_id=cfg.pad_token_id,
+                        max_target_length=args.max_label_length)
+    mgr = CheckpointManager(args.output_dir,
+                            save_total_limit=args.save_total_limit)
+
+    bsz = args.per_device_train_batch_size * mesh.shape["data"]
+    order = rng.permutation(len(samples))
+    cursor = 0
+    t0 = time.perf_counter()
+    for step in range(args.max_steps):
+        idx = []
+        while len(idx) < bsz:
+            if cursor >= len(order):
+                order = rng.permutation(len(samples))
+                cursor = 0
+            idx.append(order[cursor])
+            cursor += 1
+        batch = shard_batch(jax.tree.map(
+            jnp.asarray, collator([samples[i] for i in idx])), mesh)
+        state, metrics = jit_train(state, batch)
+        if (step + 1) % args.logging_steps == 0:
+            logger.info("step %d: loss=%.4f (%.2f steps/s)", step + 1,
+                        float(metrics["loss"]),
+                        (step + 1) / (time.perf_counter() - t0))
+        if (step + 1) % args.save_steps == 0:
+            mgr.save(step + 1, jax.device_get(state))
+
+    final_dir = Path(args.output_dir) / "end-of-training-weights"
+    save_pretrained(to_fp32(jax.device_get(state.params)), cfg, str(final_dir))
+    copy_tokenizer_files(args.model_checkpoint, str(final_dir))
+    logger.info("final weights exported to %s", final_dir)
+    return str(final_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -44,6 +44,7 @@ def main(argv=None):
     p.add_argument("--language", default=None)
     p.add_argument("--task", default="transcribe")
     p.add_argument("--max_new_tokens", type=int, default=256)
+    p.add_argument("--num_beams", type=int, default=1)
     p.add_argument("--return_timestamps", action="store_true", default=True)
     p.add_argument("--no_timestamps", dest="return_timestamps",
                    action="store_false")
@@ -95,10 +96,19 @@ def main(argv=None):
 
     bsz = args.per_device_batch_size * mesh.shape["data"]
 
-    @jax.jit
-    def gen_fn(params, mel, prompts):
-        return encode_and_generate(params, cfg, mel, prompts, opts,
-                                   dtype=dtype)
+    if args.num_beams > 1:
+        from ..generation import encode_and_beam_search
+
+        @jax.jit
+        def gen_fn(params, mel, prompts):
+            return encode_and_beam_search(params, cfg, mel, prompts, opts,
+                                          num_beams=args.num_beams,
+                                          dtype=dtype)
+    else:
+        @jax.jit
+        def gen_fn(params, mel, prompts):
+            return encode_and_generate(params, cfg, mel, prompts, opts,
+                                       dtype=dtype)
 
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)

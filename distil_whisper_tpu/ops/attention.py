@@ -67,17 +67,17 @@ def mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     q: [B, Tq, H, D]   k, v: [B, Tk, H, D]   mask: broadcastable to [B, H, Tq, Tk]
     (True = attend).  Returns [B, Tq, H, D] in q.dtype.
 
-    On TPU, unmasked or purely-causal full-sequence attention (encoder
-    1500x1500 self-attn; decoder training attention) dispatches to the Pallas
-    flash kernel — O(T) HBM traffic instead of materialising [B,H,Tq,Tk]
-    logits.  Single-query cached decode and arbitrary masks use the einsum
-    path, where XLA's fusion is already optimal.
+    ``use_flash=True`` dispatches unmasked/causal full-sequence attention to
+    the Pallas flash kernel.  Default is the einsum path: measured on a real
+    v5e at Whisper shapes (B8/H20/T1500/D64), XLA's fused attention inside the
+    scanned encoder beats the flash kernel ~2x (the kernel wins standalone but
+    loses to fusion + pays pad-to-1536 copies per layer), so flash is opt-in
+    until a tuned kernel lands.
     """
     dtype = q.dtype
     if use_flash is None:
-        use_flash = (mask is None and q.shape[1] >= 128
-                     and q.shape[1] == k.shape[1] and _flash_available())
-    if use_flash and mask is None:
+        use_flash = False
+    if use_flash and mask is None and _flash_available():
         return _flash(q, k, v, causal).astype(dtype)
 
     depth = q.shape[-1]

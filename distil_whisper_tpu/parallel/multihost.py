@@ -1,0 +1,73 @@
+"""Multi-host helpers: distributed init + per-host data sharding.
+
+The reference only calls ``jax.distributed.initialize()`` in one conversion
+script (convert_train_state_to_hf.py:50); here it is first-class: every driver
+can run on a multi-host TPU slice, with each host feeding its local shard of
+the batch and GSPMD assembling global arrays
+(``jax.make_array_from_process_local_data``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+def maybe_initialize_distributed(coordinator_address: Optional[str] = None,
+                                 num_processes: Optional[int] = None,
+                                 process_id: Optional[int] = None) -> bool:
+    """Initialise jax.distributed when running multi-process (idempotent).
+
+    On TPU pods the arguments are auto-detected from the metadata server; on
+    other setups pass them or set JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES
+    / JAX_PROCESS_ID.
+    """
+    if jax.process_count() > 1:
+        return True  # already initialised
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS")
+    explicit = coordinator_address is not None
+    in_tpu_pod = os.environ.get("TPU_WORKER_HOSTNAMES", "").count(",") > 0
+    if not (explicit or in_tpu_pod):
+        return False
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes or _int_env("JAX_NUM_PROCESSES"),
+            process_id=process_id or _int_env("JAX_PROCESS_ID"))
+        return True
+    except (RuntimeError, ValueError):
+        return jax.process_count() > 1
+
+
+def _int_env(name: str) -> Optional[int]:
+    v = os.environ.get(name)
+    return int(v) if v is not None else None
+
+
+def host_local_batch_to_global(batch: Any, mesh) -> Any:
+    """Assemble a global batch from per-host local shards.
+
+    Each process holds ``global_batch / process_count`` rows; the result is a
+    global jax.Array sharded over the mesh's 'data' axis.  Single-process
+    setups fall back to a plain device_put.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def put(x):
+        sharding = NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
+        if jax.process_count() == 1:
+            return jax.device_put(x, sharding)
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+    return jax.tree.map(put, batch)
+
+
+def process_local_slice(n_items: int) -> slice:
+    """Which slice of a globally-ordered dataset this host should feed."""
+    per = n_items // max(jax.process_count(), 1)
+    i = jax.process_index()
+    return slice(i * per, (i + 1) * per)
