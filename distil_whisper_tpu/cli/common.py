@@ -61,6 +61,44 @@ def load_dataset_any(path: str, split: Optional[str] = None):
     raise FileNotFoundError(f"cannot interpret dataset path {path}")
 
 
+def parse_dataset_spec(dataset_str: str, splits: Optional[str] = None,
+                       probabilities: Optional[str] = None) -> List[Dict[str, Any]]:
+    """Parse the reference's `+`-delimited multi-dataset mini-DSL
+    (convert_dataset_str_to_list, reference run_distillation.py:540-607):
+
+        "path/a+path/b"  with optional "train+train" splits and "0.7+0.3"
+        sampling probabilities.
+    """
+    names = dataset_str.split("+")
+    split_list = splits.split("+") if splits else [None] * len(names)
+    if probabilities:
+        probs = [float(p) for p in probabilities.split("+")]
+    else:
+        probs = [1.0 / len(names)] * len(names)
+    if not (len(names) == len(split_list) == len(probs)):
+        raise ValueError("dataset/split/probability lists must align: "
+                         f"{len(names)} vs {len(split_list)} vs {len(probs)}")
+    total = sum(probs)
+    return [{"path": n, "split": s, "probability": p / total}
+            for n, s, p in zip(names, split_list, probs)]
+
+
+def load_multiple_datasets(dataset_str: str, splits: Optional[str] = None,
+                           probabilities: Optional[str] = None,
+                           seed: int = 0,
+                           stopping_strategy: str = "all_exhausted"):
+    """Load and interleave `+`-delimited datasets by sampling probability
+    (the reference's streaming interleave, run_distillation.py:610-694)."""
+    specs = parse_dataset_spec(dataset_str, splits, probabilities)
+    if len(specs) == 1:
+        return load_dataset_any(specs[0]["path"], specs[0]["split"])
+    import datasets
+    all_ds = [load_dataset_any(s["path"], s["split"]) for s in specs]
+    return datasets.interleave_datasets(
+        all_ds, probabilities=[s["probability"] for s in specs],
+        seed=seed, stopping_strategy=stopping_strategy)
+
+
 def batched(iterable: Iterable, n: int) -> Iterable[List]:
     buf: List[Any] = []
     for x in iterable:

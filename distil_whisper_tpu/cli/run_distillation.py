@@ -37,14 +37,20 @@ from ..metrics import process_words
 from ..training import (Collator, DistillConfig, OptimizerConfig, TrainState,
                         build_train_step, CheckpointManager, is_wer_in_range,
                         prepare_labels, make_optimizer)
-from .common import load_dataset_any, logger, setup_logging, copy_tokenizer_files
+from .common import (load_dataset_any, load_multiple_datasets, logger,
+                     setup_logging, copy_tokenizer_files)
 
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--teacher_checkpoint", required=True)
     p.add_argument("--student_checkpoint", required=True)
-    p.add_argument("--train_dataset_path", required=True)
+    p.add_argument("--train_dataset_path", required=True,
+                   help="dataset path, or `+`-delimited list to interleave")
+    p.add_argument("--train_splits", default=None)
+    p.add_argument("--dataset_probabilities", default=None)
+    p.add_argument("--min_duration_s", type=float, default=0.0)
+    p.add_argument("--max_duration_s", type=float, default=30.0)
     p.add_argument("--eval_dataset_path", default=None)
     p.add_argument("--output_dir", required=True)
     p.add_argument("--max_steps", type=int, default=1000)
@@ -99,6 +105,10 @@ def _prepare_samples(ds, tok, cfg, args, normalizer, rng):
                 n_filtered += 1
                 continue
         audio = load_audio(row["audio"], cfg.sampling_rate)
+        if not (args.min_duration_s * cfg.sampling_rate < len(audio)
+                <= args.max_duration_s * cfg.sampling_rate):
+            n_filtered += 1
+            continue
         prev = row.get("condition_on_prev")
         labels = prepare_labels(
             tok, transcript, is_pseudo_label=args.use_pseudo_labels,
@@ -175,7 +185,10 @@ def main(argv=None):
                 opt_state=jax.device_put(state.opt_state, replicated(mesh)))
             logger.info("resumed from step %d", start_step)
 
-    train_ds = load_dataset_any(args.train_dataset_path, "train")
+    train_ds = load_multiple_datasets(args.train_dataset_path,
+                                      args.train_splits,
+                                      args.dataset_probabilities,
+                                      seed=args.seed)
     samples = _prepare_samples(train_ds, tok, teacher_cfg, args, normalizer,
                                rng)
     if not samples:

@@ -45,6 +45,8 @@ def main(argv=None):
     p.add_argument("--freeze_encoder", action="store_true")
     p.add_argument("--gradient_checkpointing", action="store_true")
     p.add_argument("--max_label_length", type=int, default=448)
+    p.add_argument("--min_duration_s", type=float, default=0.0)
+    p.add_argument("--max_duration_s", type=float, default=30.0)
     p.add_argument("--language", default=None)
     p.add_argument("--task", default="transcribe")
     p.add_argument("--save_steps", type=int, default=500)

@@ -290,9 +290,12 @@ def decode(params: Params, cfg: WhisperConfig, tokens: jnp.ndarray,
             return y, (cache_k, cache_v,
                        carry if output_hidden_states else None)
 
+        # Unroll shallow (distil) decoders: lets XLA fuse across the 2-4
+        # layers of the per-token hot loop instead of paying scan overhead.
+        unroll = cfg.decoder_layers if cfg.decoder_layers <= 4 else 1
         y, (nk, nv, hs) = jax.lax.scan(
             body, x, (params["layers"], ck_all, cv_all,
-                      cache["k"], cache["v"]))
+                      cache["k"], cache["v"]), unroll=unroll)
         new_cache = {"k": nk, "v": nv}
 
     y = layer_norm(params["ln"], y)

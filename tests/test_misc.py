@@ -1,0 +1,73 @@
+"""Multi-dataset DSL, 2-D sharding rules, profiling utils."""
+
+import json
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from distil_whisper_tpu.cli.common import (parse_dataset_spec,
+                                           load_multiple_datasets)
+from distil_whisper_tpu.parallel import (RULES_2D, make_mesh, shard_params,
+                                         spec_for_axes)
+from distil_whisper_tpu.utils import StepTimer, MetricsLogger
+
+
+def test_parse_dataset_spec():
+    specs = parse_dataset_spec("a+b+c", "train+train+test", "0.5+0.3+0.2")
+    assert [s["path"] for s in specs] == ["a", "b", "c"]
+    assert abs(sum(s["probability"] for s in specs) - 1.0) < 1e-9
+    assert specs[2]["split"] == "test"
+    with pytest.raises(ValueError):
+        parse_dataset_spec("a+b", "train")
+
+
+def test_load_multiple_datasets_interleaves(tmp_path):
+    import datasets
+    for name, vals in (("d1", [1, 2, 3, 4]), ("d2", [10, 20, 30, 40])):
+        datasets.Dataset.from_dict({"x": vals}).save_to_disk(str(tmp_path / name))
+    ds = load_multiple_datasets(f"{tmp_path}/d1+{tmp_path}/d2",
+                                probabilities="0.5+0.5", seed=0)
+    xs = [r["x"] for r in ds]
+    assert set(xs) == {1, 2, 3, 4, 10, 20, 30, 40}
+
+
+def test_2d_rules_shard_params():
+    """FSDP-style 2-D rules: embed axis sharded over 'data'."""
+    from distil_whisper_tpu.config import WhisperConfig
+    from distil_whisper_tpu.models import init_params, param_axes
+    cfg = WhisperConfig(vocab_size=256, num_mel_bins=8, d_model=32,
+                        encoder_layers=1, decoder_layers=1,
+                        encoder_attention_heads=2, decoder_attention_heads=2,
+                        encoder_ffn_dim=64, decoder_ffn_dim=64,
+                        max_source_positions=16, max_target_positions=16)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    mesh = make_mesh((4, 2))
+    sharded = shard_params(params, param_axes(cfg), mesh, RULES_2D)
+    fc1 = sharded["decoder"]["layers"]["fc1"]["kernel"]  # (L, embed, mlp)
+    spec = fc1.sharding.spec
+    assert spec == spec_for_axes(("layers", "embed", "mlp"), RULES_2D)
+    assert spec[1] == "data" and spec[2] == "model"
+    # math still works on the 2-D layout
+    y = jax.jit(lambda p: jnp.einsum("bse,leo->bso", jnp.ones((2, 4, 32)),
+                                     p))(fc1)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_metrics_logger(tmp_path):
+    path = tmp_path / "m.jsonl"
+    log = MetricsLogger(str(path))
+    log.log(1, {"loss": jnp.asarray(0.5), "note": "x"})
+    log.log(2, {"loss": 0.4})
+    log.close()
+    rows = [json.loads(l) for l in open(path)]
+    assert rows[0]["loss"] == 0.5 and rows[1]["step"] == 2
+
+
+def test_step_timer():
+    t = StepTimer()
+    x = jnp.ones((8, 8))
+    with t:
+        y = x @ x
+        dt = t.stop(y)
+    assert dt >= 0 and t.count == 1
