@@ -31,6 +31,9 @@ class WhisperConfig:
     max_source_positions: int = 1500   # encoder positions (30 s of audio)
     max_target_positions: int = 448    # decoder positions
     activation_function: str = "gelu"
+    dropout: float = 0.0
+    attention_dropout: float = 0.0
+    activation_dropout: float = 0.0
 
     # --- special tokens (defaults = multilingual v2 layout) ---
     pad_token_id: int = 50257

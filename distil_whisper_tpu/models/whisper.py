@@ -49,6 +49,14 @@ def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
             + p["bias"].astype(jnp.float32)).astype(dtype)
 
 
+def dropout(x: jnp.ndarray, rate: float, rng) -> jnp.ndarray:
+    """Inverted dropout; identity when rate==0 or rng is None (inference)."""
+    if rate == 0.0 or rng is None:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x))
+
+
 def dense(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     y = jnp.einsum("...i,io->...o", x, p["kernel"].astype(x.dtype),
                    preferred_element_type=jnp.float32).astype(x.dtype)
@@ -68,16 +76,20 @@ def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def attention_block(p: Params, x_q: jnp.ndarray, x_kv: jnp.ndarray,
-                    n_heads: int, mask=None) -> jnp.ndarray:
+                    n_heads: int, mask=None,
+                    attn_dropout: float = 0.0, rng=None) -> jnp.ndarray:
     """Full (uncached) MHA: project, attend, output-project."""
     q = _split_heads(dense(p["q"], x_q), n_heads)
     k = _split_heads(dense(p["k"], x_kv), n_heads)
     v = _split_heads(dense(p["v"], x_kv), n_heads)
-    return dense(p["out"], _merge_heads(mha(q, k, v, mask)))
+    return dense(p["out"], _merge_heads(
+        mha(q, k, v, mask, dropout_rate=attn_dropout, dropout_rng=rng)))
 
 
-def mlp_block(fc1: Params, fc2: Params, x: jnp.ndarray) -> jnp.ndarray:
+def mlp_block(fc1: Params, fc2: Params, x: jnp.ndarray,
+              act_dropout: float = 0.0, rng=None) -> jnp.ndarray:
     h = jax.nn.gelu(dense(fc1, x), approximate=False)
+    h = dropout(h, act_dropout, rng)
     return dense(fc2, h)
 
 
@@ -95,26 +107,37 @@ def _conv1d(p: Params, x: jnp.ndarray, stride: int) -> jnp.ndarray:
     return y + p["bias"].astype(x.dtype)
 
 
-def _encoder_layer(lp: Params, x: jnp.ndarray, n_heads: int) -> jnp.ndarray:
+def _encoder_layer(lp: Params, x: jnp.ndarray, n_heads: int,
+                   rates: Tuple[float, float, float] = (0.0, 0.0, 0.0),
+                   rng=None) -> jnp.ndarray:
+    drop, attn_drop, act_drop = rates
+    rngs = jax.random.split(rng, 4) if rng is not None else (None,) * 4
     r = x
     x = layer_norm(lp["self_attn_ln"], x)
-    x = r + attention_block(lp["self_attn"], x, x, n_heads)
+    x = attention_block(lp["self_attn"], x, x, n_heads,
+                        attn_dropout=attn_drop, rng=rngs[0])
+    x = r + dropout(x, drop, rngs[1])
     r = x
     x = layer_norm(lp["final_ln"], x)
-    return r + mlp_block(lp["fc1"], lp["fc2"], x)
+    x = mlp_block(lp["fc1"], lp["fc2"], x, act_dropout=act_drop, rng=rngs[2])
+    return r + dropout(x, drop, rngs[3])
 
 
 def encode(params: Params, cfg: WhisperConfig, mel: jnp.ndarray,
            dtype=jnp.float32, remat: bool = False,
            output_hidden_states: bool = False,
-           freeze: bool = False):
+           freeze: bool = False,
+           dropout_rng: Optional[jax.Array] = None):
     """mel [B, n_mels, 3000] -> encoder states [B, 1500, d].
 
     With ``output_hidden_states`` also returns [n_layers+1, B, 1500, d]
     (embedding output + every layer output, HF convention) for hidden-state
     distillation.  ``freeze`` stops gradients at the output (reference
-    modeling_flax_whisper.py:1152-1153).
+    modeling_flax_whisper.py:1152-1153).  ``dropout_rng`` enables the config's
+    dropout/attention_dropout/activation_dropout rates (training only).
     """
+    rates = (cfg.dropout, cfg.attention_dropout, cfg.activation_dropout)
+    use_dropout = dropout_rng is not None and any(r > 0 for r in rates)
     x = mel.astype(dtype).transpose(0, 2, 1)  # [B, 3000, n_mels]
     x = jax.nn.gelu(_conv1d(params["conv1"], x, 1), approximate=False)
     x = jax.nn.gelu(_conv1d(params["conv2"], x, 2), approximate=False)  # [B,1500,d]
@@ -124,13 +147,26 @@ def encode(params: Params, cfg: WhisperConfig, mel: jnp.ndarray,
 
     layer = _encoder_layer
     if remat:
-        layer = jax.checkpoint(layer, static_argnums=(2,))
+        layer = jax.checkpoint(layer, static_argnums=(2, 3))
 
-    def body(carry, lp):
-        y = layer(lp, carry, cfg.encoder_attention_heads)
-        return y, (carry if output_hidden_states else None)
+    if use_dropout:
+        rng, emb_rng = jax.random.split(dropout_rng)
+        x = dropout(x, cfg.dropout, emb_rng)
+        layer_rngs = jax.random.split(rng, cfg.encoder_layers)
 
-    y, hs = jax.lax.scan(body, x, params["layers"])
+        def body(carry, xs):
+            lp, lrng = xs
+            y = layer(lp, carry, cfg.encoder_attention_heads, rates, lrng)
+            return y, (carry if output_hidden_states else None)
+
+        y, hs = jax.lax.scan(body, x, (params["layers"], layer_rngs))
+    else:
+        def body(carry, lp):
+            y = layer(lp, carry, cfg.encoder_attention_heads,
+                      (0.0, 0.0, 0.0), None)
+            return y, (carry if output_hidden_states else None)
+
+        y, hs = jax.lax.scan(body, x, params["layers"])
     y = layer_norm(params["ln_post"], y)
     if freeze:
         y = jax.lax.stop_gradient(y)
@@ -168,24 +204,31 @@ def cross_kv(params: Params, cfg: WhisperConfig, enc: jnp.ndarray) -> Params:
 
 
 def _decoder_layer(lp: Params, x: jnp.ndarray, self_k, self_v, ck, cv,
-                   n_heads: int, self_mask, self_causal: bool = False
-                   ) -> jnp.ndarray:
+                   n_heads: int, self_mask, self_causal: bool = False,
+                   rates: Tuple[float, float, float] = (0.0, 0.0, 0.0),
+                   rng=None) -> jnp.ndarray:
     """One decoder layer given already-materialised K/V for both attentions."""
+    drop, attn_drop, act_drop = rates
+    rngs = jax.random.split(rng, 6) if rng is not None else (None,) * 6
     r = x
     h = layer_norm(lp["self_attn_ln"], x)
     q = _split_heads(dense(lp["self_attn"]["q"], h), n_heads)
-    a = mha(q, self_k, self_v, self_mask, causal=self_causal)
-    x = r + dense(lp["self_attn"]["out"], _merge_heads(a))
+    a = mha(q, self_k, self_v, self_mask, causal=self_causal,
+            dropout_rate=attn_drop, dropout_rng=rngs[0])
+    x = r + dropout(dense(lp["self_attn"]["out"], _merge_heads(a)),
+                    drop, rngs[1])
 
     r = x
     h = layer_norm(lp["cross_attn_ln"], x)
     q = _split_heads(dense(lp["cross_attn"]["q"], h), n_heads)
-    a = mha(q, ck, cv)  # encoder length is always full: no mask
-    x = r + dense(lp["cross_attn"]["out"], _merge_heads(a))
+    a = mha(q, ck, cv, dropout_rate=attn_drop, dropout_rng=rngs[2])
+    x = r + dropout(dense(lp["cross_attn"]["out"], _merge_heads(a)),
+                    drop, rngs[3])
 
     r = x
     h = layer_norm(lp["final_ln"], x)
-    return r + mlp_block(lp["fc1"], lp["fc2"], h)
+    h = mlp_block(lp["fc1"], lp["fc2"], h, act_dropout=act_drop, rng=rngs[4])
+    return r + dropout(h, drop, rngs[5])
 
 
 def decode(params: Params, cfg: WhisperConfig, tokens: jnp.ndarray,
@@ -196,7 +239,8 @@ def decode(params: Params, cfg: WhisperConfig, tokens: jnp.ndarray,
            attention_mask: Optional[jnp.ndarray] = None,
            pad_len: Optional[jnp.ndarray] = None,
            dtype=jnp.float32, remat: bool = False,
-           output_hidden_states: bool = False):
+           output_hidden_states: bool = False,
+           dropout_rng: Optional[jax.Array] = None):
     """Decoder forward.
 
     tokens [B, S] at global cache slots ``pos_offset .. pos_offset+S-1``.
@@ -256,7 +300,7 @@ def decode(params: Params, cfg: WhisperConfig, tokens: jnp.ndarray,
 
     layer = _decoder_layer
     if remat:
-        layer = jax.checkpoint(layer, static_argnums=(6, 8))
+        layer = jax.checkpoint(layer, static_argnums=(6, 8, 9))
 
     if cross is None:
         assert enc is not None, "decode() needs enc or cross"
@@ -265,15 +309,31 @@ def decode(params: Params, cfg: WhisperConfig, tokens: jnp.ndarray,
     cv_all = cross["v"].astype(dtype)
 
     if cache is None:
+        rates = (cfg.dropout, cfg.attention_dropout, cfg.activation_dropout)
+        use_dropout = dropout_rng is not None and any(r > 0 for r in rates)
+        if use_dropout:
+            rng, emb_rng = jax.random.split(dropout_rng)
+            x = dropout(x, cfg.dropout, emb_rng)
+            layer_rngs = jax.random.split(rng, cfg.decoder_layers)
+        else:
+            rates = (0.0, 0.0, 0.0)
+            layer_rngs = None
+
         def body(carry, xs):
-            lp, ck, cv = xs
+            if use_dropout:
+                lp, ck, cv, lrng = xs
+            else:
+                (lp, ck, cv), lrng = xs, None
             h = layer_norm(lp["self_attn_ln"], carry)
             k = _split_heads(dense(lp["self_attn"]["k"], h), n_heads)
             v = _split_heads(dense(lp["self_attn"]["v"], h), n_heads)
-            y = layer(lp, carry, k, v, ck, cv, n_heads, self_mask, self_causal)
+            y = layer(lp, carry, k, v, ck, cv, n_heads, self_mask,
+                      self_causal, rates, lrng)
             return y, (carry if output_hidden_states else None)
 
-        y, hs = jax.lax.scan(body, x, (params["layers"], ck_all, cv_all))
+        xs = ((params["layers"], ck_all, cv_all, layer_rngs) if use_dropout
+              else (params["layers"], ck_all, cv_all))
+        y, hs = jax.lax.scan(body, x, xs)
         new_cache = None
     else:
         def body(carry, xs):
@@ -286,7 +346,7 @@ def decode(params: Params, cfg: WhisperConfig, tokens: jnp.ndarray,
             cache_v = jax.lax.dynamic_update_slice_in_dim(
                 cache_v, v.astype(cache_v.dtype), pos_offset, axis=1)
             y = layer(lp, carry, cache_k.astype(dtype), cache_v.astype(dtype),
-                      ck, cv, n_heads, self_mask, False)
+                      ck, cv, n_heads, self_mask, False, (0.0, 0.0, 0.0), None)
             return y, (cache_k, cache_v,
                        carry if output_hidden_states else None)
 
@@ -318,26 +378,30 @@ def forward(params: Params, cfg: WhisperConfig, mel: jnp.ndarray,
             decoder_attention_mask: Optional[jnp.ndarray] = None,
             dtype=jnp.float32, remat: bool = False,
             freeze_encoder: bool = False,
-            output_hidden_states: bool = False):
+            output_hidden_states: bool = False,
+            dropout_rng: Optional[jax.Array] = None):
     """Encoder + teacher-forced decoder.  Returns logits (+ aux dict).
 
     ``params`` is the full tree ({'encoder': ..., 'decoder': ...});
     :func:`encode`/:func:`decode` take the respective subtrees directly.
     """
+    enc_rng = dec_rng = None
+    if dropout_rng is not None:
+        enc_rng, dec_rng = jax.random.split(dropout_rng)
     if output_hidden_states:
         enc, enc_hs = encode(params["encoder"], cfg, mel, dtype=dtype,
                              remat=remat, output_hidden_states=True,
-                             freeze=freeze_encoder)
+                             freeze=freeze_encoder, dropout_rng=enc_rng)
         logits, _, dec_hs = decode(
             params["decoder"], cfg, decoder_input_ids, enc=enc,
             attention_mask=decoder_attention_mask, dtype=dtype, remat=remat,
-            output_hidden_states=True)
+            output_hidden_states=True, dropout_rng=dec_rng)
         return logits, {"encoder_last_hidden_state": enc,
                         "encoder_hidden_states": enc_hs,
                         "decoder_hidden_states": dec_hs}
     enc = encode(params["encoder"], cfg, mel, dtype=dtype, remat=remat,
-                 freeze=freeze_encoder)
+                 freeze=freeze_encoder, dropout_rng=enc_rng)
     logits, _ = decode(params["decoder"], cfg, decoder_input_ids, enc=enc,
                        attention_mask=decoder_attention_mask,
-                       dtype=dtype, remat=remat)
+                       dtype=dtype, remat=remat, dropout_rng=dec_rng)
     return logits, {"encoder_last_hidden_state": enc}

@@ -61,7 +61,9 @@ def mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         mask: Optional[jnp.ndarray] = None,
         causal: bool = False,
         float32_logits: bool = True,
-        use_flash: Optional[bool] = None) -> jnp.ndarray:
+        use_flash: Optional[bool] = None,
+        dropout_rate: float = 0.0,
+        dropout_rng: Optional[jax.Array] = None) -> jnp.ndarray:
     """Scaled dot-product attention.
 
     q: [B, Tq, H, D]   k, v: [B, Tk, H, D]   mask: broadcastable to [B, H, Tq, Tk]
@@ -93,6 +95,11 @@ def mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if mask is not None:
         logits = jnp.where(mask, logits, NEG_INF)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(dtype)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
+                                    probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate),
+                          jnp.zeros_like(probs))
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v,
                       preferred_element_type=jnp.float32).astype(dtype)
 

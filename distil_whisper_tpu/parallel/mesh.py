@@ -23,7 +23,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 # model; everything else replicated.
 DEFAULT_RULES: Dict[str, Optional[str]] = {
     "batch": "data",
-    "vocab": "model",
+    # NB: Whisper vocab sizes (51864/51865) are odd / not divisible by
+    # practical model-parallel degrees, so embeddings are replicated (132 MB
+    # bf16 for large-v3 — cheap next to activations).
+    "vocab": None,
     "mlp": "model",
     "heads": "model",
     "joined_kv": "model",

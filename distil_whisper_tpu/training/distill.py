@@ -57,7 +57,7 @@ def build_train_step(student_cfg: WhisperConfig, teacher_cfg: WhisperConfig,
         student_cfg.decoder_layers, teacher_cfg.decoder_layers) if use_mse else ()
 
     def compute_losses(params: Params, teacher_params: Params,
-                       batch: Dict[str, jnp.ndarray]):
+                       batch: Dict[str, jnp.ndarray], dropout_rng=None):
         mel = batch["input_features"]
         dec_in = batch["decoder_input_ids"]
         labels = batch["labels"]
@@ -71,7 +71,8 @@ def build_train_step(student_cfg: WhisperConfig, teacher_cfg: WhisperConfig,
                            output_hidden_states=use_mse)
             s_out = decode(params["decoder"], student_cfg, dec_in, enc=enc,
                            attention_mask=attn_mask, dtype=dtype,
-                           remat=dcfg.remat, output_hidden_states=use_mse)
+                           remat=dcfg.remat, output_hidden_states=use_mse,
+                           dropout_rng=dropout_rng)
             t_logits, t_hs = t_out[0], (t_out[2] if use_mse else None)
             s_logits, s_hs = s_out[0], (s_out[2] if use_mse else None)
         else:
@@ -84,7 +85,7 @@ def build_train_step(student_cfg: WhisperConfig, teacher_cfg: WhisperConfig,
                 params, student_cfg, mel, dec_in,
                 decoder_attention_mask=attn_mask, dtype=dtype,
                 remat=dcfg.remat, freeze_encoder=dcfg.freeze_encoder,
-                output_hidden_states=use_mse)
+                output_hidden_states=use_mse, dropout_rng=dropout_rng)
             t_hs = t_aux.get("decoder_hidden_states") if use_mse else None
             s_hs = s_aux.get("decoder_hidden_states") if use_mse else None
 
@@ -104,9 +105,10 @@ def build_train_step(student_cfg: WhisperConfig, teacher_cfg: WhisperConfig,
         return loss, metrics
 
     def train_step(state: TrainState, teacher_params: Params,
-                   batch: Dict[str, jnp.ndarray]):
+                   batch: Dict[str, jnp.ndarray], dropout_rng=None):
         grad_fn = jax.value_and_grad(
-            lambda p: compute_losses(p, teacher_params, batch), has_aux=True)
+            lambda p: compute_losses(p, teacher_params, batch, dropout_rng),
+            has_aux=True)
         (_, metrics), grads = grad_fn(state.params)
         new_state = state.apply_gradients(grads, tx, opt_cfg)
         metrics["grad_norm"] = optax_global_norm(grads)

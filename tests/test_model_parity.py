@@ -173,3 +173,28 @@ def test_remat_matches(hf_model, batch):
     a, _ = forward(params, cfg, jnp.asarray(mel), jnp.asarray(tokens))
     b, _ = forward(params, cfg, jnp.asarray(mel), jnp.asarray(tokens), remat=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_dropout_training_mode(hf_model, batch):
+    """Dropout only activates with an rng + nonzero rates; inference exact."""
+    import dataclasses
+    mel, tokens = batch
+    _, path = hf_model
+    params, cfg = load_params(path, CFG)
+    dcfg = cfg.replace(dropout=0.3, activation_dropout=0.1,
+                       attention_dropout=0.1)
+    import jax
+    base, _ = forward(params, cfg, jnp.asarray(mel), jnp.asarray(tokens))
+    # rates set but no rng -> inference, identical
+    infer, _ = forward(params, dcfg, jnp.asarray(mel), jnp.asarray(tokens))
+    np.testing.assert_allclose(np.asarray(base), np.asarray(infer), atol=1e-6)
+    # rng + rates -> stochastic output, deterministic per key
+    a, _ = forward(params, dcfg, jnp.asarray(mel), jnp.asarray(tokens),
+                   dropout_rng=jax.random.PRNGKey(0))
+    b, _ = forward(params, dcfg, jnp.asarray(mel), jnp.asarray(tokens),
+                   dropout_rng=jax.random.PRNGKey(0))
+    c, _ = forward(params, dcfg, jnp.asarray(mel), jnp.asarray(tokens),
+                   dropout_rng=jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    assert np.abs(np.asarray(a) - np.asarray(base)).max() > 1e-3
+    assert np.abs(np.asarray(a) - np.asarray(c)).max() > 1e-3
