@@ -57,7 +57,7 @@ def _rtfx(preset: str, batch: int, max_new: int, n_iters: int = 3) -> float:
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    batch = int(os.environ.get("BENCH_BATCH", "16"))  # reference eval default
     max_new = int(os.environ.get("BENCH_TOKENS", "128"))
 
     distil_rtfx = _rtfx("distil-large-v3", batch, max_new)

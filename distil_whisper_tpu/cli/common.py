@@ -110,6 +110,38 @@ def batched(iterable: Iterable, n: int) -> Iterable[List]:
         yield buf
 
 
+def parse_args_with_json(parser, argv=None):
+    """HfArgumentParser-style single-JSON-file parsing: when the only
+    argument is a ``.json`` path, read the flag dict from it
+    (reference run_distillation.py:784-791)."""
+    import sys
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if len(argv) == 1 and argv[0].endswith(".json"):
+        with open(argv[0]) as f:
+            cfg = json.load(f)
+        flat = []
+        for k, v in cfg.items():
+            if isinstance(v, bool):
+                if v:
+                    flat.append(f"--{k}")
+            else:
+                flat.extend([f"--{k}", str(v)])
+        return parser.parse_args(flat)
+    return parser.parse_args(argv)
+
+
+def add_noise_at_snr(audio: "np.ndarray", snr_db: float,
+                     rng=None) -> "np.ndarray":
+    """Mix white noise at the given SNR (the reference's noise-evaluation
+    setting, noise_evaluation_scripts/run_distilled.sh:3-6, +40 -> -10 dB)."""
+    rng = rng or np.random.default_rng(0)
+    power = float(np.mean(audio ** 2)) + 1e-12
+    noise_power = power / (10.0 ** (snr_db / 10.0))
+    noise = rng.standard_normal(audio.shape).astype(np.float32)
+    noise *= np.sqrt(noise_power / (np.mean(noise ** 2) + 1e-12))
+    return (audio + noise).astype(np.float32)
+
+
 def write_jsonl(path: str, rows: Iterable[Dict[str, Any]]) -> None:
     with open(path, "w") as f:
         for r in rows:

@@ -41,7 +41,8 @@ from ..tokenizer import (WhisperTokenizer, EnglishTextNormalizer,
                          BasicTextNormalizer)
 from ..metrics import process_words, count_repeated_ngrams
 from ..pipeline import WhisperPipeline
-from .common import batched, load_dataset_any, logger, setup_logging
+from .common import (add_noise_at_snr, batched, load_dataset_any, logger,
+                     setup_logging)
 
 
 def parse_args(argv=None):
@@ -63,8 +64,13 @@ def parse_args(argv=None):
     p.add_argument("--gamma", type=int, default=5,
                    help="draft tokens per speculative round")
     p.add_argument("--num_beams", type=int, default=1)
-    args = p.parse_args(argv)
-    return args
+    p.add_argument("--noise_snr_db", type=float, default=None,
+                   help="mix white noise at this SNR (noise evaluation)")
+    p.add_argument("--precise_tok_per_s", action="store_true",
+                   help="fixed-token benchmark on dummy encoder outputs "
+                        "(decouples tokens/s from WER)")
+    from .common import parse_args_with_json
+    return parse_args_with_json(p, argv)
 
 
 def main(argv=None):
@@ -82,12 +88,50 @@ def main(argv=None):
 
     ds = load_dataset_any(args.dataset_path, args.split)
     audios, texts = [], []
+    noise_rng = np.random.default_rng(0)
     for row in ds:
-        audios.append(load_audio(row["audio"], cfg.sampling_rate))
+        a = load_audio(row["audio"], cfg.sampling_rate)
+        if args.noise_snr_db is not None:
+            a = add_noise_at_snr(a, args.noise_snr_db, noise_rng)
+        audios.append(a)
         texts.append(row.get("text", ""))
     audio_seconds = sum(len(a) for a in audios) / cfg.sampling_rate
     logger.info("%d samples, %.1f audio-s, mode=%s", len(audios),
                 audio_seconds, args.mode)
+
+    if args.precise_tok_per_s:
+        # fixed-token generation against random encoder states
+        # (reference run_eval.py:274-294, 806-844)
+        from ..generation import generate as gen_fn
+        opts = GenerationOptions.from_config(
+            cfg, max_new_tokens=args.max_new_tokens,
+            min_new_tokens=args.max_new_tokens)
+        rng0 = np.random.default_rng(0)
+        enc = jnp.asarray(rng0.standard_normal(
+            (args.batch_size, cfg.max_source_positions, cfg.d_model)), dtype)
+        prompt = jnp.full((args.batch_size, 1),
+                          cfg.decoder_start_token_id, jnp.int32)
+
+        @jax.jit
+        def fixed(params, enc, prompt):
+            cross = cross_kv(params["decoder"], cfg, enc)
+            return gen_fn(params["decoder"], cfg, cross, prompt, opts,
+                          dtype=dtype)
+        out = fixed(params, enc, prompt)          # compile
+        np.asarray(out.seq_len)
+        t0 = time.perf_counter()
+        iters = 5
+        for _ in range(iters):
+            out = fixed(params, enc, prompt)
+            np.asarray(out.seq_len)
+        dt = (time.perf_counter() - t0) / iters
+        toks = args.batch_size * args.max_new_tokens
+        result = {"mode": "precise_tok_per_s",
+                  "tokens_per_second": round(toks / dt, 2),
+                  "batch_size": args.batch_size,
+                  "tokens": args.max_new_tokens}
+        print(json.dumps(result))
+        return result
 
     t0 = time.perf_counter()
     n_tokens = 0
@@ -116,9 +160,11 @@ def main(argv=None):
                                            dtype=dtype)
         for group in batched(list(zip(audios, texts)), args.batch_size):
             n = len(group)
-            mels = np.stack([np.asarray(
-                compute_mel(jnp.asarray(a), cfg)[0])
-                for a, _ in group])
+            wavs = np.zeros((n, cfg.n_samples), np.float32)
+            for j, (a, _) in enumerate(group):
+                w = a[:cfg.n_samples]
+                wavs[j, :len(w)] = w
+            mels = np.asarray(compute_mel(jnp.asarray(wavs), cfg))
             if n < args.batch_size:
                 mels = np.concatenate([mels, np.zeros(
                     (args.batch_size - n,) + mels.shape[1:], mels.dtype)])

@@ -122,9 +122,11 @@ def main(argv=None):
     gen_seconds = 0.0
     for step, group in enumerate(batched(samples, bsz)):
         n = len(group)
-        mels = np.stack([np.asarray(
-            compute_mel(jnp.asarray(g["audio"]), cfg)[0])
-            for g in group])
+        wavs = np.zeros((n, cfg.n_samples), np.float32)
+        for j, g in enumerate(group):
+            w = g["audio"][:cfg.n_samples]
+            wavs[j, :len(w)] = w
+        mels = np.asarray(compute_mel(jnp.asarray(wavs), cfg))
         if n < bsz:
             mels = np.concatenate(
                 [mels, np.zeros((bsz - n,) + mels.shape[1:], mels.dtype)])

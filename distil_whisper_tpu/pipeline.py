@@ -126,10 +126,13 @@ class WhisperPipeline:
         chunks = self._chunk(wav, chunk_length_s, stride_length_s)
         single = len(chunks) == 1
 
-        # features for every chunk, always a full padded 30 s window
-        mels = np.stack([
-            np.asarray(compute_mel(jnp.asarray(c["audio"]), cfg)[0])
-            for c in chunks])
+        # features for every chunk, always a full padded 30 s window —
+        # computed in ONE device call for the whole file
+        wavs = np.zeros((len(chunks), cfg.n_samples), np.float32)
+        for j, c in enumerate(chunks):
+            w = c["audio"][:cfg.n_samples]
+            wavs[j, :len(w)] = w
+        mels = np.asarray(compute_mel(jnp.asarray(wavs), cfg))
 
         if language is None and len(tok.lang_to_id) > 1:
             language = self.detect_language(jnp.asarray(mels[:1],
