@@ -85,9 +85,14 @@ def mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     depth = q.shape[-1]
     scale = depth ** -0.5
     q = q * jnp.asarray(scale, q.dtype)
-    if float32_logits:
-        q = q.astype(jnp.float32)
-        k = k.astype(jnp.float32)
+    # fp32 logits via fp32 MXU *accumulation* (preferred_element_type), NOT by
+    # upcasting the inputs: for bf16 inputs bf16xbf16->f32 is bit-identical to
+    # upcast-then-f32-matmul but runs at full bf16 MXU rate.  For fp32 inputs
+    # ``float32_logits=False`` additionally allows a bf16 matmul (training
+    # keeps the default True).
+    if not float32_logits:
+        q = q.astype(jnp.bfloat16)
+        k = k.astype(jnp.bfloat16)
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=jnp.float32)
     if causal and mask is None:
