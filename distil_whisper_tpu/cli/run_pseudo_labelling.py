@@ -62,6 +62,8 @@ def main(argv=None):
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     params, cfg = load_params(args.model_checkpoint, dtype=dtype)
+    if dtype == jnp.bfloat16:
+        cfg = cfg.replace(fast_bf16_attention=True)
     tok = WhisperTokenizer.from_pretrained(args.model_checkpoint)
     mesh = make_mesh()
     params = shard_params(params, param_axes(cfg), mesh)

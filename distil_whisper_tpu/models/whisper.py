@@ -77,13 +77,15 @@ def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
 
 def attention_block(p: Params, x_q: jnp.ndarray, x_kv: jnp.ndarray,
                     n_heads: int, mask=None,
-                    attn_dropout: float = 0.0, rng=None) -> jnp.ndarray:
+                    attn_dropout: float = 0.0, rng=None,
+                    f32_attn: bool = True) -> jnp.ndarray:
     """Full (uncached) MHA: project, attend, output-project."""
     q = _split_heads(dense(p["q"], x_q), n_heads)
     k = _split_heads(dense(p["k"], x_kv), n_heads)
     v = _split_heads(dense(p["v"], x_kv), n_heads)
     return dense(p["out"], _merge_heads(
-        mha(q, k, v, mask, dropout_rate=attn_dropout, dropout_rng=rng)))
+        mha(q, k, v, mask, float32_logits=f32_attn,
+            dropout_rate=attn_dropout, dropout_rng=rng)))
 
 
 def mlp_block(fc1: Params, fc2: Params, x: jnp.ndarray,
@@ -109,13 +111,14 @@ def _conv1d(p: Params, x: jnp.ndarray, stride: int) -> jnp.ndarray:
 
 def _encoder_layer(lp: Params, x: jnp.ndarray, n_heads: int,
                    rates: Tuple[float, float, float] = (0.0, 0.0, 0.0),
-                   rng=None) -> jnp.ndarray:
+                   rng=None, f32_attn: bool = True) -> jnp.ndarray:
     drop, attn_drop, act_drop = rates
     rngs = jax.random.split(rng, 4) if rng is not None else (None,) * 4
     r = x
     x = layer_norm(lp["self_attn_ln"], x)
     x = attention_block(lp["self_attn"], x, x, n_heads,
-                        attn_dropout=attn_drop, rng=rngs[0])
+                        attn_dropout=attn_drop, rng=rngs[0],
+                        f32_attn=f32_attn)
     x = r + dropout(x, drop, rngs[1])
     r = x
     x = layer_norm(lp["final_ln"], x)
@@ -145,9 +148,10 @@ def encode(params: Params, cfg: WhisperConfig, mel: jnp.ndarray,
     # (reference modeling_flax_whisper.py:982-985).
     x = x + jax.lax.stop_gradient(params["pos_emb"]).astype(dtype)
 
+    f32_attn = not cfg.fast_bf16_attention
     layer = _encoder_layer
     if remat:
-        layer = jax.checkpoint(layer, static_argnums=(2, 3))
+        layer = jax.checkpoint(layer, static_argnums=(2, 3, 5))
 
     if use_dropout:
         rng, emb_rng = jax.random.split(dropout_rng)
@@ -156,14 +160,15 @@ def encode(params: Params, cfg: WhisperConfig, mel: jnp.ndarray,
 
         def body(carry, xs):
             lp, lrng = xs
-            y = layer(lp, carry, cfg.encoder_attention_heads, rates, lrng)
+            y = layer(lp, carry, cfg.encoder_attention_heads, rates, lrng,
+                      f32_attn)
             return y, (carry if output_hidden_states else None)
 
         y, hs = jax.lax.scan(body, x, (params["layers"], layer_rngs))
     else:
         def body(carry, lp):
             y = layer(lp, carry, cfg.encoder_attention_heads,
-                      (0.0, 0.0, 0.0), None)
+                      (0.0, 0.0, 0.0), None, f32_attn)
             return y, (carry if output_hidden_states else None)
 
         y, hs = jax.lax.scan(body, x, params["layers"])
@@ -206,7 +211,7 @@ def cross_kv(params: Params, cfg: WhisperConfig, enc: jnp.ndarray) -> Params:
 def _decoder_layer(lp: Params, x: jnp.ndarray, self_k, self_v, ck, cv,
                    n_heads: int, self_mask, self_causal: bool = False,
                    rates: Tuple[float, float, float] = (0.0, 0.0, 0.0),
-                   rng=None) -> jnp.ndarray:
+                   rng=None, f32_attn: bool = True) -> jnp.ndarray:
     """One decoder layer given already-materialised K/V for both attentions."""
     drop, attn_drop, act_drop = rates
     rngs = jax.random.split(rng, 6) if rng is not None else (None,) * 6
@@ -214,6 +219,7 @@ def _decoder_layer(lp: Params, x: jnp.ndarray, self_k, self_v, ck, cv,
     h = layer_norm(lp["self_attn_ln"], x)
     q = _split_heads(dense(lp["self_attn"]["q"], h), n_heads)
     a = mha(q, self_k, self_v, self_mask, causal=self_causal,
+            float32_logits=f32_attn,
             dropout_rate=attn_drop, dropout_rng=rngs[0])
     x = r + dropout(dense(lp["self_attn"]["out"], _merge_heads(a)),
                     drop, rngs[1])
@@ -221,7 +227,8 @@ def _decoder_layer(lp: Params, x: jnp.ndarray, self_k, self_v, ck, cv,
     r = x
     h = layer_norm(lp["cross_attn_ln"], x)
     q = _split_heads(dense(lp["cross_attn"]["q"], h), n_heads)
-    a = mha(q, ck, cv, dropout_rate=attn_drop, dropout_rng=rngs[2])
+    a = mha(q, ck, cv, float32_logits=f32_attn,
+            dropout_rate=attn_drop, dropout_rng=rngs[2])
     x = r + dropout(dense(lp["cross_attn"]["out"], _merge_heads(a)),
                     drop, rngs[3])
 
@@ -298,9 +305,10 @@ def decode(params: Params, cfg: WhisperConfig, tokens: jnp.ndarray,
         # [B, S_k] padding mask combined with causality (training only).
         self_mask = jnp.logical_and(self_mask, attention_mask[:, None, None, :])
 
+    f32_attn = not cfg.fast_bf16_attention
     layer = _decoder_layer
     if remat:
-        layer = jax.checkpoint(layer, static_argnums=(6, 8, 9))
+        layer = jax.checkpoint(layer, static_argnums=(6, 8, 9, 11))
 
     if cross is None:
         assert enc is not None, "decode() needs enc or cross"
@@ -328,7 +336,7 @@ def decode(params: Params, cfg: WhisperConfig, tokens: jnp.ndarray,
             k = _split_heads(dense(lp["self_attn"]["k"], h), n_heads)
             v = _split_heads(dense(lp["self_attn"]["v"], h), n_heads)
             y = layer(lp, carry, k, v, ck, cv, n_heads, self_mask,
-                      self_causal, rates, lrng)
+                      self_causal, rates, lrng, f32_attn)
             return y, (carry if output_hidden_states else None)
 
         xs = ((params["layers"], ck_all, cv_all, layer_rngs) if use_dropout
@@ -346,7 +354,8 @@ def decode(params: Params, cfg: WhisperConfig, tokens: jnp.ndarray,
             cache_v = jax.lax.dynamic_update_slice_in_dim(
                 cache_v, v.astype(cache_v.dtype), pos_offset, axis=1)
             y = layer(lp, carry, cache_k.astype(dtype), cache_v.astype(dtype),
-                      ck, cv, n_heads, self_mask, False, (0.0, 0.0, 0.0), None)
+                      ck, cv, n_heads, self_mask, False, (0.0, 0.0, 0.0),
+                      None, f32_attn)
             return y, (cache_k, cache_v,
                        carry if output_hidden_states else None)
 

@@ -85,21 +85,21 @@ def mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     depth = q.shape[-1]
     scale = depth ** -0.5
     q = q * jnp.asarray(scale, q.dtype)
-    # fp32 logits via fp32 MXU *accumulation* (preferred_element_type), NOT by
-    # upcasting the inputs: for bf16 inputs bf16xbf16->f32 is bit-identical to
-    # upcast-then-f32-matmul but runs at full bf16 MXU rate.  For fp32 inputs
-    # ``float32_logits=False`` additionally allows a bf16 matmul (training
-    # keeps the default True).
-    if not float32_logits:
-        q = q.astype(jnp.bfloat16)
-        k = k.astype(jnp.bfloat16)
+    # float32_logits=True (training / parity): fp32 logits via fp32 MXU
+    # accumulation over the native-dtype inputs (for bf16 inputs this is
+    # bit-identical to upcast-then-matmul at full bf16 MXU rate) and fp32
+    # softmax.  float32_logits=False (inference fast path): logits and softmax
+    # stay in the input dtype — for a bf16 model this halves the [B,H,Tq,Tk]
+    # intermediate traffic (~23% encoder time on v5e); for fp32 inputs it is
+    # unchanged-exact.
+    acc_dtype = jnp.float32 if float32_logits else dtype
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=acc_dtype)
     if causal and mask is None:
         mask = causal_mask(q.shape[1], k.shape[1], 0)
     if mask is not None:
         logits = jnp.where(mask, logits, NEG_INF)
-    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(dtype)
+    probs = jax.nn.softmax(logits.astype(acc_dtype), axis=-1).astype(dtype)
     if dropout_rate > 0.0 and dropout_rng is not None:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
                                     probs.shape)

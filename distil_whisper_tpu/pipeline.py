@@ -37,6 +37,8 @@ class WhisperPipeline:
                  tokenizer: Optional[WhisperTokenizer] = None):
         if params is None or cfg is None:
             params, cfg = load_params(checkpoint, cfg, dtype=dtype)
+        if dtype == jnp.bfloat16:
+            cfg = cfg.replace(fast_bf16_attention=True)
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer or WhisperTokenizer.from_pretrained(checkpoint)
