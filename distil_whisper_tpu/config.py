@@ -38,6 +38,11 @@ class WhisperConfig:
     # instead of fp32 (no-op for fp32 runs; ~23% encoder time in bf16 on v5e).
     # Training/parity paths keep fp32 attention (the T5X float32_logits trick).
     fast_bf16_attention: bool = False
+    # OPT-IN approximate inference mode (off everywhere by default): dtype-
+    # native LayerNorm statistics + tanh-approximate gelu.  Another ~20%
+    # encoder time on v5e, but deviates from the reference's exact numerics —
+    # validate WER on your eval set before enabling.
+    fast_approx_activations: bool = False
 
     # --- special tokens (defaults = multilingual v2 layout) ---
     pad_token_id: int = 50257

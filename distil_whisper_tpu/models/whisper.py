@@ -38,15 +38,20 @@ Params = Dict[str, Any]
 # ----------------------------------------------------------------------
 
 
-def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
-    """LayerNorm with fp32 internals (T5X-style), output in x.dtype."""
+def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5,
+               fp32: bool = True) -> jnp.ndarray:
+    """LayerNorm with fp32 internals (T5X-style), output in x.dtype.
+
+    ``fp32=False`` keeps the statistics in x.dtype (the opt-in
+    ``fast_approx_activations`` inference mode).
+    """
     dtype = x.dtype
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
-    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
-    return (y * p["scale"].astype(jnp.float32)
-            + p["bias"].astype(jnp.float32)).astype(dtype)
+    xs = x.astype(jnp.float32) if fp32 else x
+    mean = jnp.mean(xs, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xs - mean), axis=-1, keepdims=True)
+    y = (xs - mean) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"].astype(y.dtype)
+            + p["bias"].astype(y.dtype)).astype(dtype)
 
 
 def dropout(x: jnp.ndarray, rate: float, rng) -> jnp.ndarray:
@@ -89,8 +94,9 @@ def attention_block(p: Params, x_q: jnp.ndarray, x_kv: jnp.ndarray,
 
 
 def mlp_block(fc1: Params, fc2: Params, x: jnp.ndarray,
-              act_dropout: float = 0.0, rng=None) -> jnp.ndarray:
-    h = jax.nn.gelu(dense(fc1, x), approximate=False)
+              act_dropout: float = 0.0, rng=None,
+              exact_gelu: bool = True) -> jnp.ndarray:
+    h = jax.nn.gelu(dense(fc1, x), approximate=not exact_gelu)
     h = dropout(h, act_dropout, rng)
     return dense(fc2, h)
 
@@ -111,18 +117,21 @@ def _conv1d(p: Params, x: jnp.ndarray, stride: int) -> jnp.ndarray:
 
 def _encoder_layer(lp: Params, x: jnp.ndarray, n_heads: int,
                    rates: Tuple[float, float, float] = (0.0, 0.0, 0.0),
-                   rng=None, f32_attn: bool = True) -> jnp.ndarray:
+                   rng=None,
+                   policy: Tuple[bool, bool] = (True, False)) -> jnp.ndarray:
+    f32_attn, fast_act = policy
     drop, attn_drop, act_drop = rates
     rngs = jax.random.split(rng, 4) if rng is not None else (None,) * 4
     r = x
-    x = layer_norm(lp["self_attn_ln"], x)
+    x = layer_norm(lp["self_attn_ln"], x, fp32=not fast_act)
     x = attention_block(lp["self_attn"], x, x, n_heads,
                         attn_dropout=attn_drop, rng=rngs[0],
                         f32_attn=f32_attn)
     x = r + dropout(x, drop, rngs[1])
     r = x
-    x = layer_norm(lp["final_ln"], x)
-    x = mlp_block(lp["fc1"], lp["fc2"], x, act_dropout=act_drop, rng=rngs[2])
+    x = layer_norm(lp["final_ln"], x, fp32=not fast_act)
+    x = mlp_block(lp["fc1"], lp["fc2"], x, act_dropout=act_drop, rng=rngs[2],
+                  exact_gelu=not fast_act)
     return r + dropout(x, drop, rngs[3])
 
 
@@ -148,7 +157,7 @@ def encode(params: Params, cfg: WhisperConfig, mel: jnp.ndarray,
     # (reference modeling_flax_whisper.py:982-985).
     x = x + jax.lax.stop_gradient(params["pos_emb"]).astype(dtype)
 
-    f32_attn = not cfg.fast_bf16_attention
+    policy = (not cfg.fast_bf16_attention, cfg.fast_approx_activations)
     layer = _encoder_layer
     if remat:
         layer = jax.checkpoint(layer, static_argnums=(2, 3, 5))
@@ -161,14 +170,14 @@ def encode(params: Params, cfg: WhisperConfig, mel: jnp.ndarray,
         def body(carry, xs):
             lp, lrng = xs
             y = layer(lp, carry, cfg.encoder_attention_heads, rates, lrng,
-                      f32_attn)
+                      policy)
             return y, (carry if output_hidden_states else None)
 
         y, hs = jax.lax.scan(body, x, (params["layers"], layer_rngs))
     else:
         def body(carry, lp):
             y = layer(lp, carry, cfg.encoder_attention_heads,
-                      (0.0, 0.0, 0.0), None, f32_attn)
+                      (0.0, 0.0, 0.0), None, policy)
             return y, (carry if output_hidden_states else None)
 
         y, hs = jax.lax.scan(body, x, params["layers"])
@@ -211,12 +220,14 @@ def cross_kv(params: Params, cfg: WhisperConfig, enc: jnp.ndarray) -> Params:
 def _decoder_layer(lp: Params, x: jnp.ndarray, self_k, self_v, ck, cv,
                    n_heads: int, self_mask, self_causal: bool = False,
                    rates: Tuple[float, float, float] = (0.0, 0.0, 0.0),
-                   rng=None, f32_attn: bool = True) -> jnp.ndarray:
+                   rng=None,
+                   policy: Tuple[bool, bool] = (True, False)) -> jnp.ndarray:
     """One decoder layer given already-materialised K/V for both attentions."""
+    f32_attn, fast_act = policy
     drop, attn_drop, act_drop = rates
     rngs = jax.random.split(rng, 6) if rng is not None else (None,) * 6
     r = x
-    h = layer_norm(lp["self_attn_ln"], x)
+    h = layer_norm(lp["self_attn_ln"], x, fp32=not fast_act)
     q = _split_heads(dense(lp["self_attn"]["q"], h), n_heads)
     a = mha(q, self_k, self_v, self_mask, causal=self_causal,
             float32_logits=f32_attn,
@@ -225,7 +236,7 @@ def _decoder_layer(lp: Params, x: jnp.ndarray, self_k, self_v, ck, cv,
                     drop, rngs[1])
 
     r = x
-    h = layer_norm(lp["cross_attn_ln"], x)
+    h = layer_norm(lp["cross_attn_ln"], x, fp32=not fast_act)
     q = _split_heads(dense(lp["cross_attn"]["q"], h), n_heads)
     a = mha(q, ck, cv, float32_logits=f32_attn,
             dropout_rate=attn_drop, dropout_rng=rngs[2])
@@ -233,8 +244,9 @@ def _decoder_layer(lp: Params, x: jnp.ndarray, self_k, self_v, ck, cv,
                     drop, rngs[3])
 
     r = x
-    h = layer_norm(lp["final_ln"], x)
-    h = mlp_block(lp["fc1"], lp["fc2"], h, act_dropout=act_drop, rng=rngs[4])
+    h = layer_norm(lp["final_ln"], x, fp32=not fast_act)
+    h = mlp_block(lp["fc1"], lp["fc2"], h, act_dropout=act_drop, rng=rngs[4],
+                  exact_gelu=not fast_act)
     return r + dropout(h, drop, rngs[5])
 
 
@@ -305,7 +317,7 @@ def decode(params: Params, cfg: WhisperConfig, tokens: jnp.ndarray,
         # [B, S_k] padding mask combined with causality (training only).
         self_mask = jnp.logical_and(self_mask, attention_mask[:, None, None, :])
 
-    f32_attn = not cfg.fast_bf16_attention
+    policy = (not cfg.fast_bf16_attention, cfg.fast_approx_activations)
     layer = _decoder_layer
     if remat:
         layer = jax.checkpoint(layer, static_argnums=(6, 8, 9, 11))
@@ -336,7 +348,7 @@ def decode(params: Params, cfg: WhisperConfig, tokens: jnp.ndarray,
             k = _split_heads(dense(lp["self_attn"]["k"], h), n_heads)
             v = _split_heads(dense(lp["self_attn"]["v"], h), n_heads)
             y = layer(lp, carry, k, v, ck, cv, n_heads, self_mask,
-                      self_causal, rates, lrng, f32_attn)
+                      self_causal, rates, lrng, policy)
             return y, (carry if output_hidden_states else None)
 
         xs = ((params["layers"], ck_all, cv_all, layer_rngs) if use_dropout
@@ -355,7 +367,7 @@ def decode(params: Params, cfg: WhisperConfig, tokens: jnp.ndarray,
                 cache_v, v.astype(cache_v.dtype), pos_offset, axis=1)
             y = layer(lp, carry, cache_k.astype(dtype), cache_v.astype(dtype),
                       ck, cv, n_heads, self_mask, False, (0.0, 0.0, 0.0),
-                      None, f32_attn)
+                      None, policy)
             return y, (cache_k, cache_v,
                        carry if output_hidden_states else None)
 

@@ -198,3 +198,22 @@ def test_dropout_training_mode(hf_model, batch):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
     assert np.abs(np.asarray(a) - np.asarray(base)).max() > 1e-3
     assert np.abs(np.asarray(a) - np.asarray(c)).max() > 1e-3
+
+
+def test_fast_policies_still_decode_consistently(hf_model, batch):
+    """Fast inference policies must keep greedy decisions stable on this
+    model (smoke guard — WER validation is per-deployment)."""
+    from distil_whisper_tpu.generation import GenerationOptions, encode_and_generate
+    mel, _ = batch
+    _, path = hf_model
+    params, cfg = load_params(path, CFG)
+    opts = GenerationOptions(max_new_tokens=10)
+    prompt = jnp.asarray([[3], [3]], jnp.int32)
+    ref = encode_and_generate(params, cfg, jnp.asarray(mel), prompt, opts)
+    fast_cfg = cfg.replace(fast_bf16_attention=True,
+                           fast_approx_activations=True)
+    fast = encode_and_generate(params, fast_cfg, jnp.asarray(mel), prompt, opts)
+    # fp32 params: fast_bf16_attention is exact; approx activations may only
+    # flip rare near-ties
+    agree = np.mean(np.asarray(ref.sequences) == np.asarray(fast.sequences))
+    assert agree >= 0.9, agree
