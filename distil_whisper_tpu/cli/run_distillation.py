@@ -51,6 +51,10 @@ def parse_args(argv=None):
     p.add_argument("--dataset_probabilities", default=None)
     p.add_argument("--min_duration_s", type=float, default=0.0)
     p.add_argument("--max_duration_s", type=float, default=30.0)
+    p.add_argument("--streaming", action="store_true",
+                   help="lazy per-sample prep + shuffle buffer + background "
+                        "prefetch instead of materialising the dataset")
+    p.add_argument("--shuffle_buffer_size", type=int, default=256)
     p.add_argument("--eval_dataset_path", default=None)
     p.add_argument("--output_dir", required=True)
     p.add_argument("--max_steps", type=int, default=1000)
@@ -92,37 +96,43 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def _prepare_row(row, tok, cfg, args, normalizer, rng):
+    """One raw row -> training sample (or None when filtered)."""
+    text_col = "whisper_transcript" if args.use_pseudo_labels else "text"
+    transcript = row.get(text_col)
+    if args.use_pseudo_labels and args.wer_threshold is not None:
+        if not is_wer_in_range(row.get("text", ""), transcript,
+                               normalizer, args.wer_threshold):
+            return None
+    audio = load_audio(row["audio"], cfg.sampling_rate)
+    if not (args.min_duration_s * cfg.sampling_rate < len(audio)
+            <= args.max_duration_s * cfg.sampling_rate):
+        return None
+    prev = row.get("condition_on_prev")
+    labels = prepare_labels(
+        tok, transcript, is_pseudo_label=args.use_pseudo_labels,
+        language=args.language, task=args.task,
+        prev_ids=list(prev)[1:] if prev else None,
+        timestamp_probability=args.timestamp_probability,
+        condition_on_prev_probability=args.condition_on_prev_probability,
+        max_label_length=args.max_label_length, rng=rng)
+    if not (1 < len(labels) < args.max_label_length):
+        return None
+    mel = np.asarray(compute_mel(jnp.asarray(audio), cfg)[0])
+    return {"input_features": mel, "labels": labels,
+            "text": row.get("text", "")}
+
+
 def _prepare_samples(ds, tok, cfg, args, normalizer, rng):
     """Filter + label-prepare + feature-extract (host side)."""
-    text_col = "whisper_transcript" if args.use_pseudo_labels else "text"
     samples = []
     n_filtered = 0
     for row in ds:
-        transcript = row.get(text_col)
-        if args.use_pseudo_labels and args.wer_threshold is not None:
-            if not is_wer_in_range(row.get("text", ""), transcript,
-                                   normalizer, args.wer_threshold):
-                n_filtered += 1
-                continue
-        audio = load_audio(row["audio"], cfg.sampling_rate)
-        if not (args.min_duration_s * cfg.sampling_rate < len(audio)
-                <= args.max_duration_s * cfg.sampling_rate):
+        s = _prepare_row(row, tok, cfg, args, normalizer, rng)
+        if s is None:
             n_filtered += 1
-            continue
-        prev = row.get("condition_on_prev")
-        labels = prepare_labels(
-            tok, transcript, is_pseudo_label=args.use_pseudo_labels,
-            language=args.language, task=args.task,
-            prev_ids=list(prev)[1:] if prev else None,
-            timestamp_probability=args.timestamp_probability,
-            condition_on_prev_probability=args.condition_on_prev_probability,
-            max_label_length=args.max_label_length, rng=rng)
-        if not (1 < len(labels) < args.max_label_length):
-            n_filtered += 1
-            continue
-        mel = np.asarray(compute_mel(jnp.asarray(audio), cfg)[0])
-        samples.append({"input_features": mel, "labels": labels,
-                        "text": row.get("text", "")})
+        else:
+            samples.append(s)
     logger.info("prepared %d samples (%d filtered)", len(samples), n_filtered)
     return samples
 
@@ -189,13 +199,34 @@ def main(argv=None):
                                       args.train_splits,
                                       args.dataset_probabilities,
                                       seed=args.seed)
-    samples = _prepare_samples(train_ds, tok, teacher_cfg, args, normalizer,
-                               rng)
-    if not samples:
-        raise RuntimeError("no training samples after filtering")
-    collator = Collator(decoder_start_token_id=teacher_cfg.decoder_start_token_id,
+    # Mask prompts with the TOKENIZER's <|startoftranscript|> — labels are
+    # built from the tokenizer, and a checkpoint config with mismatched ids
+    # would silently mask every label otherwise.
+    if tok.sot != teacher_cfg.decoder_start_token_id:
+        logger.warning(
+            "config decoder_start_token_id=%d != tokenizer <|startoftranscript|>"
+            "=%d; using the tokenizer's id for prompt masking",
+            teacher_cfg.decoder_start_token_id, tok.sot)
+    collator = Collator(decoder_start_token_id=tok.sot,
                         pad_token_id=teacher_cfg.pad_token_id,
                         max_target_length=args.max_label_length)
+    samples = None
+    stream = None
+    if args.streaming:
+        from ..training.data_stream import streaming_batches
+        bsz_stream = args.per_device_train_batch_size * mesh.shape["data"]
+        stream = streaming_batches(
+            train_ds,
+            prepare=lambda row: _prepare_row(row, tok, teacher_cfg, args,
+                                             normalizer, rng),
+            collate=collator, batch_size=bsz_stream,
+            shuffle_buffer_size=args.shuffle_buffer_size,
+            seed=args.seed, repeat=True, prefetch_depth=2)
+    else:
+        samples = _prepare_samples(train_ds, tok, teacher_cfg, args,
+                                   normalizer, rng)
+        if not samples:
+            raise RuntimeError("no training samples after filtering")
     eval_samples = None
     if args.eval_dataset_path:
         eval_ds = load_dataset_any(args.eval_dataset_path, "validation")
@@ -208,13 +239,15 @@ def main(argv=None):
                                         normalizer, rng)
 
     bsz = args.per_device_train_batch_size * mesh.shape["data"]
-    order = rng.permutation(len(samples))
+    order = rng.permutation(len(samples)) if samples else None
     cursor = 0
     best_wer = float("inf")
     t_start = time.perf_counter()
 
     def next_batch():
         nonlocal order, cursor
+        if stream is not None:
+            return next(stream)
         idx = []
         while len(idx) < bsz:
             if cursor >= len(order):
@@ -270,7 +303,12 @@ def main(argv=None):
             mgr.save_best(step, jax.device_get(state), wer)
 
     for step in range(start_step, args.max_steps):
-        batch = shard_batch(jax.tree.map(jnp.asarray, next_batch()), mesh)
+        raw = next_batch()
+        if step == start_step and int((raw["labels"] != -100).sum()) == 0:
+            raise RuntimeError(
+                "first batch has zero supervised tokens — check that the "
+                "checkpoint's special-token ids match its tokenizer")
+        batch = shard_batch(jax.tree.map(jnp.asarray, raw), mesh)
         state, metrics = jit_train(state, teacher, batch)
         if (step + 1) % args.logging_steps == 0:
             m = {k: float(v) for k, v in metrics.items()}

@@ -31,7 +31,9 @@ def workspace(tmp_path_factory):
         encoder_ffn_dim=96, decoder_ffn_dim=96,
         max_source_positions=1500, max_target_positions=448,
         dropout=0.0, suppress_tokens=None, begin_suppress_tokens=None,
-        forced_decoder_ids=None)
+        forced_decoder_ids=None,
+        pad_token_id=50257, bos_token_id=50257, eos_token_id=50257,
+        decoder_start_token_id=50258)
     WhisperForConditionalGeneration(hf_cfg).save_pretrained(str(ckpt))
 
     # tokenizer artifacts: byte units + filler to 50257, then real specials
