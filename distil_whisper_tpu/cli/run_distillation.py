@@ -17,6 +17,7 @@ step checkpoints with rotation + best-by-val-WER, final HF-format export.
 from __future__ import annotations
 
 import argparse
+import signal
 import time
 from pathlib import Path
 
@@ -238,6 +239,22 @@ def main(argv=None):
         eval_samples = _prepare_samples(eval_ds, tok, teacher_cfg, eval_args,
                                         normalizer, rng)
 
+    # Preemption robustness (SURVEY.md §5 flags this as a reference gap):
+    # SIGTERM/SIGINT request a checkpoint at the next step boundary, so a
+    # preempted TPU slice resumes with --resume_from_checkpoint.
+    stop_requested = {"flag": False}
+
+    def _request_stop(signum, frame):
+        logger.warning("signal %d received: checkpointing at next step "
+                       "boundary, then exiting", signum)
+        stop_requested["flag"] = True
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, _request_stop)
+        except ValueError:
+            pass  # not the main thread (e.g. under a test runner)
+
     bsz = args.per_device_train_batch_size * mesh.shape["data"]
     order = rng.permutation(len(samples)) if samples else None
     cursor = 0
@@ -320,6 +337,12 @@ def main(argv=None):
             run_eval(step + 1)
         if (step + 1) % args.save_steps == 0:
             mgr.save(step + 1, jax.device_get(state))
+        if stop_requested["flag"]:
+            mgr.save(step + 1, jax.device_get(state),
+                     metadata={"preempted": True})
+            logger.warning("preemption checkpoint written at step %d; "
+                           "resume with --resume_from_checkpoint", step + 1)
+            return None
 
     run_eval(args.max_steps)
     mgr.save(args.max_steps, jax.device_get(state))

@@ -119,19 +119,27 @@ def main(argv=None):
     csv_w = csv.writer(csv_f)
     csv_w.writerow(["index", "whisper_transcript", "text"])
 
+    # Feature prep runs in a producer thread so mel extraction of batch N+1
+    # overlaps generation of batch N (host/device double-buffering — key to
+    # the >=500 audio-hrs/hour target).
+    from ..training.data_stream import Prefetcher
+
+    def make_feature_batches():
+        for group in batched(samples, bsz):
+            n = len(group)
+            wavs = np.zeros((bsz, cfg.n_samples), np.float32)
+            for j, g in enumerate(group):
+                w = g["audio"][:cfg.n_samples]
+                wavs[j, :len(w)] = w
+            mels = np.asarray(compute_mel(jnp.asarray(wavs), cfg))
+            yield group, mels
+
     all_token_ids = []
     audio_seconds = 0.0
     gen_seconds = 0.0
-    for step, group in enumerate(batched(samples, bsz)):
+    for step, (group, mels) in enumerate(Prefetcher(make_feature_batches,
+                                                    depth=2)):
         n = len(group)
-        wavs = np.zeros((n, cfg.n_samples), np.float32)
-        for j, g in enumerate(group):
-            w = g["audio"][:cfg.n_samples]
-            wavs[j, :len(w)] = w
-        mels = np.asarray(compute_mel(jnp.asarray(wavs), cfg))
-        if n < bsz:
-            mels = np.concatenate(
-                [mels, np.zeros((bsz - n,) + mels.shape[1:], mels.dtype)])
         prompts = jnp.asarray([prompt] * bsz, jnp.int32)
         batch = shard_batch({"mel": jnp.asarray(mels, dtype)}, mesh)
         t0 = time.perf_counter()
