@@ -9,7 +9,7 @@ mode, 25 s chunks, WER/IER/SER/DER + repeated-5-gram reporting.
 
 from __future__ import annotations
 
-from .run_eval import main as _eval_main, parse_args as _parse
+from .run_eval import main as _eval_main
 
 
 def main(argv=None):

@@ -18,7 +18,7 @@ draft is just a 2-layer decoder on the teacher's ``cross_kv``.
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional
+from typing import Any, Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ flax drivers — cf. SURVEY.md §2).  Design choices, TPU-first:
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax

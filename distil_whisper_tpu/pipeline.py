@@ -13,7 +13,7 @@ final batches are padded to the compiled batch size and dropped after
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Union
+from typing import Any, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import functools
 import json
-from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 
 try:

@@ -15,7 +15,7 @@ halves encoder FLOPs, usually the bulk of the step for 2-layer students.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ..config import WhisperConfig
 from ..models.whisper import encode, decode, forward
 from .losses import (cross_entropy, kl_divergence, hidden_state_mse,
-                     get_layers_to_supervise, token_mask)
+                     get_layers_to_supervise)
 from .state import TrainState, OptimizerConfig
 
 Params = Any

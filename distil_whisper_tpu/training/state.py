@@ -17,7 +17,7 @@ reference (:665-698, adamw·MultiSteps at :1637).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
