@@ -1,0 +1,49 @@
+"""Pipeline extras: translate task, language detection, stride overrides."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from distil_whisper_tpu.models import init_params
+from distil_whisper_tpu.pipeline import WhisperPipeline
+from tests.test_longform import CFG, _real_layout_tokenizer
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    params = init_params(CFG, jax.random.PRNGKey(0))
+    p = WhisperPipeline.__new__(WhisperPipeline)
+    p.params, p.cfg, p.tokenizer = params, CFG, _real_layout_tokenizer()
+    p.dtype = jnp.float32
+    p.batch_size = 2
+    p.max_new_tokens = 8
+    p._generate_cache = {}
+    return p
+
+
+def test_translate_task_prompt(pipe):
+    tok = pipe.tokenizer
+    ids = tok.prompt_ids(language="fr", task="translate")
+    assert ids == [tok.sot, tok.lang_to_id["fr"], tok.translate,
+                   tok.no_timestamps]
+    out = pipe(np.zeros(16000, np.float32), language="fr", task="translate")
+    assert isinstance(out["text"], str)
+
+
+def test_language_detection_returns_known_code(pipe):
+    mel = jnp.zeros((1, 80, 3000), jnp.float32)
+    codes = pipe.detect_language(mel)
+    assert codes[0] in pipe.tokenizer.lang_to_id
+
+
+def test_custom_stride(pipe):
+    audio = np.zeros(int(50 * 16000), np.float32)
+    out = pipe(audio, chunk_length_s=20.0, stride_length_s=2.0, language="en")
+    assert isinstance(out["text"], str)
+
+
+def test_stride_too_large_raises(pipe):
+    with pytest.raises(ValueError, match="strides"):
+        pipe(np.zeros(16000 * 40, np.float32), chunk_length_s=10.0,
+             stride_length_s=5.0, language="en")
