@@ -83,6 +83,7 @@ def generate(dec_params: Dict[str, Any], cfg: WhisperConfig,
              temperature=0.0,
              rng: Optional[jax.Array] = None,
              pad_len: Optional[jnp.ndarray] = None,
+             sot_slot: Optional[int] = None,
              dtype=jnp.float32) -> GenerateOutput:
     """Autoregressively extend ``prompt_ids`` [B, P] by up to max_new_tokens.
 
@@ -110,9 +111,12 @@ def generate(dec_params: Dict[str, Any], cfg: WhisperConfig,
 
     # <|nospeech|> probability from the raw logits at the SOT position
     # (HF WhisperNoSpeechDetection / OpenAI sot_index convention).  With a
-    # left-padded prompt the SOT slot is pad_len[b] rather than 0.
+    # left-padded condition-on-prev prompt the <|startoftranscript|> slot is
+    # static: prompt_len - len(base_prompt) — pass it as ``sot_slot``.
     if opts.no_speech_token_id is not None:
-        if pad_len is None:
+        if sot_slot is not None:
+            sot_logits = prefill_logits[:, sot_slot]
+        elif pad_len is None:
             sot_logits = prefill_logits[:, 0]
         else:
             sot_logits = jnp.take_along_axis(
@@ -195,13 +199,14 @@ def encode_and_generate(params: Dict[str, Any], cfg: WhisperConfig,
                         opts: GenerationOptions, temperature=0.0,
                         rng: Optional[jax.Array] = None,
                         pad_len: Optional[jnp.ndarray] = None,
+                        sot_slot: Optional[int] = None,
                         dtype=jnp.float32) -> GenerateOutput:
     """mel [B, n_mels, 3000] + prompt -> GenerateOutput (one jittable fn)."""
     enc = encode(params["encoder"], cfg, mel, dtype=dtype)
     cross = cross_kv(params["decoder"], cfg, enc)
     return generate(params["decoder"], cfg, cross, prompt_ids, opts,
                     temperature=temperature, rng=rng, pad_len=pad_len,
-                    dtype=dtype)
+                    sot_slot=sot_slot, dtype=dtype)
 
 
 def build_generate(cfg: WhisperConfig, opts: GenerationOptions, dtype=jnp.float32):

@@ -88,11 +88,13 @@ class SequentialTranscriber:
         if do_sample not in self._jit_cache:
             gen_opts = self._gen_opts[do_sample]
 
+            sot_slot = self.prompt_len - len(self.base_prompt)
+
             def fn(params, mel, prompts, pad_len, temperature, rng):
                 return encode_and_generate(
                     params, self.cfg, mel, prompts, gen_opts,
                     temperature=temperature, rng=rng, pad_len=pad_len,
-                    dtype=self.dtype)
+                    sot_slot=sot_slot, dtype=self.dtype)
             self._jit_cache[do_sample] = jax.jit(fn)
         return self._jit_cache[do_sample]
 
