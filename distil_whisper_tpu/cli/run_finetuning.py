@@ -92,7 +92,8 @@ def main(argv=None):
                                     "condition_on_prev_probability": 0.0})
     train_ds = load_dataset_any(args.train_dataset_path, "train")
     samples = _prepare_samples(train_ds, tok, cfg, ft_args, normalizer, rng)
-    collator = Collator(decoder_start_token_id=cfg.decoder_start_token_id,
+    # mask prompts with the tokenizer's SOT (see run_distillation)
+    collator = Collator(decoder_start_token_id=tok.sot,
                         pad_token_id=cfg.pad_token_id,
                         max_target_length=args.max_label_length)
     mgr = CheckpointManager(args.output_dir,
