@@ -17,6 +17,7 @@ step checkpoints with rotation + best-by-val-WER, final HF-format export.
 from __future__ import annotations
 
 import argparse
+import json
 import signal
 import time
 from pathlib import Path
@@ -30,14 +31,18 @@ from ..audio import compute_mel
 from ..generation import GenerationOptions, encode_and_generate
 from ..models import load_params, param_axes, save_pretrained
 from ..models.params import to_fp32
-from ..parallel import (make_mesh, shard_params, shard_batch,
-                        shardings_for_tree, replicated, DEFAULT_RULES)
+from ..parallel import (make_mesh, shard_params, shardings_for_tree,
+                        DEFAULT_RULES, RULES_2D,
+                        maybe_initialize_distributed,
+                        host_local_batch_to_global, gather_rows,
+                        process_local_slice)
 from ..tokenizer import (WhisperTokenizer, EnglishTextNormalizer,
                          BasicTextNormalizer)
 from ..metrics import process_words
 from ..training import (Collator, DistillConfig, OptimizerConfig, TrainState,
                         build_train_step, CheckpointManager, is_wer_in_range,
-                        prepare_labels, make_optimizer)
+                        prepare_labels, make_optimizer, place_state)
+from ..utils.profiling import MetricsLogger
 from .common import (load_dataset_any, load_multiple_datasets, logger,
                      setup_logging, copy_tokenizer_files)
 
@@ -75,10 +80,28 @@ def parse_args(argv=None):
                    action="store_false")
     p.add_argument("--timestamp_probability", type=float, default=0.2)
     p.add_argument("--condition_on_prev_probability", type=float, default=0.2)
+    p.add_argument("--round_timestamps", action="store_true",
+                   help="round timestamp labels to 0.1 s (reference "
+                        "flax/run_distillation.py:1376-1386)")
     p.add_argument("--max_label_length", type=int, default=448)
     p.add_argument("--freeze_encoder", action="store_true", default=True)
     p.add_argument("--train_encoder", dest="freeze_encoder",
                    action="store_false")
+    p.add_argument("--freeze_decoder", action="store_true",
+                   help="freeze the decoder except the tied embeddings/LM "
+                        "head (reference run_distillation.py:1027-1032)")
+    p.add_argument("--freeze_embed_positions", action="store_true",
+                   help="freeze decoder position embeddings (reference "
+                        "run_distillation.py:1034-1040)")
+    p.add_argument("--preprocessing_only", action="store_true",
+                   help="prepare + cache the training set, then exit (two-"
+                        "phase pattern, reference run_distillation.py:263-275)")
+    p.add_argument("--preprocessed_cache", default=None,
+                   help="directory for the prepared-sample cache (written by "
+                        "--preprocessing_only, reused on the training run)")
+    p.add_argument("--param_sharding", default="1d", choices=["1d", "2d"],
+                   help="1d: params sharded over 'model' only; 2d: FSDP-style "
+                        "over 'data' too (optimizer moments follow params)")
     p.add_argument("--ce_weight", type=float, default=0.8)
     p.add_argument("--kl_weight", type=float, default=1.0)
     p.add_argument("--mse_weight", type=float, default=0.0)
@@ -116,7 +139,8 @@ def _prepare_row(row, tok, cfg, args, normalizer, rng):
         prev_ids=list(prev)[1:] if prev else None,
         timestamp_probability=args.timestamp_probability,
         condition_on_prev_probability=args.condition_on_prev_probability,
-        max_label_length=args.max_label_length, rng=rng)
+        max_label_length=args.max_label_length,
+        round_timestamps=getattr(args, "round_timestamps", False), rng=rng)
     if not (1 < len(labels) < args.max_label_length):
         return None
     mel = np.asarray(compute_mel(jnp.asarray(audio), cfg)[0])
@@ -141,6 +165,7 @@ def _prepare_samples(ds, tok, cfg, args, normalizer, rng):
 def main(argv=None):
     args = parse_args(argv)
     setup_logging()
+    maybe_initialize_distributed()
     rng = np.random.default_rng(args.seed)
 
     teacher, teacher_cfg = load_params(args.teacher_checkpoint)
@@ -152,25 +177,31 @@ def main(argv=None):
 
     n_dev = len(jax.devices())
     mesh = make_mesh((n_dev // args.model_parallel, args.model_parallel))
-    logger.info("mesh: %s", dict(mesh.shape))
-    teacher = shard_params(teacher, param_axes(teacher_cfg), mesh)
-    student = shard_params(student, param_axes(student_cfg), mesh)
+    rules = RULES_2D if args.param_sharding == "2d" else DEFAULT_RULES
+    logger.info("mesh: %s (%d processes, %s param sharding)",
+                dict(mesh.shape), jax.process_count(), args.param_sharding)
+    teacher = shard_params(teacher, param_axes(teacher_cfg), mesh, rules)
+    student = shard_params(student, param_axes(student_cfg), mesh, rules)
 
+    frozen = []
+    if args.freeze_encoder:
+        frozen.append("encoder")
+    if args.freeze_decoder:
+        # everything under decoder EXCEPT tok_emb (tied to the LM head,
+        # reference run_distillation.py:1027-1032)
+        frozen += ["decoder.pos_emb", "decoder.layers", "decoder.ln"]
+    elif args.freeze_embed_positions:
+        frozen.append("decoder.pos_emb")
     opt_cfg = OptimizerConfig(
         learning_rate=args.learning_rate, warmup_steps=args.warmup_steps,
         total_steps=args.max_steps, schedule=args.lr_scheduler_type,
         weight_decay=args.weight_decay, max_grad_norm=args.max_grad_norm,
         gradient_accumulation_steps=args.gradient_accumulation_steps,
-        precision=args.precision,
-        frozen_prefixes=("encoder",) if args.freeze_encoder else ())
+        precision=args.precision, frozen_prefixes=tuple(frozen))
     tx = make_optimizer(opt_cfg, to_fp32(student))
     state, tx = TrainState.create(student, opt_cfg, tx)
-    s_shardings = shardings_for_tree(param_axes(student_cfg), mesh,
-                                     DEFAULT_RULES)
-    state = TrainState(
-        step=jax.device_put(state.step, replicated(mesh)),
-        params=jax.tree.map(jax.device_put, state.params, s_shardings),
-        opt_state=jax.device_put(state.opt_state, replicated(mesh)))
+    s_shardings = shardings_for_tree(param_axes(student_cfg), mesh, rules)
+    state = place_state(state, tx, mesh, s_shardings)
 
     dcfg = DistillConfig(
         ce_weight=args.ce_weight, kl_weight=args.kl_weight,
@@ -190,10 +221,7 @@ def main(argv=None):
         resumed = mgr.resume_latest(jax.device_get(state))
         if resumed is not None:
             start_step, state = resumed
-            state = TrainState(
-                step=jax.device_put(state.step, replicated(mesh)),
-                params=jax.tree.map(jax.device_put, state.params, s_shardings),
-                opt_state=jax.device_put(state.opt_state, replicated(mesh)))
+            state = place_state(state, tx, mesh, s_shardings)
             logger.info("resumed from step %d", start_step)
 
     train_ds = load_multiple_datasets(args.train_dataset_path,
@@ -211,23 +239,54 @@ def main(argv=None):
     collator = Collator(decoder_start_token_id=tok.sot,
                         pad_token_id=teacher_cfg.pad_token_id,
                         max_target_length=args.max_label_length)
+    # Each process feeds its own slice of the global batch; GSPMD assembles
+    # the global arrays (host_local_batch_to_global).  Single-process this is
+    # a plain device_put — same code path, no special-casing.
+    n_proc = jax.process_count()
+    global_bsz = args.per_device_train_batch_size * mesh.shape["data"]
+    local_bsz = max(global_bsz // n_proc, 1)
+
     samples = None
     stream = None
+    cache_file = (Path(args.preprocessed_cache) / "train_samples.npy"
+                  if args.preprocessed_cache else None)
     if args.streaming:
+        if args.preprocessing_only:
+            raise ValueError("--preprocessing_only is incompatible with "
+                             "--streaming: preparation happens on the fly "
+                             "(reference run_distillation.py:1308-1313)")
         from ..training.data_stream import streaming_batches
-        bsz_stream = args.per_device_train_batch_size * mesh.shape["data"]
         stream = streaming_batches(
             train_ds,
             prepare=lambda row: _prepare_row(row, tok, teacher_cfg, args,
                                              normalizer, rng),
-            collate=collator, batch_size=bsz_stream,
+            collate=collator, batch_size=local_bsz,
             shuffle_buffer_size=args.shuffle_buffer_size,
-            seed=args.seed, repeat=True, prefetch_depth=2)
+            seed=args.seed + jax.process_index(), repeat=True,
+            prefetch_depth=2)
     else:
-        samples = _prepare_samples(train_ds, tok, teacher_cfg, args,
-                                   normalizer, rng)
-        if not samples:
-            raise RuntimeError("no training samples after filtering")
+        if (cache_file is not None and cache_file.exists()
+                and not args.preprocessing_only):
+            samples = list(np.load(cache_file, allow_pickle=True))
+            logger.info("loaded %d prepared samples from %s",
+                        len(samples), cache_file)
+        else:
+            samples = _prepare_samples(train_ds, tok, teacher_cfg, args,
+                                       normalizer, rng)
+            if not samples:
+                raise RuntimeError("no training samples after filtering")
+            if cache_file is not None:
+                cache_file.parent.mkdir(parents=True, exist_ok=True)
+                np.save(cache_file, np.asarray(samples, dtype=object),
+                        allow_pickle=True)
+                logger.info("cached %d prepared samples at %s",
+                            len(samples), cache_file)
+        if args.preprocessing_only:
+            logger.info("--preprocessing_only set: preprocessing finished, "
+                        "skipping training")
+            return str(cache_file) if cache_file else None
+        if n_proc > 1:
+            samples = samples[process_local_slice(len(samples))]
     eval_samples = None
     if args.eval_dataset_path:
         eval_ds = load_dataset_any(args.eval_dataset_path, "validation")
@@ -255,18 +314,21 @@ def main(argv=None):
         except ValueError:
             pass  # not the main thread (e.g. under a test runner)
 
-    bsz = args.per_device_train_batch_size * mesh.shape["data"]
     order = rng.permutation(len(samples)) if samples else None
     cursor = 0
     best_wer = float("inf")
     t_start = time.perf_counter()
+    # JSONL scalar sink + per-eval prediction tables — the reference's W&B
+    # scalars and prediction tables (training/run_distillation.py:501-537)
+    # without a network dependency.
+    metrics_log = MetricsLogger(str(Path(args.output_dir) / "metrics.jsonl"))
 
     def next_batch():
         nonlocal order, cursor
         if stream is not None:
             return next(stream)
         idx = []
-        while len(idx) < bsz:
+        while len(idx) < local_bsz:
             if cursor >= len(order):
                 order = rng.permutation(len(samples))
                 cursor = 0
@@ -286,23 +348,26 @@ def main(argv=None):
         def gen_fn(params, mel, prompts):
             return encode_and_generate(params, student_cfg, mel, prompts,
                                        opts, dtype=opt_cfg.compute_dtype)
-        ebsz = args.per_device_eval_batch_size * mesh.shape["data"]
+        local_ebsz = max(
+            args.per_device_eval_batch_size * mesh.shape["data"] // n_proc, 1)
+        pi = jax.process_index()
         refs, hyps, losses = [], [], []
-        for i in range(0, len(eval_samples), ebsz):
-            group = eval_samples[i:i + ebsz]
+        for i in range(0, len(eval_samples), local_ebsz):
+            group = eval_samples[i:i + local_ebsz]
             n = len(group)
             batch = collator(group)
-            if n < ebsz:
-                pad = {k: np.concatenate(
-                    [v, np.repeat(v[-1:], ebsz - n, axis=0)])
+            if n < local_ebsz:
+                batch = {k: np.concatenate(
+                    [v, np.repeat(v[-1:], local_ebsz - n, axis=0)])
                     for k, v in batch.items()}
-                batch = pad
-            sb = shard_batch(jax.tree.map(jnp.asarray, batch), mesh)
+            sb = host_local_batch_to_global(
+                jax.tree.map(jnp.asarray, batch), mesh)
             losses.append(float(jit_eval(state.params, teacher, sb)["ce_loss"]))
-            prompts = jnp.asarray([prompt] * ebsz, jnp.int32)
+            prompts = jnp.asarray([prompt] * (local_ebsz * n_proc), jnp.int32)
             out = gen_fn(state.params, sb["input_features"], prompts)
-            seqs = np.asarray(out.sequences)[:n]
-            lens = np.asarray(out.seq_len)[:n]
+            # gather the global result, keep this host's rows for decoding
+            seqs = gather_rows(out.sequences)[pi * local_ebsz:][:n]
+            lens = gather_rows(out.seq_len)[pi * local_ebsz:][:n]
             for j in range(n):
                 hyps.append(normalizer(tok.decode(
                     seqs[j][:lens[j]].tolist())))
@@ -311,10 +376,32 @@ def main(argv=None):
         if not pairs:
             return
         stats = process_words([r for r, _ in pairs], [h for _, h in pairs])
+        if n_proc > 1:  # aggregate error counts over hosts
+            from jax.experimental import multihost_utils
+            counts = multihost_utils.process_allgather(
+                np.asarray([stats.hits, stats.substitutions, stats.insertions,
+                            stats.deletions, stats.num_ref_words], np.int64))
+            h_, s_, i_, d_, nw = counts.reshape(-1, 5).sum(axis=0).tolist()
+            from ..metrics.wer import WordErrors
+            stats = WordErrors(hits=h_, substitutions=s_, insertions=i_,
+                               deletions=d_, num_ref_words=nw)
         wer = 100 * stats.wer
         logger.info("eval @%d: ce=%.4f wer=%.2f%% (I=%d S=%d D=%d)",
                     step, np.mean(losses), wer, stats.insertions,
                     stats.substitutions, stats.deletions)
+        metrics_log.log(step, {"eval/ce_loss": float(np.mean(losses)),
+                               "eval/wer": wer,
+                               "eval/insertions": stats.insertions,
+                               "eval/substitutions": stats.substitutions,
+                               "eval/deletions": stats.deletions})
+        if jax.process_index() == 0:
+            # prediction table incl. the incorrect-only view (reference
+            # log_pred, training/run_distillation.py:501-537)
+            pred_path = Path(args.output_dir) / f"eval_predictions-{step}.jsonl"
+            with open(pred_path, "w") as f:
+                for r, h in zip(refs, hyps):
+                    f.write(json.dumps({"norm_ref": r, "norm_pred": h,
+                                        "correct": r == h}) + "\n")
         if wer < best_wer:
             best_wer = wer
             mgr.save_best(step, jax.device_get(state), wer)
@@ -325,7 +412,8 @@ def main(argv=None):
             raise RuntimeError(
                 "first batch has zero supervised tokens — check that the "
                 "checkpoint's special-token ids match its tokenizer")
-        batch = shard_batch(jax.tree.map(jnp.asarray, raw), mesh)
+        batch = host_local_batch_to_global(jax.tree.map(jnp.asarray, raw),
+                                           mesh)
         state, metrics = jit_train(state, teacher, batch)
         if (step + 1) % args.logging_steps == 0:
             m = {k: float(v) for k, v in metrics.items()}
@@ -333,6 +421,9 @@ def main(argv=None):
             logger.info("step %d: loss=%.4f ce=%.4f kl=%.4f gnorm=%.2f "
                         "(%.2f steps/s)", step + 1, m["loss"], m["ce_loss"],
                         m["kl_loss"], m["grad_norm"], sps)
+            metrics_log.log(step + 1,
+                            {**{f"train/{k}": v for k, v in m.items()},
+                             "train/steps_per_second": sps})
         if (step + 1) % args.eval_steps == 0:
             run_eval(step + 1)
         if (step + 1) % args.save_steps == 0:
@@ -345,6 +436,7 @@ def main(argv=None):
             return None
 
     run_eval(args.max_steps)
+    metrics_log.close()
     mgr.save(args.max_steps, jax.device_get(state))
     # final HF-format export (the reference's end-of-training-weights)
     final_dir = Path(args.output_dir) / "end-of-training-weights"

@@ -19,12 +19,16 @@ import numpy as np
 
 from ..models import load_params, param_axes, save_pretrained
 from ..models.params import to_fp32
-from ..parallel import (make_mesh, shard_params, shard_batch,
-                        shardings_for_tree, replicated, DEFAULT_RULES)
+from ..parallel import (make_mesh, shard_params, shardings_for_tree,
+                        DEFAULT_RULES, RULES_2D,
+                        maybe_initialize_distributed,
+                        host_local_batch_to_global, process_local_slice)
 from ..tokenizer import (WhisperTokenizer, EnglishTextNormalizer,
                          BasicTextNormalizer)
 from ..training import (Collator, OptimizerConfig, TrainState,
-                        build_finetune_step, CheckpointManager, make_optimizer)
+                        build_finetune_step, CheckpointManager, make_optimizer,
+                        place_state)
+from ..utils.profiling import MetricsLogger
 from .common import load_dataset_any, logger, setup_logging, copy_tokenizer_files
 from .run_distillation import _prepare_samples
 
@@ -54,8 +58,10 @@ def main(argv=None):
     p.add_argument("--logging_steps", type=int, default=25)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--model_parallel", type=int, default=1)
+    p.add_argument("--param_sharding", default="1d", choices=["1d", "2d"])
     args = p.parse_args(argv)
     setup_logging()
+    maybe_initialize_distributed()
     rng = np.random.default_rng(args.seed)
 
     params, cfg = load_params(args.model_checkpoint)
@@ -66,7 +72,8 @@ def main(argv=None):
 
     n_dev = len(jax.devices())
     mesh = make_mesh((n_dev // args.model_parallel, args.model_parallel))
-    params = shard_params(params, param_axes(cfg), mesh)
+    rules = RULES_2D if args.param_sharding == "2d" else DEFAULT_RULES
+    params = shard_params(params, param_axes(cfg), mesh, rules)
 
     opt_cfg = OptimizerConfig(
         learning_rate=args.learning_rate, warmup_steps=args.warmup_steps,
@@ -75,11 +82,8 @@ def main(argv=None):
         frozen_prefixes=("encoder",) if args.freeze_encoder else ())
     tx = make_optimizer(opt_cfg, to_fp32(params))
     state, tx = TrainState.create(params, opt_cfg, tx)
-    shardings = shardings_for_tree(param_axes(cfg), mesh, DEFAULT_RULES)
-    state = TrainState(
-        step=jax.device_put(state.step, replicated(mesh)),
-        params=jax.tree.map(jax.device_put, state.params, shardings),
-        opt_state=jax.device_put(state.opt_state, replicated(mesh)))
+    shardings = shardings_for_tree(param_axes(cfg), mesh, rules)
+    state = place_state(state, tx, mesh, shardings)
 
     train_step, _ = build_finetune_step(
         cfg, opt_cfg, tx, label_smoothing=args.label_smoothing,
@@ -99,27 +103,36 @@ def main(argv=None):
     mgr = CheckpointManager(args.output_dir,
                             save_total_limit=args.save_total_limit)
 
-    bsz = args.per_device_train_batch_size * mesh.shape["data"]
+    n_proc = jax.process_count()
+    if n_proc > 1:
+        samples = samples[process_local_slice(len(samples))]
+    local_bsz = max(
+        args.per_device_train_batch_size * mesh.shape["data"] // n_proc, 1)
+    metrics_log = MetricsLogger(str(Path(args.output_dir) / "metrics.jsonl"))
     order = rng.permutation(len(samples))
     cursor = 0
     t0 = time.perf_counter()
     for step in range(args.max_steps):
         idx = []
-        while len(idx) < bsz:
+        while len(idx) < local_bsz:
             if cursor >= len(order):
                 order = rng.permutation(len(samples))
                 cursor = 0
             idx.append(order[cursor])
             cursor += 1
-        batch = shard_batch(jax.tree.map(
+        batch = host_local_batch_to_global(jax.tree.map(
             jnp.asarray, collator([samples[i] for i in idx])), mesh)
         state, metrics = jit_train(state, batch)
         if (step + 1) % args.logging_steps == 0:
-            logger.info("step %d: loss=%.4f (%.2f steps/s)", step + 1,
-                        float(metrics["loss"]),
-                        (step + 1) / (time.perf_counter() - t0))
+            loss = float(metrics["loss"])
+            sps = (step + 1) / (time.perf_counter() - t0)
+            logger.info("step %d: loss=%.4f (%.2f steps/s)",
+                        step + 1, loss, sps)
+            metrics_log.log(step + 1, {"train/loss": loss,
+                                       "train/steps_per_second": sps})
         if (step + 1) % args.save_steps == 0:
             mgr.save(step + 1, jax.device_get(state))
+    metrics_log.close()
 
     final_dir = Path(args.output_dir) / "end-of-training-weights"
     save_pretrained(to_fp32(jax.device_get(state.params)), cfg, str(final_dir))

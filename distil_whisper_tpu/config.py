@@ -43,6 +43,11 @@ class WhisperConfig:
     # encoder time on v5e, but deviates from the reference's exact numerics —
     # validate WER on your eval set before enabling.
     fast_approx_activations: bool = False
+    # Pallas flash attention for the encoder self-attention (pad-once-outside-
+    # the-scan, tuned 512-blocks).  Skips materialising the [B,H,1500,1500]
+    # logits/probs in HBM — the dominant encoder cost in bf16 on v5e.
+    # fp32-softmax internally (matches the f32-attention numerics policy).
+    use_flash_encoder: bool = False
 
     # --- special tokens (defaults = multilingual v2 layout) ---
     pad_token_id: int = 50257

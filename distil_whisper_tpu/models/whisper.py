@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import WhisperConfig
-from ..ops.attention import mha, causal_mask
+from ..ops.attention import mha, causal_mask, flash_padded, _flash_available
 
 Params = Dict[str, Any]
 
@@ -117,15 +117,26 @@ def _conv1d(p: Params, x: jnp.ndarray, stride: int) -> jnp.ndarray:
 def _encoder_layer(lp: Params, x: jnp.ndarray, n_heads: int,
                    rates: Tuple[float, float, float] = (0.0, 0.0, 0.0),
                    rng=None,
-                   policy: Tuple[bool, bool] = (True, False)) -> jnp.ndarray:
-    f32_attn, fast_act = policy
+                   policy: Tuple[bool, bool, bool] = (True, False, False),
+                   seg: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    f32_attn, fast_act, use_flash = policy
     drop, attn_drop, act_drop = rates
     rngs = jax.random.split(rng, 4) if rng is not None else (None,) * 4
     r = x
     x = layer_norm(lp["self_attn_ln"], x, fp32=not fast_act)
-    x = attention_block(lp["self_attn"], x, x, n_heads,
-                        attn_dropout=attn_drop, rng=rngs[0],
-                        f32_attn=f32_attn)
+    if use_flash:
+        # Pallas flash kernel: never materialises the [B,H,T,T] logits in HBM
+        # (XLA's fused attention writes logits+probs per layer — the dominant
+        # encoder cost at T=1500 in bf16).  Input is padded once by encode().
+        p = lp["self_attn"]
+        a = flash_padded(_split_heads(dense(p["q"], x), n_heads),
+                         _split_heads(dense(p["k"], x), n_heads),
+                         _split_heads(dense(p["v"], x), n_heads), seg)
+        x = dense(p["out"], _merge_heads(a))
+    else:
+        x = attention_block(lp["self_attn"], x, x, n_heads,
+                            attn_dropout=attn_drop, rng=rngs[0],
+                            f32_attn=f32_attn)
     x = r + dropout(x, drop, rngs[1])
     r = x
     x = layer_norm(lp["final_ln"], x, fp32=not fast_act)
@@ -156,7 +167,22 @@ def encode(params: Params, cfg: WhisperConfig, mel: jnp.ndarray,
     # (reference modeling_flax_whisper.py:982-985).
     x = x + jax.lax.stop_gradient(params["pos_emb"]).astype(dtype)
 
-    policy = (not cfg.fast_bf16_attention, cfg.fast_approx_activations)
+    use_flash = (cfg.use_flash_encoder and not (use_dropout and
+                                                cfg.attention_dropout > 0)
+                 and _flash_available())
+    t_real = x.shape[1]
+    seg = None
+    if use_flash:
+        # Pad ONCE to a block multiple; segment ids keep the tail inert (pad
+        # queries only attend pad keys, residual stream keeps rows isolated).
+        t_pad = -(-t_real // 512) * 512 if t_real >= 512 else -(-t_real // 128) * 128
+        if t_pad != t_real:
+            x = jnp.pad(x, ((0, 0), (0, t_pad - t_real), (0, 0)))
+            seg = (jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], t_pad), 1)
+                   < t_real).astype(jnp.int32)
+
+    policy = (not cfg.fast_bf16_attention, cfg.fast_approx_activations,
+              use_flash)
     layer = _encoder_layer
     if remat:
         layer = jax.checkpoint(layer, static_argnums=(2, 3, 5))
@@ -169,17 +195,21 @@ def encode(params: Params, cfg: WhisperConfig, mel: jnp.ndarray,
         def body(carry, xs):
             lp, lrng = xs
             y = layer(lp, carry, cfg.encoder_attention_heads, rates, lrng,
-                      policy)
+                      policy, seg)
             return y, (carry if output_hidden_states else None)
 
         y, hs = jax.lax.scan(body, x, (params["layers"], layer_rngs))
     else:
         def body(carry, lp):
             y = layer(lp, carry, cfg.encoder_attention_heads,
-                      (0.0, 0.0, 0.0), None, policy)
+                      (0.0, 0.0, 0.0), None, policy, seg)
             return y, (carry if output_hidden_states else None)
 
         y, hs = jax.lax.scan(body, x, params["layers"])
+    if y.shape[1] != t_real:
+        y = y[:, :t_real]
+        if output_hidden_states:
+            hs = hs[:, :, :t_real]
     y = layer_norm(params["ln_post"], y)
     if freeze:
         y = jax.lax.stop_gradient(y)

@@ -57,6 +57,39 @@ def _flash(q, k, v, causal: bool) -> jnp.ndarray:
     return out.transpose(0, 2, 1, 3)[:, :t]
 
 
+def flash_padded(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                 seg: Optional[jnp.ndarray] = None,
+                 causal: bool = False,
+                 block_q: int = 512, block_k: int = 512) -> jnp.ndarray:
+    """Pallas TPU flash attention over ALREADY block-divisible sequences.
+
+    q/k/v [B, T, H, D] with T a multiple of the block size; ``seg`` [B, T]
+    int32 segment ids marking real (1) vs pad (0) positions — pad queries only
+    see pad keys, so the tail rows are inert.  Padding is the CALLER's job,
+    done once outside the layer scan (the earlier in-kernel pad/slice per
+    scanned layer is what made flash lose to XLA's fused attention by ~2x).
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        flash_attention, BlockSizes, SegmentIds)
+    t = q.shape[1]
+    block_q = min(block_q, t)
+    block_k = min(block_k, t)
+    sizes = BlockSizes(block_q=block_q, block_k_major=block_k, block_k=block_k,
+                       block_b=1,
+                       # backward blocks: required if gradients ever flow
+                       # through (e.g. fine-tuning with an unfrozen encoder)
+                       block_q_major_dkv=block_q, block_k_major_dkv=block_k,
+                       block_k_dkv=block_k, block_q_dkv=block_q,
+                       block_k_major_dq=block_k, block_k_dq=block_k,
+                       block_q_dq=block_q)
+    out = flash_attention(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+        segment_ids=SegmentIds(q=seg, kv=seg) if seg is not None else None,
+        causal=causal, sm_scale=q.shape[-1] ** -0.5, block_sizes=sizes)
+    return out.transpose(0, 2, 1, 3)
+
+
 def mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         mask: Optional[jnp.ndarray] = None,
         causal: bool = False,

@@ -66,6 +66,19 @@ def host_local_batch_to_global(batch: Any, mesh) -> Any:
     return jax.tree.map(put, batch)
 
 
+def gather_rows(x: Any) -> np.ndarray:
+    """Fetch a (possibly non-addressable) global array as numpy on every host.
+
+    Single-process: a plain device_get.  Multi-process: an all-gather so each
+    host sees the full batch (the GSPMD analogue of the reference's
+    ``accelerator.gather_for_metrics``, run_pseudo_labelling.py:893-895).
+    """
+    if jax.process_count() == 1:
+        return np.asarray(jax.device_get(x))
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 def process_local_slice(n_items: int) -> slice:
     """Which slice of a globally-ordered dataset this host should feed."""
     per = n_items // max(jax.process_count(), 1)

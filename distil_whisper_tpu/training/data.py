@@ -59,6 +59,22 @@ def in_length_range(audio_len_samples: int, label_len: int,
 # ----------------------------------------------------------------------
 
 
+def round_timestamp_ids(token_ids: Sequence[int], timestamp_begin: int,
+                        ndigits: int = 1,
+                        time_precision: float = 0.02) -> List[int]:
+    """Round timestamp tokens to ``ndigits`` decimals of seconds — the
+    reference's ``round_timestamp_tokens`` (flax/run_distillation.py:
+    1376-1386), done in token-id space instead of on the rendered string."""
+    out = []
+    for t in token_ids:
+        if t >= timestamp_begin:
+            seconds = round((t - timestamp_begin) * time_precision, 2)
+            t = timestamp_begin + int(round(round(seconds, ndigits)
+                                            / time_precision))
+        out.append(int(t))
+    return out
+
+
 def prepare_labels(tokenizer: WhisperTokenizer, transcript: str,
                    *, is_pseudo_label: bool,
                    language: Optional[str], task: str = "transcribe",
@@ -66,6 +82,7 @@ def prepare_labels(tokenizer: WhisperTokenizer, transcript: str,
                    timestamp_probability: float = 0.2,
                    condition_on_prev_probability: float = 0.2,
                    max_label_length: int = 448,
+                   round_timestamps: bool = False,
                    rng: Optional[np.random.Generator] = None) -> List[int]:
     """One training label sequence, mirroring prepare_train_dataset."""
     rng = rng or np.random.default_rng()
@@ -87,6 +104,9 @@ def prepare_labels(tokenizer: WhisperTokenizer, transcript: str,
         if not predict_timestamps:
             token_ids = [t for t in token_ids if t < nots]
             token_ids.insert(timestamp_position, nots)
+        elif round_timestamps:
+            token_ids = round_timestamp_ids(token_ids,
+                                            tokenizer.timestamp_begin)
 
     if not bool(rng.binomial(1, condition_on_prev_probability)):
         prev_ids = None

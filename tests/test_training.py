@@ -206,3 +206,55 @@ def test_sharded_train_step_8dev():
                                        jax.device_get(batch))
     np.testing.assert_allclose(sharded_loss, float(metrics1["loss"]),
                                rtol=2e-4)
+
+
+def test_place_state_shards_optimizer_moments():
+    """place_state: AdamW mu/nu and MultiSteps acc_grads carry the PARAM
+    shardings (non-replicated under 2-D rules), scalars replicated."""
+    from jax.sharding import PartitionSpec as P
+    from distil_whisper_tpu.parallel import (make_mesh, shardings_for_tree,
+                                             RULES_2D)
+    from distil_whisper_tpu.training import place_state
+
+    mesh = make_mesh((4, 2))
+    params = init_params(TEACHER_CFG, jax.random.PRNGKey(0))
+    opt_cfg = OptimizerConfig(learning_rate=1e-3, warmup_steps=1,
+                              total_steps=10, precision="full",
+                              gradient_accumulation_steps=2,
+                              frozen_prefixes=("encoder",))
+    tx = make_optimizer(opt_cfg, params)
+    state, tx = TrainState.create(params, opt_cfg, tx)
+    shardings = shardings_for_tree(param_axes(TEACHER_CFG), mesh, RULES_2D)
+    placed = place_state(state, tx, mesh, shardings)
+
+    mu = placed.opt_state.inner_opt_state[1][0].mu
+    fc1_spec = mu["decoder"]["layers"]["fc1"]["kernel"].sharding.spec
+    assert fc1_spec == P(None, "data", "model")  # (layers, embed, mlp) 2-D
+    acc_spec = placed.opt_state.acc_grads["decoder"]["layers"]["fc1"][
+        "kernel"].sharding.spec
+    assert acc_spec == fc1_spec
+    assert placed.step.sharding.spec == P()
+    assert placed.opt_state.mini_step.sharding.spec == P()
+
+    # the placed state still trains
+    dcfg = DistillConfig(mse_weight=0.0)
+    student, s_cfg = init_student_from_teacher(params, TEACHER_CFG,
+                                               decoder_layers=2)
+    del student, s_cfg  # placement itself is the subject; step runs below
+    train_step, _ = build_train_step(TEACHER_CFG, TEACHER_CFG, dcfg,
+                                     opt_cfg, tx)
+    from distil_whisper_tpu.parallel import host_local_batch_to_global
+    batch = host_local_batch_to_global(_batch(bsz=8), mesh)
+    placed, metrics = jax.jit(train_step)(placed, placed.params, batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_dryrun_multichip_entry():
+    """The driver-facing dryrun runs in-process on the 8-device CPU mesh."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    try:
+        import __graft_entry__ as graft
+        graft.dryrun_multichip(8)
+    finally:
+        sys.path.remove("/root/repo")
