@@ -27,7 +27,7 @@ def _rtfx(preset: str, batch: int, max_new: int, n_iters: int = 3) -> float:
     from distil_whisper_tpu.models import init_params
     from distil_whisper_tpu.generation import GenerationOptions, build_generate
 
-    cfg = PRESETS[preset].replace(fast_bf16_attention=True)
+    cfg = PRESETS[preset].replace(fast_bf16_attention=True, use_flash_encoder=True)
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     # min_new_tokens pins generation to the full budget: a fixed-token
     # benchmark like the reference's --precise_tok_per_s (run_eval.py:806-844)

@@ -49,6 +49,9 @@ def load_dataset_any(path: str, split: Optional[str] = None):
         if split is not None and hasattr(ds, "keys") and split in ds:
             ds = ds[split]
         return ds
+    if p.suffix == ".arrow":
+        import datasets
+        return datasets.Dataset.from_file(str(p))  # memory-mapped
     if p.suffix in (".jsonl", ".json"):
         import datasets
         rows = []

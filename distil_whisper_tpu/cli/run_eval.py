@@ -35,7 +35,8 @@ from ..generation import (GenerationOptions, encode_and_generate,
                           speculative_generate)
 from ..models import load_params, param_axes
 from ..models.whisper import encode, cross_kv
-from ..parallel import make_mesh, shard_params
+from ..parallel import (make_mesh, shard_params, data_sharding,
+                        maybe_initialize_distributed)
 from ..tokenizer import (WhisperTokenizer, EnglishTextNormalizer,
                          BasicTextNormalizer)
 from ..metrics import process_words, count_repeated_ngrams
@@ -58,6 +59,16 @@ def parse_args(argv=None):
     p.add_argument("--max_new_tokens", type=int, default=128)
     p.add_argument("--chunk_length_s", type=float, default=25.0)
     p.add_argument("--return_timestamps", action="store_true")
+    # sequential long-form knobs (reference run_eval.py:147-176; defaults =
+    # the published eval defaults, BASELINE.md)
+    p.add_argument("--temperature_fallback",
+                   default="0.0,0.2,0.4,0.6,0.8,1.0",
+                   help="comma-separated fallback temperature ladder")
+    p.add_argument("--logprob_threshold", type=float, default=-1.0)
+    p.add_argument("--no_speech_threshold", type=float, default=0.6)
+    p.add_argument("--compression_ratio_threshold", type=float, default=1.35)
+    p.add_argument("--condition_on_prev", action="store_true",
+                   help="condition each window on the previous output")
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--output_json", default=None)
     p.add_argument("--gamma", type=int, default=5,
@@ -72,14 +83,28 @@ def parse_args(argv=None):
     return parse_args_with_json(p, argv)
 
 
+def seq_options_from_args(args) -> SequentialOptions:
+    """CLI flags -> SequentialOptions (reference flag set,
+    training/run_eval.py:147-176)."""
+    return SequentialOptions(
+        temperatures=tuple(float(t) for t in
+                           args.temperature_fallback.split(",")),
+        logprob_threshold=args.logprob_threshold,
+        no_speech_threshold=args.no_speech_threshold,
+        compression_ratio_threshold=args.compression_ratio_threshold,
+        condition_on_prev_tokens=args.condition_on_prev,
+        max_new_tokens=args.max_new_tokens)
+
+
 def main(argv=None):
     args = parse_args(argv)
     setup_logging()
+    maybe_initialize_distributed()
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
     params, cfg = load_params(args.model_checkpoint, dtype=dtype)
     if dtype == jnp.bfloat16:
-        cfg = cfg.replace(fast_bf16_attention=True)
+        cfg = cfg.replace(fast_bf16_attention=True, use_flash_encoder=True)
     tok = WhisperTokenizer.from_pretrained(args.model_checkpoint)
     mesh = make_mesh()
     params = shard_params(params, param_axes(cfg), mesh)
@@ -97,6 +122,11 @@ def main(argv=None):
         audios.append(a)
         texts.append(row.get("text", ""))
     audio_seconds = sum(len(a) for a in audios) / cfg.sampling_rate
+    # Auto-enable sequential long-form when any input exceeds one 30 s window
+    # (reference run_eval.py:726-735 switches gen_kwargs the same way).
+    if args.mode == "short" and any(len(a) > cfg.n_samples for a in audios):
+        logger.info("inputs exceed 30 s: auto-enabling sequential long-form")
+        args.mode = "sequential"
     logger.info("%d samples, %.1f audio-s, mode=%s", len(audios),
                 audio_seconds, args.mode)
 
@@ -159,6 +189,30 @@ def main(argv=None):
             def gen(params, mel, prompts):
                 return encode_and_generate(params, cfg, mel, prompts, opts,
                                            dtype=dtype)
+        # Per-sample language detection when no --language is given and the
+        # model is multilingual (the reference's pipeline does this; the
+        # harness previously required the language up front).
+        detect = None
+        if args.language is None and len(tok.lang_to_id) > 1:
+            from ..models.whisper import decode as dec_fn, init_cache
+
+            @jax.jit
+            def detect(params, mel):
+                enc_s = encode(params["encoder"], cfg, mel, dtype=dtype)
+                cross = cross_kv(params["decoder"], cfg, enc_s)
+                cache = init_cache(cfg, mel.shape[0], dtype=dtype)
+                sot = jnp.full((mel.shape[0], 1),
+                               cfg.decoder_start_token_id, jnp.int32)
+                logits, _ = dec_fn(params["decoder"], cfg, sot, cross=cross,
+                                   cache=cache, pos_offset=0, dtype=dtype)
+                return logits[:, 0]
+            lang_ids = np.asarray(sorted(tok.lang_to_id.values()))
+            # token accounting below subtracts the prompt length; with a
+            # detected language every prompt has the same (lang-bearing) length
+            prompt = tok.prompt_ids(
+                language=next(iter(tok.lang_to_id)), task=args.task,
+                no_timestamps=not args.return_timestamps)
+
         for group in batched(list(zip(audios, texts)), args.batch_size):
             n = len(group)
             wavs = np.zeros((n, cfg.n_samples), np.float32)
@@ -169,8 +223,19 @@ def main(argv=None):
             if n < args.batch_size:
                 mels = np.concatenate([mels, np.zeros(
                     (args.batch_size - n,) + mels.shape[1:], mels.dtype)])
-            prompts = jnp.asarray([prompt] * args.batch_size, jnp.int32)
-            out = gen(params, jnp.asarray(mels, dtype), prompts)
+            if detect is not None:
+                logits = np.asarray(detect(params, jnp.asarray(mels, dtype)))
+                best = lang_ids[np.argmax(logits[:, lang_ids], axis=-1)]
+                prompts = jnp.asarray(
+                    [tok.prompt_ids(language=tok.id_to_lang[int(i)],
+                                    task=args.task,
+                                    no_timestamps=not args.return_timestamps)
+                     for i in best], jnp.int32)
+            else:
+                prompts = jnp.asarray([prompt] * args.batch_size, jnp.int32)
+            mel_dev = jax.device_put(jnp.asarray(mels, dtype),
+                                     data_sharding(mesh, 3))
+            out = gen(params, mel_dev, prompts)
             seqs, lens = np.asarray(out.sequences)[:n], np.asarray(out.seq_len)[:n]
             for j in range(n):
                 ids = seqs[j][:lens[j]].tolist()
@@ -179,8 +244,7 @@ def main(argv=None):
 
     elif args.mode == "sequential":
         tr = SequentialTranscriber(
-            params, cfg, tok,
-            SequentialOptions(max_new_tokens=args.max_new_tokens),
+            params, cfg, tok, seq_options_from_args(args),
             language=args.language, task=args.task,
             batch_size=args.batch_size, dtype=dtype)
         feats = [np.asarray(compute_mel(

@@ -6,10 +6,15 @@ audio packing with ``condition_on_prev`` tracking (:632-673), batched teacher
 dumps (:887-925), WER-vs-ground-truth reporting, and a saved dataset with the
 ``whisper_transcript`` column plus <|startofprev|> prompt ids (:971-996).
 
+Scales to the 22k-hour corpora the recipe targets: the corpus STREAMS —
+rows are loaded/packed lazily, mel extraction overlaps generation via a
+producer thread, and the output dataset is written incrementally through an
+Arrow writer (nothing is materialised in RAM).
+
     python -m distil_whisper_tpu.cli.run_pseudo_labelling \
         --model_checkpoint /ckpts/whisper-large-v3 \
         --dataset_path /data/train --output_dir ./pl_out \
-        --language en --per_device_batch_size 32
+        --language en --per_device_batch_size 64
 """
 
 from __future__ import annotations
@@ -27,11 +32,13 @@ from ..audio.io import load_audio
 from ..audio import compute_mel
 from ..generation import GenerationOptions, encode_and_generate
 from ..models import load_params, param_axes
-from ..parallel import make_mesh, shard_params, shard_batch
+from ..parallel import (make_mesh, shard_params, data_sharding,
+                        maybe_initialize_distributed)
 from ..tokenizer import WhisperTokenizer, EnglishTextNormalizer, BasicTextNormalizer
 from ..metrics import process_words
-from ..training.data import pack_samples, prev_prompt_from_output
-from .common import batched, load_dataset_any, logger, setup_logging
+from ..metrics.wer import WordErrors
+from ..training.data import pack_samples_iter, prev_prompt_from_output
+from .common import load_dataset_any, logger, setup_logging
 
 
 def main(argv=None):
@@ -59,35 +66,47 @@ def main(argv=None):
     p.add_argument("--compute_wer", action="store_true", default=True)
     args = p.parse_args(argv)
     setup_logging()
+    maybe_initialize_distributed()
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     params, cfg = load_params(args.model_checkpoint, dtype=dtype)
     if dtype == jnp.bfloat16:
-        cfg = cfg.replace(fast_bf16_attention=True)
+        cfg = cfg.replace(fast_bf16_attention=True, use_flash_encoder=True)
     tok = WhisperTokenizer.from_pretrained(args.model_checkpoint)
     mesh = make_mesh()
     params = shard_params(params, param_axes(cfg), mesh)
     logger.info("mesh: %s", dict(mesh.shape))
 
     ds = load_dataset_any(args.dataset_path, args.split)
-    samples = []
-    for row in ds:
-        samples.append({
-            "audio": load_audio(row[args.audio_column_name],
-                                cfg.sampling_rate),
-            "text": row.get(args.text_column_name, ""),
-            "speaker_id": row.get(args.speaker_id_column_name)
-            if args.speaker_id_column_name else None,
-        })
+    if args.concatenate_audio and args.speaker_id_column_name \
+            and hasattr(ds, "sort"):
+        ds = ds.sort(args.speaker_id_column_name)  # Arrow-backed, O(1) RAM
+    n_proc = jax.process_count()
+    if n_proc > 1 and hasattr(ds, "shard"):
+        # contiguous shards keep same-speaker runs (and condition-on-prev
+        # chains) within one process
+        ds = ds.shard(num_shards=n_proc, index=jax.process_index(),
+                      contiguous=True)
+
+    def raw_rows():
+        for row in ds:
+            yield {
+                "audio": load_audio(row[args.audio_column_name],
+                                    cfg.sampling_rate),
+                "text": row.get(args.text_column_name, ""),
+                "speaker_id": row.get(args.speaker_id_column_name)
+                if args.speaker_id_column_name else None,
+            }
+
     if args.concatenate_audio:
-        if args.speaker_id_column_name:
-            samples.sort(key=lambda s: (s["speaker_id"] is None,
-                                        s["speaker_id"]))
-        samples = pack_samples(samples, max_input_samples=cfg.n_samples)
+        sample_iter = pack_samples_iter(raw_rows(),
+                                        max_input_samples=cfg.n_samples)
     else:
-        for s in samples:
-            s["condition_on_prev"] = 0
-    logger.info("labelling %d (packed) samples", len(samples))
+        def sample_iter_fn():
+            for s in raw_rows():
+                s["condition_on_prev"] = 0
+                yield s
+        sample_iter = sample_iter_fn()
 
     prompt = tok.prompt_ids(language=args.language, task=args.task,
                             no_timestamps=not args.return_timestamps)
@@ -96,7 +115,8 @@ def main(argv=None):
         return_timestamps=args.return_timestamps,
         no_speech_token_id=tok.no_speech)
 
-    bsz = args.per_device_batch_size * mesh.shape["data"]
+    local_bsz = max(args.per_device_batch_size * mesh.shape["data"]
+                    // n_proc, 1)
 
     if args.num_beams > 1:
         from ..generation import encode_and_beam_search
@@ -114,36 +134,71 @@ def main(argv=None):
 
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    csv_path = out_dir / "transcriptions.csv"
+    suffix = f"-{jax.process_index()}" if n_proc > 1 else ""
+    csv_path = out_dir / f"transcriptions{suffix}.csv"
     csv_f = open(csv_path, "w", newline="")
     csv_w = csv.writer(csv_f)
     csv_w.writerow(["index", "whisper_transcript", "text"])
 
-    # Feature prep runs in a producer thread so mel extraction of batch N+1
-    # overlaps generation of batch N (host/device double-buffering — key to
-    # the >=500 audio-hrs/hour target).
+    # Incremental Arrow output: every labelled row goes straight to disk
+    # (the reference materialises and save_to_disk's at the end —
+    # run_pseudo_labelling.py:971-1018 — which caps corpus size at RAM).
+    import datasets
+    from datasets.arrow_writer import ArrowWriter
+    features = datasets.Features({
+        "audio": {"array": datasets.Sequence(datasets.Value("float32")),
+                  "sampling_rate": datasets.Value("int32")},
+        "text": datasets.Value("string"),
+        "whisper_transcript": datasets.Value("string"),
+        "condition_on_prev": datasets.Sequence(datasets.Value("int32")),
+    })
+    # one shard per process; the shard dir is itself a load_from_disk-able
+    # Dataset (state.json/dataset_info.json written around the arrow file,
+    # no second copy of the audio)
+    ds_dir = out_dir / ("dataset" if n_proc == 1
+                        else f"dataset-{jax.process_index()}")
+    ds_dir.mkdir(parents=True, exist_ok=True)
+    arrow_path = ds_dir / "data-00000-of-00001.arrow"
+    writer = ArrowWriter(features=features, path=str(arrow_path))
+
+    # Feature prep runs in a producer thread so audio load + packing + mel
+    # extraction of batch N+1 overlap generation of batch N.
     from ..training.data_stream import Prefetcher
 
     def make_feature_batches():
-        for group in batched(samples, bsz):
-            n = len(group)
-            wavs = np.zeros((bsz, cfg.n_samples), np.float32)
-            for j, g in enumerate(group):
-                w = g["audio"][:cfg.n_samples]
-                wavs[j, :len(w)] = w
-            mels = np.asarray(compute_mel(jnp.asarray(wavs), cfg))
-            yield group, mels
+        group = []
+        for s in sample_iter:
+            group.append(s)
+            if len(group) < local_bsz:
+                continue
+            yield _featurize(group)
+            group = []
+        if group:
+            yield _featurize(group)
 
-    all_token_ids = []
+    def _featurize(group):
+        wavs = np.zeros((local_bsz, cfg.n_samples), np.float32)
+        for j, g in enumerate(group):
+            w = g["audio"][:cfg.n_samples]
+            wavs[j, :len(w)] = w
+        return group, np.asarray(compute_mel(jnp.asarray(wavs), cfg))
+
+    mel_sharding = data_sharding(mesh, 3)
+    normalizer = (EnglishTextNormalizer({})
+                  if args.language in (None, "en", "english")
+                  else BasicTextNormalizer())
+    wer_stats = WordErrors()
+    n_samples = 0
     audio_seconds = 0.0
     gen_seconds = 0.0
+    prev_ids = None  # previous row's generated ids (crosses batches)
     for step, (group, mels) in enumerate(Prefetcher(make_feature_batches,
                                                     depth=2)):
         n = len(group)
-        prompts = jnp.asarray([prompt] * bsz, jnp.int32)
-        batch = shard_batch({"mel": jnp.asarray(mels, dtype)}, mesh)
+        prompts = jnp.asarray([prompt] * local_bsz, jnp.int32)
+        mel_dev = jax.device_put(jnp.asarray(mels, dtype), mel_sharding)
         t0 = time.perf_counter()
-        out = gen_fn(params, batch["mel"], prompts)
+        out = gen_fn(params, mel_dev, prompts)
         seqs = np.asarray(out.sequences)[:n]
         lens = np.asarray(out.seq_len)[:n]
         gen_seconds += time.perf_counter() - t0
@@ -151,62 +206,57 @@ def main(argv=None):
 
         for j in range(n):
             ids = seqs[j][:lens[j]].tolist()
-            all_token_ids.append(ids)
             transcript = tok.decode(ids, skip_special_tokens=False,
                                     decode_with_timestamps=True)
-            group[j]["whisper_transcript"] = transcript
-            csv_w.writerow([len(all_token_ids) - 1, transcript,
-                            group[j]["text"]])
+            s = group[j]
+            prev = (prev_prompt_from_output(tok, prev_ids)
+                    if s.get("condition_on_prev") and prev_ids is not None
+                    else None)
+            writer.write({
+                "audio": {"array": s["audio"],
+                          "sampling_rate": cfg.sampling_rate},
+                "text": s["text"],
+                "whisper_transcript": transcript,
+                "condition_on_prev": prev,
+            })
+            csv_w.writerow([n_samples, transcript, s["text"]])
+            n_samples += 1
+            prev_ids = ids
+            if args.compute_wer and s["text"]:
+                r = normalizer(s["text"])
+                h = normalizer(tok.decode(tok.encode_transcript(transcript)))
+                if r.strip():
+                    wer_stats = wer_stats + process_words([r], [h])
+        del group, mels
         if (step + 1) % args.logging_steps == 0:
             csv_f.flush()
-            logger.info("step %d: %.0f audio-h labelled, %.1f audio-h/h",
+            logger.info("step %d: %.2f audio-h labelled, %.0f audio-h/h",
                         step + 1, audio_seconds / 3600,
                         audio_seconds / max(gen_seconds, 1e-9))
     csv_f.close()
+    writer.finalize()
+    writer.close()
+    # register the shard in-place as a datasets.Dataset directory
+    import json as _json
+    out_ds = datasets.Dataset.from_file(str(arrow_path))
+    with open(ds_dir / "state.json", "w") as f:
+        _json.dump({"_data_files": [{"filename": arrow_path.name}],
+                    "_fingerprint": out_ds._fingerprint,
+                    "_format_columns": None, "_format_kwargs": {},
+                    "_format_type": None, "_output_all_columns": False,
+                    "_split": None}, f)
+    out_ds.info.write_to_directory(str(ds_dir))
+    del out_ds
 
-    # condition_on_prev prompt ids from the previous segment's output
-    prev_col = [None]
-    for ids, cond in zip(all_token_ids[:-1],
-                         [s["condition_on_prev"] for s in samples][1:]):
-        prev_col.append(prev_prompt_from_output(tok, ids) if cond else None)
-
-    rows = []
-    for s, prev in zip(samples, prev_col):
-        rows.append({
-            "audio": {"array": s["audio"].tolist(),
-                      "sampling_rate": cfg.sampling_rate},
-            "text": s["text"],
-            "whisper_transcript": s["whisper_transcript"],
-            "condition_on_prev": prev,
-        })
-    import datasets
-    out_ds = datasets.Dataset.from_list(rows)
-    out_ds.save_to_disk(str(out_dir / "dataset"))
-
-    if args.compute_wer and any(s["text"] for s in samples):
-        normalizer = (EnglishTextNormalizer({})
-                      if args.language in (None, "en", "english")
-                      else BasicTextNormalizer())
-        refs, hyps = [], []
-        for s in samples:
-            if not s["text"]:
-                continue
-            r = normalizer(s["text"])
-            h = normalizer(tok.decode(
-                tok.encode_transcript(s["whisper_transcript"])))
-            if r.strip():
-                refs.append(r)
-                hyps.append(h)
-        if refs:
-            stats = process_words(refs, hyps)
-            logger.info("PL WER vs ground truth: %.2f%% (S=%d I=%d D=%d)",
-                        100 * stats.wer, stats.substitutions,
-                        stats.insertions, stats.deletions)
+    if args.compute_wer and wer_stats.num_ref_words:
+        logger.info("PL WER vs ground truth: %.2f%% (S=%d I=%d D=%d)",
+                    100 * wer_stats.wer, wer_stats.substitutions,
+                    wer_stats.insertions, wer_stats.deletions)
 
     rtfx = audio_seconds / max(gen_seconds, 1e-9)
     logger.info("done: %d samples, %.1f audio-h, RTFx %.1f (%.0f audio-h/h)",
-                len(samples), audio_seconds / 3600, rtfx, rtfx)
-    return str(out_dir / "dataset")
+                n_samples, audio_seconds / 3600, rtfx, rtfx)
+    return str(ds_dir)
 
 
 if __name__ == "__main__":

@@ -25,6 +25,11 @@ class BeamOutput(NamedTuple):
     sequences: jnp.ndarray   # [B, total] best finished beam
     seq_len: jnp.ndarray     # [B]
     scores: jnp.ndarray      # [B] length-penalised log-prob of the best beam
+    # Parity fields so beam output can join the sequential fallback ladder and
+    # no-speech gating exactly like greedy (HF returns these via
+    # return_dict_in_generate; the reference PL runs beam + thresholds).
+    sum_logprobs: jnp.ndarray    # [B] un-penalised sum log-prob incl. EOS
+    no_speech_prob: jnp.ndarray  # [B] fp32 (zeros unless no_speech_token_id)
 
 
 def _flat(x):
@@ -60,6 +65,15 @@ def beam_search(dec_params: Dict[str, Any], cfg: WhisperConfig,
                                    cross=cross_bk, cache=cache,
                                    pos_offset=0, dtype=dtype)
 
+    # <|nospeech|> probability at the SOT slot of beam 0 (same convention as
+    # generate(); beam prompts are never left-padded so the slot is 0).
+    if opts.no_speech_token_id is not None:
+        sot_logits = _unflat(prefill_logits, b, k)[:, 0, 0]
+        probs0 = jax.nn.softmax(sot_logits.astype(jnp.float32), -1)
+        no_speech_prob = probs0[:, opts.no_speech_token_id]
+    else:
+        no_speech_prob = jnp.zeros((b,), jnp.float32)
+
     tokens = jnp.full((b, k, total), cfg.pad_token_id, jnp.int32)
     tokens = tokens.at[:, :, :p].set(prompt_ids[:, None, :])
 
@@ -72,6 +86,7 @@ def beam_search(dec_params: Dict[str, Any], cfg: WhisperConfig,
         live_scores=live_scores,
         fin_tokens=tokens,
         fin_scores=jnp.full((b, k), NEG_INF),
+        fin_sum=jnp.full((b, k), NEG_INF),   # un-penalised sums
         fin_len=jnp.full((b, k), p, jnp.int32),
         cache=cache,
         last_logits=_unflat(prefill_logits[:, -1].astype(jnp.float32), b, k),
@@ -113,11 +128,14 @@ def beam_search(dec_params: Dict[str, Any], cfg: WhisperConfig,
 
         # merge finished candidates into the finished set (keep top K)
         all_fin_scores = jnp.concatenate([s["fin_scores"], fin_cand_scores], 1)
+        all_fin_sum = jnp.concatenate(
+            [s["fin_sum"], jnp.where(is_eos, top_scores, NEG_INF)], 1)
         all_fin_tokens = jnp.concatenate([s["fin_tokens"], cand_tokens], 1)
         all_fin_len = jnp.concatenate(
             [s["fin_len"], jnp.full((b, 2 * k), s["cur"], jnp.int32)], 1)
         fin_top, fin_idx = jax.lax.top_k(all_fin_scores, k)
         fin_tokens = jnp.take_along_axis(all_fin_tokens, fin_idx[:, :, None], 1)
+        fin_sum = jnp.take_along_axis(all_fin_sum, fin_idx, 1)
         fin_len = jnp.take_along_axis(all_fin_len, fin_idx, 1)
 
         # live beams: best K non-eos candidates
@@ -145,7 +163,7 @@ def beam_search(dec_params: Dict[str, Any], cfg: WhisperConfig,
 
         return dict(tokens=tokens, live_scores=live_top,
                     fin_tokens=fin_tokens, fin_scores=fin_top,
-                    fin_len=fin_len, cache=cache,
+                    fin_sum=fin_sum, fin_len=fin_len, cache=cache,
                     last_logits=_unflat(lg[:, -1].astype(jnp.float32), b, k),
                     ts=ts, cur=s["cur"] + 1)
 
@@ -156,6 +174,7 @@ def beam_search(dec_params: Dict[str, Any], cfg: WhisperConfig,
     live_final = state["live_scores"] / jnp.maximum(live_pen, 1.0)
     no_fin = jnp.all(state["fin_scores"] == NEG_INF, axis=1, keepdims=True)
     fin_scores = jnp.where(no_fin, live_final, state["fin_scores"])
+    fin_sum = jnp.where(no_fin, state["live_scores"], state["fin_sum"])
     fin_tokens = jnp.where(no_fin[:, :, None], state["tokens"],
                            state["fin_tokens"])
     fin_len = jnp.where(no_fin, state["cur"], state["fin_len"])
@@ -164,10 +183,13 @@ def beam_search(dec_params: Dict[str, Any], cfg: WhisperConfig,
     sequences = jnp.take_along_axis(fin_tokens, best[:, None, None], 1)[:, 0]
     seq_len = jnp.take_along_axis(fin_len, best[:, None], 1)[:, 0]
     scores = jnp.take_along_axis(fin_scores, best[:, None], 1)[:, 0]
+    sum_logprobs = jnp.take_along_axis(fin_sum, best[:, None], 1)[:, 0]
     iota = jax.lax.broadcasted_iota(jnp.int32, sequences.shape, 1)
     sequences = jnp.where(iota < seq_len[:, None], sequences,
                           cfg.pad_token_id)
-    return BeamOutput(sequences=sequences, seq_len=seq_len, scores=scores)
+    return BeamOutput(sequences=sequences, seq_len=seq_len, scores=scores,
+                      sum_logprobs=sum_logprobs.astype(jnp.float32),
+                      no_speech_prob=no_speech_prob)
 
 
 def encode_and_beam_search(params, cfg: WhisperConfig, mel, prompt_ids,

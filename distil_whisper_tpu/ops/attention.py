@@ -60,7 +60,7 @@ def _flash(q, k, v, causal: bool) -> jnp.ndarray:
 def flash_padded(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                  seg: Optional[jnp.ndarray] = None,
                  causal: bool = False,
-                 block_q: int = 512, block_k: int = 512) -> jnp.ndarray:
+                 block_q: int = 1536, block_k: int = 1536) -> jnp.ndarray:
     """Pallas TPU flash attention over ALREADY block-divisible sequences.
 
     q/k/v [B, T, H, D] with T a multiple of the block size; ``seg`` [B, T]
@@ -74,14 +74,17 @@ def flash_padded(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     t = q.shape[1]
     block_q = min(block_q, t)
     block_k = min(block_k, t)
+    # Forward: whole-row blocks win at Whisper's T=1536 (measured on v5e:
+    # q1536/k1536 216 ms vs q512/k512 241 ms for the 32-layer scan).
+    # Backward blocks (needed when gradients flow, e.g. unfrozen-encoder
+    # fine-tuning) stay at 512 to bound VMEM for the dkv/dq accumulators.
+    bwd = min(512, t)
     sizes = BlockSizes(block_q=block_q, block_k_major=block_k, block_k=block_k,
                        block_b=1,
-                       # backward blocks: required if gradients ever flow
-                       # through (e.g. fine-tuning with an unfrozen encoder)
-                       block_q_major_dkv=block_q, block_k_major_dkv=block_k,
-                       block_k_dkv=block_k, block_q_dkv=block_q,
-                       block_k_major_dq=block_k, block_k_dq=block_k,
-                       block_q_dq=block_q)
+                       block_q_major_dkv=bwd, block_k_major_dkv=bwd,
+                       block_k_dkv=bwd, block_q_dkv=bwd,
+                       block_k_major_dq=bwd, block_k_dq=bwd,
+                       block_q_dq=bwd)
     out = flash_attention(
         q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
         v.transpose(0, 2, 1, 3),

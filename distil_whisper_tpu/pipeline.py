@@ -23,8 +23,9 @@ from .audio.io import load_audio
 from .audio import compute_mel
 from .config import WhisperConfig
 from .generation import GenerationOptions, encode_and_generate
-from .models import load_params
+from .models import load_params, param_axes
 from .models.whisper import encode
+from .parallel import make_mesh, shard_params, data_sharding
 from .tokenizer import WhisperTokenizer
 
 
@@ -34,18 +35,29 @@ class WhisperPipeline:
     def __init__(self, checkpoint: str, dtype=jnp.bfloat16,
                  batch_size: int = 8, max_new_tokens: int = 128,
                  params=None, cfg: Optional[WhisperConfig] = None,
-                 tokenizer: Optional[WhisperTokenizer] = None):
+                 tokenizer: Optional[WhisperTokenizer] = None,
+                 mesh=None):
         if params is None or cfg is None:
             params, cfg = load_params(checkpoint, cfg, dtype=dtype)
         if dtype == jnp.bfloat16:
-            cfg = cfg.replace(fast_bf16_attention=True)
-        self.params = params
+            cfg = cfg.replace(fast_bf16_attention=True, use_flash_encoder=True)
+        # Chunks data-parallel over every chip: the batch of 30 s windows is
+        # sharded over the mesh's 'data' axis (the GSPMD equivalent of the
+        # reference's pmap'd pipeline_generate, flax pipeline.py:131-143).
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self._n_data = self.mesh.shape["data"]
+        self.params = shard_params(params, param_axes(cfg), self.mesh)
         self.cfg = cfg
         self.tokenizer = tokenizer or WhisperTokenizer.from_pretrained(checkpoint)
         self.dtype = dtype
-        self.batch_size = batch_size
+        # round the compiled batch up to a multiple of the data-axis size
+        self.batch_size = -(-batch_size // self._n_data) * self._n_data
         self.max_new_tokens = max_new_tokens
         self._generate_cache: Dict[Any, Any] = {}
+
+    def _put_batch(self, mels: np.ndarray) -> jnp.ndarray:
+        return jax.device_put(jnp.asarray(mels, self.dtype),
+                              data_sharding(self.mesh, mels.ndim))
 
     # ------------------------------------------------------------------
     def _jitted_generate(self, opts: GenerationOptions, prompt_len: int):
@@ -122,6 +134,7 @@ class WhisperPipeline:
         tok = self.tokenizer
         cfg = self.cfg
         batch_size = batch_size or self.batch_size
+        batch_size = -(-batch_size // self._n_data) * self._n_data
         max_new = max_new_tokens or self.max_new_tokens
 
         wav = load_audio(audio, cfg.sampling_rate)
@@ -158,7 +171,7 @@ class WhisperPipeline:
                     [batch, np.zeros((batch_size - n,) + batch.shape[1:],
                                      batch.dtype)])
             prompts = jnp.asarray([prompt] * batch_size, jnp.int32)
-            out = fn(self.params, jnp.asarray(batch), prompts, 0.0, rng)
+            out = fn(self.params, self._put_batch(batch), prompts, 0.0, rng)
             seqs = np.asarray(out.sequences)
             lens = np.asarray(out.seq_len)
             for j in range(n):

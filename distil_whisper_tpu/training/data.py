@@ -198,32 +198,47 @@ class Collator:
 # ----------------------------------------------------------------------
 
 
-def pack_samples(samples: Iterable[Dict[str, Any]],
-                 max_input_samples: int = 480_000,
-                 audio_key: str = "audio", text_key: str = "text",
-                 speaker_key: Optional[str] = "speaker_id"
-                 ) -> List[Dict[str, Any]]:
-    """Concatenate consecutive same-speaker utterances up to 30 s; mark
-    packed samples whose predecessor shares the speaker with
-    condition_on_prev=1 (run_pseudo_labelling.py:632-673).  Input should be
-    sorted by speaker for best packing (the reference sorts first)."""
-    packed: List[Dict[str, Any]] = []
+def pack_samples_iter(samples: Iterable[Dict[str, Any]],
+                      max_input_samples: int = 480_000,
+                      audio_key: str = "audio", text_key: str = "text",
+                      speaker_key: Optional[str] = "speaker_id"
+                      ) -> Iterable[Dict[str, Any]]:
+    """Streaming speaker-aware packer: concatenate consecutive same-speaker
+    utterances up to 30 s; mark packed samples whose predecessor shares the
+    speaker with condition_on_prev=1 (run_pseudo_labelling.py:632-673).
+    Input should be sorted by speaker for best packing (the reference sorts
+    first).  Yields packed samples one at a time — RAM stays O(1 sample), so
+    a 22k-hour corpus streams through (the list variant materialised every
+    waveform)."""
+    pending: Optional[Dict[str, Any]] = None
+    prev_speaker = object()  # sentinel unequal to any real speaker id
     for s in samples:
         arr = np.asarray(s[audio_key]["array"] if isinstance(s[audio_key], dict)
                          else s[audio_key], np.float32)
         text = s[text_key]
         speaker = s.get(speaker_key) if speaker_key else None
-        if packed:
-            last = packed[-1]
-            same = speaker == last["speaker_id"]
-            fits = len(arr) + len(last["audio"]) <= max_input_samples
-            if same and fits:
-                last["audio"] = np.concatenate([last["audio"], arr])
-                last["text"] = last["text"] + " " + text
+        if pending is not None:
+            same = speaker == pending["speaker_id"]
+            if same and len(arr) + len(pending["audio"]) <= max_input_samples:
+                pending["audio"] = np.concatenate([pending["audio"], arr])
+                pending["text"] = pending["text"] + " " + text
                 continue
-            cond = 1 if same else 0
-        else:
-            cond = 0
-        packed.append({"audio": arr, "text": text, "speaker_id": speaker,
-                       "condition_on_prev": cond})
-    return packed
+            yield pending
+            prev_speaker = pending["speaker_id"]
+            pending = None
+        cond = 1 if speaker == prev_speaker else 0
+        pending = {"audio": arr, "text": text, "speaker_id": speaker,
+                   "condition_on_prev": cond}
+    if pending is not None:
+        yield pending
+
+
+def pack_samples(samples: Iterable[Dict[str, Any]],
+                 max_input_samples: int = 480_000,
+                 audio_key: str = "audio", text_key: str = "text",
+                 speaker_key: Optional[str] = "speaker_id"
+                 ) -> List[Dict[str, Any]]:
+    """Materialised :func:`pack_samples_iter` (small corpora / tests)."""
+    return list(pack_samples_iter(samples, max_input_samples=max_input_samples,
+                                  audio_key=audio_key, text_key=text_key,
+                                  speaker_key=speaker_key))

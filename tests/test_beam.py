@@ -72,3 +72,28 @@ def test_beam1_equals_greedy(setup):  # noqa: F811
         g = np.asarray(greedy.sequences)[b][:int(greedy.seq_len[b])]
         s = np.asarray(beam.sequences)[b][:int(beam.seq_len[b])]
         np.testing.assert_array_equal(g, s)
+
+
+def test_beam_parity_fields(setup):  # noqa: F811
+    """sum_logprobs / no_speech_prob parity so beam can join the sequential
+    fallback ladder: beam-1 sum_logprobs == greedy's, and no_speech_prob
+    matches greedy's SOT-slot probability exactly."""
+    from distil_whisper_tpu.generation import encode_and_generate
+    _, params, mel = setup
+    opts = GenerationOptions(max_new_tokens=12, no_speech_token_id=5)
+    prompt = jnp.asarray([[3], [3]], jnp.int32)
+    greedy = encode_and_generate(params, CFG, jnp.asarray(mel), prompt, opts)
+    beam = encode_and_beam_search(params, CFG, jnp.asarray(mel), prompt, opts,
+                                  num_beams=1)
+    np.testing.assert_allclose(np.asarray(beam.no_speech_prob),
+                               np.asarray(greedy.no_speech_prob), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(beam.sum_logprobs),
+                               np.asarray(greedy.sum_logprobs),
+                               rtol=1e-4, atol=1e-4)
+    # wider beams: sum_logprobs must be >= beam-1's (beam finds higher-prob
+    # sequences) and finite
+    beam4 = encode_and_beam_search(params, CFG, jnp.asarray(mel), prompt,
+                                   opts, num_beams=4)
+    assert np.all(np.isfinite(np.asarray(beam4.sum_logprobs)))
+    assert np.all(np.asarray(beam4.sum_logprobs)
+                  >= np.asarray(beam.sum_logprobs) - 1e-4)

@@ -47,3 +47,24 @@ def test_stride_too_large_raises(pipe):
     with pytest.raises(ValueError, match="strides"):
         pipe(np.zeros(16000 * 40, np.float32), chunk_length_s=10.0,
              stride_length_s=5.0, language="en")
+
+
+def test_eval_cli_flags_round_trip_to_sequential_options():
+    """--temperature_fallback / thresholds / --condition_on_prev round-trip
+    into SequentialOptions (reference run_eval.py:147-176 flag set)."""
+    from distil_whisper_tpu.cli.run_eval import (parse_args,
+                                                 seq_options_from_args)
+    args = parse_args([
+        "--model_checkpoint", "x", "--dataset_path", "y",
+        "--temperature_fallback", "0.0,0.4,1.0",
+        "--logprob_threshold", "-0.5",
+        "--no_speech_threshold", "0.4",
+        "--compression_ratio_threshold", "2.0",
+        "--condition_on_prev", "--max_new_tokens", "96"])
+    o = seq_options_from_args(args)
+    assert o.temperatures == (0.0, 0.4, 1.0)
+    assert o.logprob_threshold == -0.5
+    assert o.no_speech_threshold == 0.4
+    assert o.compression_ratio_threshold == 2.0
+    assert o.condition_on_prev_tokens is True
+    assert o.max_new_tokens == 96
