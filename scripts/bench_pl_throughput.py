@@ -1,0 +1,102 @@
+"""On-chip pseudo-labelling throughput benchmark at the production setting.
+
+Builds a whisper-large-v3-sized random checkpoint (bf16 safetensors via our
+own saver) + a synthetic tone corpus, then runs the REAL
+run_pseudo_labelling driver end-to-end (streaming pack -> prefetched mel ->
+bs-64 generate -> incremental Arrow write) and reports audio-hrs/hour.
+
+  PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_pl_throughput.py
+
+Env: PL_BATCH (default 64), PL_TOKENS (default 256 = reference PL budget;
+real checkpoints stop at EOS sooner, so this is the worst case), PL_HOURS
+(default 2.0 hours of synthetic audio).
+"""
+
+import json
+import os
+import re
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from distil_whisper_tpu.config import PRESETS
+    from distil_whisper_tpu.models import init_params, save_pretrained
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
+    from helpers import make_tiny_checkpoint  # tokenizer artifact layout
+
+    batch = int(os.environ.get("PL_BATCH", "64"))
+    tokens = int(os.environ.get("PL_TOKENS", "256"))
+    hours = float(os.environ.get("PL_HOURS", "2.0"))
+
+    root = Path(tempfile.mkdtemp(prefix="plbench"))
+    ck = root / "teacher"
+
+    # tokenizer files from the tiny builder, then overwrite the weights with
+    # a large-v3-sized tree (vocab 51866 -> rebuild added tokens to match)
+    make_tiny_checkpoint(ck)
+    cfg = PRESETS["large-v3"]
+    t0 = time.perf_counter()
+    params = jax.device_get(
+        init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16))
+    save_pretrained(params, cfg, str(ck))
+    del params
+    print(f"checkpoint built in {time.perf_counter()-t0:.0f}s", flush=True)
+
+    # synthetic corpus: ~28 s utterances, 2 speakers (exercises packing)
+    import datasets
+    n = int(hours * 3600 / 28)
+    rng = np.random.default_rng(0)
+
+    def gen():
+        for i in range(n):
+            t = np.arange(int(28.0 * 16000)) / 16000.0
+            a = (0.2 * np.sin(2 * np.pi * (150 + (i % 40) * 10) * t)
+                 + 0.01 * rng.standard_normal(t.shape)).astype(np.float32)
+            yield {"audio": {"array": a, "sampling_rate": 16000},
+                   "text": "synthetic tone utterance number %d" % i,
+                   "speaker_id": f"spk{i % 2}"}
+
+    data = root / "data"
+    datasets.Dataset.from_generator(gen).save_to_disk(str(data))
+    print(f"corpus: {n} utterances (~{n*28/3600:.2f} h)", flush=True)
+
+    from distil_whisper_tpu.cli.run_pseudo_labelling import main as pl_main
+    import logging
+    records = []
+
+    class Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    logging.getLogger("distil_whisper_tpu").addHandler(Capture())
+    t0 = time.perf_counter()
+    pl_main(["--model_checkpoint", str(ck), "--dataset_path", str(data),
+             "--output_dir", str(root / "pl_out"),
+             "--per_device_batch_size", str(batch),
+             "--max_new_tokens", str(tokens), "--language", "en",
+             "--speaker_id_column_name", "speaker_id",
+             "--logging_steps", "2"])
+    wall = time.perf_counter() - t0
+
+    done = [m for m in records if m.startswith("done:")]
+    m = re.search(r"RTFx ([0-9.]+)", done[0]) if done else None
+    gen_rtfx = float(m.group(1)) if m else float("nan")
+    audio_h = n * 28 / 3600
+    print(json.dumps({
+        "pl_batch": batch, "pl_tokens": tokens,
+        "audio_hours": round(audio_h, 2),
+        "wall_seconds_incl_compile": round(wall, 1),
+        "audio_hours_per_hour_generate": round(gen_rtfx, 1),
+        "audio_hours_per_hour_wall": round(audio_h / (wall / 3600), 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
