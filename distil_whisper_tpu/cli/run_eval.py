@@ -76,6 +76,9 @@ def parse_args(argv=None):
     p.add_argument("--num_beams", type=int, default=1)
     p.add_argument("--noise_snr_db", type=float, default=None,
                    help="mix white noise at this SNR (noise evaluation)")
+    p.add_argument("--quantize_cross_kv", action="store_true",
+                   help="int8 cross-attention K/V (halves per-token HBM "
+                        "traffic on long decodes; validate WER first)")
     p.add_argument("--precise_tok_per_s", action="store_true",
                    help="fixed-token benchmark on dummy encoder outputs "
                         "(decouples tokens/s from WER)")
@@ -105,9 +108,16 @@ def main(argv=None):
     params, cfg = load_params(args.model_checkpoint, dtype=dtype)
     if dtype == jnp.bfloat16:
         cfg = cfg.replace(fast_bf16_attention=True, use_flash_encoder=True)
+    if args.quantize_cross_kv:
+        cfg = cfg.replace(quantize_cross_kv=True)
     tok = WhisperTokenizer.from_pretrained(args.model_checkpoint)
     mesh = make_mesh()
     params = shard_params(params, param_axes(cfg), mesh)
+    n_data = mesh.shape["data"]
+    if args.batch_size % n_data:
+        args.batch_size = -(-args.batch_size // n_data) * n_data
+        logger.info("batch_size rounded up to %d (multiple of the %d-way "
+                    "'data' axis)", args.batch_size, n_data)
     normalizer = (EnglishTextNormalizer(tok.spelling_mapping)
                   if args.language in (None, "en", "english")
                   else BasicTextNormalizer())
@@ -215,16 +225,15 @@ def main(argv=None):
 
         for group in batched(list(zip(audios, texts)), args.batch_size):
             n = len(group)
-            wavs = np.zeros((n, cfg.n_samples), np.float32)
+            # pad the ragged final batch at the WAV stage so the mel stays on
+            # device (no [B,128,3000] round-trip through the host)
+            wavs = np.zeros((args.batch_size, cfg.n_samples), np.float32)
             for j, (a, _) in enumerate(group):
                 w = a[:cfg.n_samples]
                 wavs[j, :len(w)] = w
-            mels = np.asarray(compute_mel(jnp.asarray(wavs), cfg))
-            if n < args.batch_size:
-                mels = np.concatenate([mels, np.zeros(
-                    (args.batch_size - n,) + mels.shape[1:], mels.dtype)])
+            mels = compute_mel(jnp.asarray(wavs), cfg).astype(dtype)
             if detect is not None:
-                logits = np.asarray(detect(params, jnp.asarray(mels, dtype)))
+                logits = np.asarray(detect(params, mels))
                 best = lang_ids[np.argmax(logits[:, lang_ids], axis=-1)]
                 prompts = jnp.asarray(
                     [tok.prompt_ids(language=tok.id_to_lang[int(i)],
@@ -233,8 +242,7 @@ def main(argv=None):
                      for i in best], jnp.int32)
             else:
                 prompts = jnp.asarray([prompt] * args.batch_size, jnp.int32)
-            mel_dev = jax.device_put(jnp.asarray(mels, dtype),
-                                     data_sharding(mesh, 3))
+            mel_dev = jax.device_put(mels, data_sharding(mesh, 3))
             out = gen(params, mel_dev, prompts)
             seqs, lens = np.asarray(out.sequences)[:n], np.asarray(out.seq_len)[:n]
             for j in range(n):

@@ -44,10 +44,14 @@ class WhisperConfig:
     # validate WER on your eval set before enabling.
     fast_approx_activations: bool = False
     # Pallas flash attention for the encoder self-attention (pad-once-outside-
-    # the-scan, tuned 512-blocks).  Skips materialising the [B,H,1500,1500]
-    # logits/probs in HBM — the dominant encoder cost in bf16 on v5e.
-    # fp32-softmax internally (matches the f32-attention numerics policy).
+    # the-scan, tuned whole-row blocks).  Skips materialising the
+    # [B,H,1500,1500] logits/probs in HBM — the dominant encoder cost in bf16
+    # on v5e.  fp32-softmax internally (matches the f32 numerics policy).
     use_flash_encoder: bool = False
+    # OPT-IN int8 cross-attention K/V storage (per layer/batch/head absmax
+    # scales): halves the dominant per-token HBM traffic of long decodes.
+    # Validate WER before enabling in production.
+    quantize_cross_kv: bool = False
 
     # --- special tokens (defaults = multilingual v2 layout) ---
     pad_token_id: int = 50257

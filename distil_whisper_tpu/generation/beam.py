@@ -54,10 +54,10 @@ def beam_search(dec_params: Dict[str, Any], cfg: WhisperConfig,
     eos = cfg.eos_token_id
     vocab = cfg.vocab_size
 
-    # expand cross K/V and prompts to the beam dim
-    cross_k = jnp.repeat(cross["k"], k, axis=1)
-    cross_v = jnp.repeat(cross["v"], k, axis=1)
-    cross_bk = {"k": cross_k, "v": cross_v}
+    # expand cross K/V (either bf16 or int8+scale storage) and prompts to
+    # the beam dim (batch axis is 1 for every cross field)
+    cross_bk = {name: jnp.repeat(arr, k, axis=1)
+                for name, arr in cross.items()}
     prompts_bk = jnp.repeat(prompt_ids.astype(jnp.int32), k, axis=0)
 
     cache = init_cache(cfg, b * k, dtype=dtype, max_len=total)

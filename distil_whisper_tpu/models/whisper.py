@@ -233,25 +233,78 @@ def init_cache(cfg: WhisperConfig, batch: int, dtype=jnp.float32,
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
-def cross_kv(params: Params, cfg: WhisperConfig, enc: jnp.ndarray) -> Params:
-    """Cross-attention K/V, computed once per utterance: [L, B, 1500, H, hd]."""
+def cross_kv(params: Params, cfg: WhisperConfig, enc: jnp.ndarray,
+             quantize: Optional[bool] = None) -> Params:
+    """Cross-attention K/V, computed once per utterance: [L, B, 1500, H, hd].
+
+    With ``quantize`` (default ``cfg.quantize_cross_kv``) K/V are stored int8
+    with per-(layer, batch, head) absmax scales.  Reading the cross K/V is
+    the dominant per-token HBM traffic of long decodes (32 layers x
+    2 x [B,1500,H,hd] for the teacher); int8 halves it vs bf16.  The dequant
+    multiply fuses into the attention matmul's operand load under XLA.
+    """
     h = cfg.decoder_attention_heads
+    if quantize is None:
+        quantize = cfg.quantize_cross_kv
+
+    def q8(x):
+        # per (batch, head) absmax scale; axes here are the per-layer
+        # [B, T, H, hd] layout
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(1, 3),
+                       keepdims=True)                       # [B,1,H,1]
+        scale = jnp.maximum(amax, 1e-8) / 127.0
+        q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                     -127, 127).astype(jnp.int8)
+        return q, scale.astype(jnp.float32)
 
     def per_layer(lp):
         k = _split_heads(dense(lp["cross_attn"]["k"], enc), h)
         v = _split_heads(dense(lp["cross_attn"]["v"], enc), h)
+        if quantize:
+            # quantise INSIDE the layer map so only one layer's bf16 K/V is
+            # ever live — peak HBM stays ~int8-sized for deep teachers
+            kq, ks = q8(k)
+            vq, vs = q8(v)
+            return kq, ks, vq, vs
         return k, v
 
-    k, v = jax.lax.map(per_layer, params["layers"])
-    return {"k": k, "v": v}
+    out = jax.lax.map(per_layer, params["layers"])
+    if not quantize:
+        return {"k": out[0], "v": out[1]}
+    return {"k_q": out[0], "k_scale": out[1],
+            "v_q": out[2], "v_scale": out[3]}
+
+
+
+
+def _cross_scan_xs(cross: Params, dtype):
+    """Per-layer scan inputs from either cross-KV storage format."""
+    if "k" in cross:
+        return (cross["k"].astype(dtype), cross["v"].astype(dtype))
+    # int8-quantized storage; dequant per layer INSIDE the scan so only int8
+    # bytes cross HBM (the multiply fuses into the matmul operand load)
+    return (cross["k_q"], cross["k_scale"], cross["v_q"], cross["v_scale"])
+
+
+def _dequant_part(part, dtype):
+    if len(part) == 2:
+        return part
+    kq, ks, vq, vs = part
+    return (kq.astype(dtype) * ks.astype(dtype),
+            vq.astype(dtype) * vs.astype(dtype))
 
 
 def _decoder_layer(lp: Params, x: jnp.ndarray, self_k, self_v, ck, cv,
                    n_heads: int, self_mask, self_causal: bool = False,
                    rates: Tuple[float, float, float] = (0.0, 0.0, 0.0),
                    rng=None,
-                   policy: Tuple[bool, bool] = (True, False)) -> jnp.ndarray:
-    """One decoder layer given already-materialised K/V for both attentions."""
+                   policy: Tuple[bool, bool] = (True, False),
+                   output_cross_probs: bool = False):
+    """One decoder layer given already-materialised K/V for both attentions.
+
+    Returns ``(y, cross_probs | None)`` — probs are the fp32 [B, H, S, Tk]
+    cross-attention weights (DTW word-timestamp alignment needs them).
+    """
     f32_attn, fast_act = policy
     drop, attn_drop, act_drop = rates
     rngs = jax.random.split(rng, 6) if rng is not None else (None,) * 6
@@ -267,8 +320,13 @@ def _decoder_layer(lp: Params, x: jnp.ndarray, self_k, self_v, ck, cv,
     r = x
     h = layer_norm(lp["cross_attn_ln"], x, fp32=not fast_act)
     q = _split_heads(dense(lp["cross_attn"]["q"], h), n_heads)
-    a = mha(q, ck, cv, float32_logits=f32_attn,
-            dropout_rate=attn_drop, dropout_rng=rngs[2])
+    cross_probs = None
+    if output_cross_probs:
+        a, cross_probs = mha(q, ck, cv, float32_logits=f32_attn,
+                             return_probs=True)
+    else:
+        a = mha(q, ck, cv, float32_logits=f32_attn,
+                dropout_rate=attn_drop, dropout_rng=rngs[2])
     x = r + dropout(dense(lp["cross_attn"]["out"], _merge_heads(a)),
                     drop, rngs[3])
 
@@ -276,7 +334,8 @@ def _decoder_layer(lp: Params, x: jnp.ndarray, self_k, self_v, ck, cv,
     h = layer_norm(lp["final_ln"], x, fp32=not fast_act)
     h = mlp_block(lp["fc1"], lp["fc2"], h, act_dropout=act_drop, rng=rngs[4],
                   exact_gelu=not fast_act)
-    return r + dropout(h, drop, rngs[5])
+    y = r + dropout(h, drop, rngs[5])
+    return (y, cross_probs) if output_cross_probs else y
 
 
 def decode(params: Params, cfg: WhisperConfig, tokens: jnp.ndarray,
@@ -354,8 +413,10 @@ def decode(params: Params, cfg: WhisperConfig, tokens: jnp.ndarray,
     if cross is None:
         assert enc is not None, "decode() needs enc or cross"
         cross = cross_kv(params, cfg, enc.astype(dtype))
-    ck_all = cross["k"].astype(dtype)
-    cv_all = cross["v"].astype(dtype)
+    cross_xs = _cross_scan_xs(cross, dtype)
+
+    def _ck_cv(part):
+        return _dequant_part(part, dtype)
 
     if cache is None:
         rates = (cfg.dropout, cfg.attention_dropout, cfg.activation_dropout)
@@ -370,9 +431,10 @@ def decode(params: Params, cfg: WhisperConfig, tokens: jnp.ndarray,
 
         def body(carry, xs):
             if use_dropout:
-                lp, ck, cv, lrng = xs
+                lp, cross_part, lrng = xs
             else:
-                (lp, ck, cv), lrng = xs, None
+                (lp, cross_part), lrng = xs, None
+            ck, cv = _ck_cv(cross_part)
             h = layer_norm(lp["self_attn_ln"], carry)
             k = _split_heads(dense(lp["self_attn"]["k"], h), n_heads)
             v = _split_heads(dense(lp["self_attn"]["v"], h), n_heads)
@@ -380,13 +442,14 @@ def decode(params: Params, cfg: WhisperConfig, tokens: jnp.ndarray,
                       self_causal, rates, lrng, policy)
             return y, (carry if output_hidden_states else None)
 
-        xs = ((params["layers"], ck_all, cv_all, layer_rngs) if use_dropout
-              else (params["layers"], ck_all, cv_all))
+        xs = ((params["layers"], cross_xs, layer_rngs) if use_dropout
+              else (params["layers"], cross_xs))
         y, hs = jax.lax.scan(body, x, xs)
         new_cache = None
     else:
         def body(carry, xs):
-            lp, ck, cv, cache_k, cache_v = xs
+            lp, cross_part, cache_k, cache_v = xs
+            ck, cv = _ck_cv(cross_part)
             h = layer_norm(lp["self_attn_ln"], carry)
             k = _split_heads(dense(lp["self_attn"]["k"], h), n_heads)
             v = _split_heads(dense(lp["self_attn"]["v"], h), n_heads)
@@ -404,7 +467,7 @@ def decode(params: Params, cfg: WhisperConfig, tokens: jnp.ndarray,
         # layers of the per-token hot loop instead of paying scan overhead.
         unroll = cfg.decoder_layers if cfg.decoder_layers <= 4 else 1
         y, (nk, nv, hs) = jax.lax.scan(
-            body, x, (params["layers"], ck_all, cv_all,
+            body, x, (params["layers"], cross_xs,
                       cache["k"], cache["v"]), unroll=unroll)
         new_cache = {"k": nk, "v": nv}
 
@@ -416,6 +479,45 @@ def decode(params: Params, cfg: WhisperConfig, tokens: jnp.ndarray,
         all_hs = jnp.concatenate([hs, y[None]], axis=0)
         return logits, new_cache, all_hs
     return logits, new_cache
+
+
+def cross_attention_weights(params: Params, cfg: WhisperConfig,
+                            tokens: jnp.ndarray,
+                            enc: Optional[jnp.ndarray] = None,
+                            cross: Optional[Params] = None,
+                            dtype=jnp.float32) -> jnp.ndarray:
+    """fp32 cross-attention probabilities [L, B, H, S, Tk] of a teacher-forced
+    decoder pass over ``tokens`` [B, S].
+
+    Cross-attention rows depend only on the decoder hidden state at their own
+    position, so this single pass reproduces exactly the per-step
+    cross_attentions HF collects during cached generation
+    (generation_whisper.py::_extract_token_timestamps input) — used for the
+    DTW word-timestamp alignment.
+    """
+    b, s = tokens.shape
+    n_heads = cfg.decoder_attention_heads
+    x = params["tok_emb"].astype(dtype)[tokens.astype(jnp.int32)]
+    x = x + params["pos_emb"].astype(dtype)[:s]
+    if cross is None:
+        assert enc is not None
+        cross = cross_kv(params, cfg, enc.astype(dtype))
+    cross_xs = _cross_scan_xs(cross, dtype)
+    policy = (not cfg.fast_bf16_attention, cfg.fast_approx_activations)
+
+    def body(carry, xs):
+        lp, cross_part = xs
+        ck, cv = _dequant_part(cross_part, dtype)
+        h = layer_norm(lp["self_attn_ln"], carry)
+        k = _split_heads(dense(lp["self_attn"]["k"], h), n_heads)
+        v = _split_heads(dense(lp["self_attn"]["v"], h), n_heads)
+        y, probs = _decoder_layer(lp, carry, k, v, ck, cv, n_heads, None,
+                                  True, (0.0, 0.0, 0.0), None, policy,
+                                  output_cross_probs=True)
+        return y, probs
+
+    _, probs = jax.lax.scan(body, x, (params["layers"], cross_xs))
+    return probs
 
 
 # ----------------------------------------------------------------------

@@ -99,7 +99,8 @@ def mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         float32_logits: bool = True,
         use_flash: Optional[bool] = None,
         dropout_rate: float = 0.0,
-        dropout_rng: Optional[jax.Array] = None) -> jnp.ndarray:
+        dropout_rng: Optional[jax.Array] = None,
+        return_probs: bool = False) -> jnp.ndarray:
     """Scaled dot-product attention.
 
     q: [B, Tq, H, D]   k, v: [B, Tk, H, D]   mask: broadcastable to [B, H, Tq, Tk]
@@ -115,7 +116,7 @@ def mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     dtype = q.dtype
     if use_flash is None:
         use_flash = False
-    if use_flash and mask is None and _flash_available():
+    if use_flash and mask is None and _flash_available() and not return_probs:
         return _flash(q, k, v, causal).astype(dtype)
 
     depth = q.shape[-1]
@@ -126,7 +127,7 @@ def mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     # an elementwise-multiply + reduce rides the VPU at HBM bandwidth instead
     # (~25% faster per token on v5e at Whisper cross-attention shapes).
     if (q.shape[1] == 1 and not float32_logits and dropout_rate == 0.0
-            and q.shape[0] == k.shape[0]):
+            and q.shape[0] == k.shape[0] and not return_probs):
         lg = jnp.sum(q[:, 0][:, None] * k, axis=-1)        # [B, Tk, H]
         logits = lg.transpose(0, 2, 1)[:, :, None, :]      # [B, H, 1, Tk]
         if causal and mask is None:
@@ -159,8 +160,12 @@ def mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                                     probs.shape)
         probs = jnp.where(keep, probs / (1.0 - dropout_rate),
                           jnp.zeros_like(probs))
-    return jnp.einsum("bhqk,bkhd->bqhd", probs, v,
-                      preferred_element_type=jnp.float32).astype(dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                     preferred_element_type=jnp.float32).astype(dtype)
+    if return_probs:
+        # fp32 probs [B, H, Tq, Tk] — used for cross-attention DTW alignment
+        return out, jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    return out
 
 
 def causal_mask(tq: int, tk: int, offset) -> jnp.ndarray:

@@ -41,6 +41,7 @@ class WhisperPipeline:
             params, cfg = load_params(checkpoint, cfg, dtype=dtype)
         if dtype == jnp.bfloat16:
             cfg = cfg.replace(fast_bf16_attention=True, use_flash_encoder=True)
+        self._checkpoint = checkpoint
         # Chunks data-parallel over every chip: the batch of 30 s windows is
         # sharded over the mesh's 'data' axis (the GSPMD equivalent of the
         # reference's pmap'd pipeline_generate, flax pipeline.py:131-143).
@@ -55,9 +56,17 @@ class WhisperPipeline:
         self.max_new_tokens = max_new_tokens
         self._generate_cache: Dict[Any, Any] = {}
 
+    @property
+    def n_data(self) -> int:
+        # tolerate instances built without __init__ (tests wire attrs by hand)
+        return getattr(self, "_n_data", 1)
+
     def _put_batch(self, mels: np.ndarray) -> jnp.ndarray:
-        return jax.device_put(jnp.asarray(mels, self.dtype),
-                              data_sharding(self.mesh, mels.ndim))
+        x = jnp.asarray(mels, self.dtype)
+        mesh = getattr(self, "mesh", None)
+        if mesh is None or self.n_data <= 1 or x.shape[0] % self.n_data:
+            return x
+        return jax.device_put(x, data_sharding(mesh, x.ndim))
 
     # ------------------------------------------------------------------
     def _jitted_generate(self, opts: GenerationOptions, prompt_len: int):
@@ -67,6 +76,34 @@ class WhisperPipeline:
                 return encode_and_generate(params, self.cfg, mel, prompt, opts,
                                            temperature=temperature, rng=rng,
                                            dtype=self.dtype)
+            self._generate_cache[key] = jax.jit(fn)
+        return self._generate_cache[key]
+
+    def _alignment_heads(self):
+        if not hasattr(self, "_align_heads_cache"):
+            from .generation.word_timestamps import (default_alignment_heads,
+                                                     load_alignment_heads)
+            try:
+                heads = load_alignment_heads(self._checkpoint, self.cfg)
+            except (TypeError, OSError):
+                heads = default_alignment_heads(self.cfg)
+            self._align_heads_cache = heads
+        return self._align_heads_cache
+
+    def _jitted_word_weights(self, opts: GenerationOptions, prompt_len: int):
+        """jit (params, mel, sequences) -> alignment-head cross-attn weights
+        (one extra teacher-forced pass; head selection stays on device)."""
+        key = ("_wts", opts, prompt_len)
+        if key not in self._generate_cache:
+            from .generation.word_timestamps import selected_cross_weights
+            heads = self._alignment_heads()
+
+            def fn(params, mel, seqs):
+                enc = encode(params["encoder"], self.cfg, mel,
+                             dtype=self.dtype)
+                return selected_cross_weights(
+                    params["decoder"], self.cfg, seqs[:, :-1], heads,
+                    enc=enc, dtype=self.dtype)
             self._generate_cache[key] = jax.jit(fn)
         return self._generate_cache[key]
 
@@ -115,6 +152,7 @@ class WhisperPipeline:
             is_last = start + chunk_len >= len(audio)
             chunks.append({
                 "audio": piece,
+                "start_s": start / sr,
                 "stride": (len(piece) / sr,
                            0.0 if is_first else stride_left / sr,
                            0.0 if is_last else stride_right / sr),
@@ -134,24 +172,24 @@ class WhisperPipeline:
         tok = self.tokenizer
         cfg = self.cfg
         batch_size = batch_size or self.batch_size
-        batch_size = -(-batch_size // self._n_data) * self._n_data
+        batch_size = -(-batch_size // self.n_data) * self.n_data
         max_new = max_new_tokens or self.max_new_tokens
 
+        word_timestamps = return_timestamps == "word"
         wav = load_audio(audio, cfg.sampling_rate)
         chunks = self._chunk(wav, chunk_length_s, stride_length_s)
         single = len(chunks) == 1
 
         # features for every chunk, always a full padded 30 s window —
-        # computed in ONE device call for the whole file
+        # computed in ONE device call for the whole file and kept ON DEVICE
         wavs = np.zeros((len(chunks), cfg.n_samples), np.float32)
         for j, c in enumerate(chunks):
             w = c["audio"][:cfg.n_samples]
             wavs[j, :len(w)] = w
-        mels = np.asarray(compute_mel(jnp.asarray(wavs), cfg))
+        mels = compute_mel(jnp.asarray(wavs), cfg).astype(self.dtype)
 
         if language is None and len(tok.lang_to_id) > 1:
-            language = self.detect_language(jnp.asarray(mels[:1],
-                                                        self.dtype))[0]
+            language = self.detect_language(mels[:1])[0]
         prompt = tok.prompt_ids(language=language, task=task,
                                 no_timestamps=not return_timestamps)
         opts = GenerationOptions.from_config(
@@ -161,24 +199,43 @@ class WhisperPipeline:
             **(generate_kwargs or {}))
         fn = self._jitted_generate(opts, len(prompt))
 
+        wts_fn = self._jitted_word_weights(opts, len(prompt)) \
+            if word_timestamps else None
+
         outputs: List[Dict[str, Any]] = []
         rng = jax.random.PRNGKey(0)
         for i in range(0, len(mels), batch_size):
             batch = mels[i:i + batch_size]
             n = len(batch)
             if n < batch_size:  # pad ragged final batch to the compiled shape
-                batch = np.concatenate(
-                    [batch, np.zeros((batch_size - n,) + batch.shape[1:],
-                                     batch.dtype)])
+                batch = jnp.concatenate(
+                    [batch, jnp.zeros((batch_size - n,) + batch.shape[1:],
+                                      batch.dtype)])
             prompts = jnp.asarray([prompt] * batch_size, jnp.int32)
-            out = fn(self.params, self._put_batch(batch), prompts, 0.0, rng)
+            mel_dev = self._put_batch(batch)
+            out = fn(self.params, mel_dev, prompts, 0.0, rng)
             seqs = np.asarray(out.sequences)
             lens = np.asarray(out.seq_len)
+            times = None
+            if word_timestamps:
+                from .generation.word_timestamps import (
+                    token_timestamps_from_weights)
+                sel = np.asarray(wts_fn(self.params, mel_dev,
+                                        out.sequences), np.float32)
+                times = token_timestamps_from_weights(
+                    sel, num_input_ids=len(prompt), seq_lens=lens)
             for j in range(n):
-                outputs.append({
+                entry = {
                     "tokens": seqs[j][:lens[j]].tolist(),
                     "stride": chunks[i + j]["stride"],
-                })
+                }
+                if times is not None:
+                    entry["token_times"] = times[j][:lens[j]]
+                    entry["start_s"] = chunks[i + j]["start_s"]
+                outputs.append(entry)
+
+        if word_timestamps:
+            return self._assemble_words(outputs, prompt_len=len(prompt))
 
         if single:
             ids = outputs[0]["tokens"]
@@ -195,3 +252,27 @@ class WhisperPipeline:
                                         return_timestamps=return_timestamps,
                                         return_language=return_language)
         return {"text": text, **optional}
+
+    def _assemble_words(self, outputs: List[Dict[str, Any]],
+                        prompt_len: int) -> Dict[str, Any]:
+        """Per-chunk token times -> global word list with stride trimming:
+        each word belongs to the chunk whose non-strided core contains its
+        start (left/right strides are 0 on the first/last chunk)."""
+        from .generation.word_timestamps import words_from_tokens
+        tok = self.tokenizer
+        words: List[Dict[str, Any]] = []
+        for o in outputs:
+            dur, left, right = o["stride"]
+            gen_ids = o["tokens"][prompt_len:]
+            gen_times = o["token_times"][prompt_len:len(o["tokens"])]
+            for w in words_from_tokens(tok, gen_ids, gen_times,
+                                       time_offset=0.0):
+                if w["start"] < left - 1e-6 or w["start"] >= dur - right:
+                    continue
+                words.append({
+                    "text": w["word"],
+                    "timestamp": (round(o["start_s"] + w["start"], 2),
+                                  round(o["start_s"] + w["end"], 2)),
+                })
+        text = "".join(w["text"] for w in words)
+        return {"text": text.strip(), "chunks": words}

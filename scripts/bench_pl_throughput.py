@@ -31,28 +31,35 @@ def main():
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
     from helpers import make_tiny_checkpoint  # tokenizer artifact layout
 
-    batch = int(os.environ.get("PL_BATCH", "64"))
+    batch = int(os.environ.get("PL_BATCH", "32"))
     tokens = int(os.environ.get("PL_TOKENS", "256"))
     hours = float(os.environ.get("PL_HOURS", "2.0"))
+    quant = os.environ.get("PL_QUANT") == "1"
 
-    root = Path(tempfile.mkdtemp(prefix="plbench"))
+    root = Path(os.environ.get("PL_ROOT", "/tmp/plbench_shared"))
+    root.mkdir(parents=True, exist_ok=True)
     ck = root / "teacher"
 
-    # tokenizer files from the tiny builder, then overwrite the weights with
-    # a large-v3-sized tree (vocab 51866 -> rebuild added tokens to match)
-    make_tiny_checkpoint(ck)
-    cfg = PRESETS["large-v3"]
-    t0 = time.perf_counter()
-    params = jax.device_get(
-        init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16))
-    save_pretrained(params, cfg, str(ck))
-    del params
-    print(f"checkpoint built in {time.perf_counter()-t0:.0f}s", flush=True)
+    if not (ck / "model.safetensors").exists():
+        # tokenizer files from the tiny builder, then overwrite the weights
+        # with a large-v3-sized tree
+        make_tiny_checkpoint(ck)
+        cfg = PRESETS["large-v3"]
+        t0 = time.perf_counter()
+        params = jax.device_get(
+            init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16))
+        save_pretrained(params, cfg, str(ck))
+        del params
+        print(f"checkpoint built in {time.perf_counter()-t0:.0f}s", flush=True)
 
     # synthetic corpus: ~28 s utterances, 2 speakers (exercises packing)
     import datasets
     n = int(hours * 3600 / 28)
     rng = np.random.default_rng(0)
+
+    data = root / "data"
+    if (data / "state.json").exists():
+        print("reusing corpus", flush=True)
 
     def gen():
         for i in range(n):
@@ -63,8 +70,8 @@ def main():
                    "text": "synthetic tone utterance number %d" % i,
                    "speaker_id": f"spk{i % 2}"}
 
-    data = root / "data"
-    datasets.Dataset.from_generator(gen).save_to_disk(str(data))
+    if not (data / "state.json").exists():
+        datasets.Dataset.from_generator(gen).save_to_disk(str(data))
     print(f"corpus: {n} utterances (~{n*28/3600:.2f} h)", flush=True)
 
     from distil_whisper_tpu.cli.run_pseudo_labelling import main as pl_main
@@ -77,12 +84,17 @@ def main():
 
     logging.getLogger("distil_whisper_tpu").addHandler(Capture())
     t0 = time.perf_counter()
-    pl_main(["--model_checkpoint", str(ck), "--dataset_path", str(data),
-             "--output_dir", str(root / "pl_out"),
-             "--per_device_batch_size", str(batch),
-             "--max_new_tokens", str(tokens), "--language", "en",
-             "--speaker_id_column_name", "speaker_id",
-             "--logging_steps", "2"])
+    import shutil
+    shutil.rmtree(root / "pl_out", ignore_errors=True)
+    pl_args = ["--model_checkpoint", str(ck), "--dataset_path", str(data),
+               "--output_dir", str(root / "pl_out"),
+               "--per_device_batch_size", str(batch),
+               "--max_new_tokens", str(tokens), "--language", "en",
+               "--speaker_id_column_name", "speaker_id",
+               "--logging_steps", "2"]
+    if quant:
+        pl_args.append("--quantize_cross_kv")
+    pl_main(pl_args)
     wall = time.perf_counter() - t0
 
     done = [m for m in records if m.startswith("done:")]
@@ -90,7 +102,7 @@ def main():
     gen_rtfx = float(m.group(1)) if m else float("nan")
     audio_h = n * 28 / 3600
     print(json.dumps({
-        "pl_batch": batch, "pl_tokens": tokens,
+        "pl_batch": batch, "pl_tokens": tokens, "int8_cross_kv": quant,
         "audio_hours": round(audio_h, 2),
         "wall_seconds_incl_compile": round(wall, 1),
         "audio_hours_per_hour_generate": round(gen_rtfx, 1),

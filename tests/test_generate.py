@@ -212,3 +212,21 @@ def test_eos_freezes_sequence(setup):
     assert (lens == 3).all()
     assert (seq[:, 2] == EOS).all()
     assert (seq[:, 3:] == 0).all()
+
+
+def test_quantized_cross_kv_parity(setup):  # noqa: F811
+    """int8 cross-KV storage: greedy tokens match the exact path on the tiny
+    model; sum_logprobs within quantisation tolerance."""
+    import numpy as np
+    from distil_whisper_tpu.generation import (GenerationOptions,
+                                               encode_and_generate)
+    _, params, mel = setup
+    opts = GenerationOptions(max_new_tokens=16)
+    prompt = jnp.asarray([[3], [3]], jnp.int32)
+    exact = encode_and_generate(params, CFG, jnp.asarray(mel), prompt, opts)
+    quant = encode_and_generate(params, CFG.replace(quantize_cross_kv=True),
+                                jnp.asarray(mel), prompt, opts)
+    np.testing.assert_array_equal(np.asarray(exact.sequences),
+                                  np.asarray(quant.sequences))
+    np.testing.assert_allclose(np.asarray(exact.sum_logprobs),
+                               np.asarray(quant.sum_logprobs), atol=0.05)
