@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 
 from ..config import WhisperConfig
-from ..ops.attention import mha, causal_mask, flash_padded, _flash_available
+from ..ops.attention import mha, causal_mask, _flash_available
+from ..ops.encoder_attention import fused_self_attention
 
 Params = Dict[str, Any]
 
@@ -118,21 +119,20 @@ def _encoder_layer(lp: Params, x: jnp.ndarray, n_heads: int,
                    rates: Tuple[float, float, float] = (0.0, 0.0, 0.0),
                    rng=None,
                    policy: Tuple[bool, bool, bool] = (True, False, False),
-                   seg: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    f32_attn, fast_act, use_flash = policy
+                   t_real: Optional[int] = None) -> jnp.ndarray:
+    f32_attn, fast_act, use_fused = policy
     drop, attn_drop, act_drop = rates
     rngs = jax.random.split(rng, 4) if rng is not None else (None,) * 4
     r = x
     x = layer_norm(lp["self_attn_ln"], x, fp32=not fast_act)
-    if use_flash:
-        # Pallas flash kernel: never materialises the [B,H,T,T] logits in HBM
-        # (XLA's fused attention writes logits+probs per layer — the dominant
-        # encoder cost at T=1500 in bf16).  Input is padded once by encode().
-        p = lp["self_attn"]
-        a = flash_padded(_split_heads(dense(p["q"], x), n_heads),
-                         _split_heads(dense(p["k"], x), n_heads),
-                         _split_heads(dense(p["v"], x), n_heads), seg)
-        x = dense(p["out"], _merge_heads(a))
+    if use_fused:
+        # In-tree Pallas kernel (ops/encoder_attention.py): single-pass
+        # whole-row softmax, q/k/v projected straight into [B,H,T,D] — never
+        # materialises the [B,H,T,T] logits in HBM (XLA's fused attention
+        # writes the probs per layer — the dominant encoder-attention cost at
+        # T=1500 in bf16).  Input is padded once by encode().
+        x = fused_self_attention(lp["self_attn"], x, n_heads,
+                                 t_real or x.shape[1])
     else:
         x = attention_block(lp["self_attn"], x, x, n_heads,
                             attn_dropout=attn_drop, rng=rngs[0],
@@ -167,25 +167,22 @@ def encode(params: Params, cfg: WhisperConfig, mel: jnp.ndarray,
     # (reference modeling_flax_whisper.py:982-985).
     x = x + jax.lax.stop_gradient(params["pos_emb"]).astype(dtype)
 
-    use_flash = (cfg.use_flash_encoder and not (use_dropout and
+    use_fused = (cfg.use_flash_encoder and not (use_dropout and
                                                 cfg.attention_dropout > 0)
                  and _flash_available())
     t_real = x.shape[1]
-    seg = None
-    if use_flash:
-        # Pad ONCE to a block multiple; segment ids keep the tail inert (pad
-        # queries only attend pad keys, residual stream keeps rows isolated).
+    if use_fused:
+        # Pad ONCE to a block multiple; the kernel masks pad KEYS and pad
+        # query rows stay garbage in their own rows until the final slice.
         t_pad = -(-t_real // 512) * 512 if t_real >= 512 else -(-t_real // 128) * 128
         if t_pad != t_real:
             x = jnp.pad(x, ((0, 0), (0, t_pad - t_real), (0, 0)))
-            seg = (jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], t_pad), 1)
-                   < t_real).astype(jnp.int32)
 
     policy = (not cfg.fast_bf16_attention, cfg.fast_approx_activations,
-              use_flash)
+              use_fused)
     layer = _encoder_layer
     if remat:
-        layer = jax.checkpoint(layer, static_argnums=(2, 3, 5))
+        layer = jax.checkpoint(layer, static_argnums=(2, 3, 5, 6))
 
     if use_dropout:
         rng, emb_rng = jax.random.split(dropout_rng)
@@ -195,14 +192,14 @@ def encode(params: Params, cfg: WhisperConfig, mel: jnp.ndarray,
         def body(carry, xs):
             lp, lrng = xs
             y = layer(lp, carry, cfg.encoder_attention_heads, rates, lrng,
-                      policy, seg)
+                      policy, t_real)
             return y, (carry if output_hidden_states else None)
 
         y, hs = jax.lax.scan(body, x, (params["layers"], layer_rngs))
     else:
         def body(carry, lp):
             y = layer(lp, carry, cfg.encoder_attention_heads,
-                      (0.0, 0.0, 0.0), None, policy, seg)
+                      (0.0, 0.0, 0.0), None, policy, t_real)
             return y, (carry if output_hidden_states else None)
 
         y, hs = jax.lax.scan(body, x, params["layers"])

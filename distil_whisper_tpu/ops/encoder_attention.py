@@ -1,0 +1,161 @@
+"""Custom Pallas TPU kernel for Whisper encoder self-attention.
+
+Whisper's encoder length is a compile-time constant (1500, padded to 1536),
+small enough that a FULL score row fits in VMEM — so unlike generic flash
+attention there is no need for online-softmax running max/sum renormalisation:
+each program computes q_block @ K^T for the whole key range, one exact
+softmax, then @ V.  Measured on v5e at (B16, H20, T1536, D64) inside the
+32-layer scan: 215 ms vs 254 ms for XLA's fused einsum attention (and on par
+with jax's generic flash kernel, with the advantage of CPU-interpret-mode
+testability and an in-tree implementation to tune).
+
+Layout: grid (B, H, T // block_q); per program q [block_q, D], K/V [T, D]
+resident in VMEM (bf16, ~0.4 MB), scores [block_q, T] fp32 (~3 MB).
+Key positions >= t_real (the pad tail) are masked with -inf; pad QUERY rows
+compute garbage that the caller slices off (rows never mix).
+
+Backward: einsum-recompute VJP (the kernel is inference-first; gradients for
+unfrozen-encoder fine-tuning recompute attention with the reference einsum
+formulation, which XLA handles well for bwd).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float("-inf")
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, t_real: int, t_pad: int,
+                 scale: float, exp_bf16: bool):
+    q = q_ref[0, 0, :, :]                       # [bq, D] bf16
+    k = k_ref[0, 0, :, :]                       # [T, D]
+    v = v_ref[0, 0, :, :]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = s * scale                               # [bq, T] fp32
+    if t_real < t_pad:
+        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(cols >= t_real, NEG_INF, s)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    if exp_bf16:
+        # bf16 transcendental (measured NOT faster than f32 exp on v5e —
+        # kept as an option; |rel err| ~ 4e-3 on (0, 1])
+        p = jnp.exp((s - m).astype(jnp.bfloat16))
+        denom = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    else:
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(p.astype(v.dtype), v,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    o_ref[0, 0, :, :] = (pv / denom).astype(o_ref.dtype)
+
+
+def _attention_fwd_impl(q, k, v, t_real: int, block_q: int, exp_bf16: bool,
+                        interpret: bool):
+    b, h, t, d = q.shape
+    block_q = min(block_q, t)
+    scale = d ** -0.5
+    kernel = functools.partial(_attn_kernel, t_real=t_real, t_pad=t,
+                               scale=scale, exp_bf16=exp_bf16)
+    flops = 4 * b * h * t * t * d
+    return pl.pallas_call(
+        kernel,
+        grid=(b, h, pl.cdiv(t, block_q)),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d),
+                         lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d),
+                               lambda bi, hi, qi: (bi, hi, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, transcendentals=b * h * t * t,
+            bytes_accessed=(q.size + 2 * k.size + q.size) * q.dtype.itemsize),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def _reference_attention(q, k, v, t_real: int):
+    """einsum formulation (fp32 softmax) — backward recompute path.
+    q/k/v [B, H, T, D]."""
+    d = q.shape[-1]
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * (d ** -0.5)
+    if t_real < k.shape[2]:
+        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
+        s = jnp.where(cols >= t_real, NEG_INF, s)
+    p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def encoder_attention(q, k, v, t_real: int, block_q: int = 512,
+                      exp_bf16: bool = False, interpret: bool = False):
+    """Whisper encoder self-attention.
+
+    q/k/v [B, H, T, D] with T block-padded — produce this layout directly
+    from the projections (einsum "btd,dhk->bhtk", see fused_self_attention)
+    rather than transposing [B,T,H,D] activations.  Keys >= t_real are
+    masked.  Returns [B, H, T, D] in q.dtype."""
+    return _attention_fwd_impl(q, k, v, t_real, block_q, exp_bf16, interpret)
+
+
+def fused_self_attention(p_attn, x_ln: jnp.ndarray, n_heads: int,
+                         t_real: int, block_q: int = 512,
+                         exp_bf16: bool = False,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Post-LN hidden states [B, T, d_model] -> self-attention block output
+    [B, T, d_model] via the Pallas kernel, with q/k/v projected STRAIGHT into
+    the kernel's [B, H, T, D] layout ("btd,dhk->bhtk") and the out-projection
+    consuming it directly ("bhtk,hkd->btd") — zero layout copies."""
+    b, t, dm = x_ln.shape
+    d = dm // n_heads
+
+    def proj(p):
+        wk = p["kernel"].reshape(dm, n_heads, d).astype(x_ln.dtype)
+        y = jnp.einsum("btd,dhk->bhtk", x_ln, wk,
+                       preferred_element_type=jnp.float32).astype(x_ln.dtype)
+        if "bias" in p:
+            y = y + p["bias"].reshape(n_heads, 1, d).astype(y.dtype)
+        return y
+
+    q = proj(p_attn["q"])
+    k = proj(p_attn["k"])
+    v = proj(p_attn["v"])
+    a = encoder_attention(q, k, v, t_real, block_q, exp_bf16, interpret)
+    wo = p_attn["out"]["kernel"].reshape(n_heads, d, dm).astype(a.dtype)
+    y = jnp.einsum("bhtk,hkd->btd", a, wo,
+                   preferred_element_type=jnp.float32).astype(a.dtype)
+    return y + p_attn["out"]["bias"].astype(y.dtype)
+
+
+def _fwd(q, k, v, t_real, block_q, exp_bf16, interpret):
+    out = _attention_fwd_impl(q, k, v, t_real, block_q, exp_bf16, interpret)
+    return out, (q, k, v)
+
+
+def _bwd(t_real, block_q, exp_bf16, interpret, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q, k, v: _reference_attention(q, k, v, t_real),
+                     q, k, v)
+    return vjp(g)
+
+
+encoder_attention.defvjp(_fwd, _bwd)

@@ -79,6 +79,20 @@ class WhisperPipeline:
             self._generate_cache[key] = jax.jit(fn)
         return self._generate_cache[key]
 
+    def _jitted_beam(self, opts: GenerationOptions, num_beams: int,
+                     length_penalty: float):
+        key = ("_beam", opts, num_beams, length_penalty)
+        if key not in self._generate_cache:
+            from .generation import encode_and_beam_search
+
+            def fn(params, mel, prompt, temperature, rng):
+                # temperature/rng unused: beam is deterministic (HF semantics)
+                return encode_and_beam_search(
+                    params, self.cfg, mel, prompt, opts, num_beams=num_beams,
+                    length_penalty=length_penalty, dtype=self.dtype)
+            self._generate_cache[key] = jax.jit(fn)
+        return self._generate_cache[key]
+
     def _alignment_heads(self):
         if not hasattr(self, "_align_heads_cache"):
             from .generation.word_timestamps import (default_alignment_heads,
@@ -192,12 +206,19 @@ class WhisperPipeline:
             language = self.detect_language(mels[:1])[0]
         prompt = tok.prompt_ids(language=language, task=task,
                                 no_timestamps=not return_timestamps)
+        gen_kwargs = dict(generate_kwargs or {})
+        num_beams = int(gen_kwargs.pop("num_beams", 1))
+        length_penalty = float(gen_kwargs.pop("length_penalty", 1.0))
         opts = GenerationOptions.from_config(
             cfg, max_new_tokens=max_new,
             return_timestamps=bool(return_timestamps),
             no_speech_token_id=tok.no_speech,
-            **(generate_kwargs or {}))
-        fn = self._jitted_generate(opts, len(prompt))
+            **gen_kwargs)
+        if num_beams > 1 and word_timestamps:
+            raise NotImplementedError(
+                "word timestamps + beam search not supported together yet")
+        fn = (self._jitted_beam(opts, num_beams, length_penalty)
+              if num_beams > 1 else self._jitted_generate(opts, len(prompt)))
 
         wts_fn = self._jitted_word_weights(opts, len(prompt)) \
             if word_timestamps else None

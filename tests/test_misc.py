@@ -71,3 +71,21 @@ def test_step_timer():
         y = x @ x
         dt = t.stop(y)
     assert dt >= 0 and t.count == 1
+
+
+def test_multihost_helpers_single_process():
+    """gather_rows / process_local_slice / host_local_batch_to_global in the
+    process_count==1 regime (the multi-process paths are exercised on pods)."""
+    import numpy as np
+    import jax
+    from distil_whisper_tpu.parallel import (make_mesh, gather_rows,
+                                             process_local_slice,
+                                             host_local_batch_to_global)
+    mesh = make_mesh((8, 1))
+    batch = {"x": np.arange(16, dtype=np.float32).reshape(16, 1)}
+    g = host_local_batch_to_global(batch, mesh)
+    assert g["x"].shape == (16, 1)
+    assert g["x"].sharding.spec[0] == "data"
+    np.testing.assert_array_equal(gather_rows(g["x"]), batch["x"])
+    sl = process_local_slice(16)
+    assert sl == slice(0, 16)

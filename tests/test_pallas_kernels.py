@@ -26,22 +26,65 @@ def test_fused_mel_matches_reference(n_mels):
     np.testing.assert_allclose(fused, golden, atol=2e-4, rtol=1e-4)
 
 
-def test_flash_attention_matches_einsum():
+def test_encoder_attention_kernel_matches_einsum():
+    """In-tree Pallas kernel (fwd, incl. pad-tail key masking) vs the
+    einsum reference, interpret mode."""
+    from distil_whisper_tpu.ops.encoder_attention import (
+        encoder_attention, _reference_attention)
     rng = np.random.default_rng(1)
-    q = jnp.asarray(rng.standard_normal((2, 256, 4, 64)).astype(np.float32))
-    k = jnp.asarray(rng.standard_normal((2, 256, 4, 64)).astype(np.float32))
-    v = jnp.asarray(rng.standard_normal((2, 256, 4, 64)).astype(np.float32))
-    golden = np.asarray(mha(q, k, v, use_flash=False))
-    with pltpu.force_tpu_interpret_mode():
-        flash = np.asarray(mha(q, k, v, use_flash=True))
-    np.testing.assert_allclose(flash, golden, atol=2e-3, rtol=2e-3)
+    q = jnp.asarray(rng.standard_normal((2, 4, 256, 64)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((2, 4, 256, 64)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((2, 4, 256, 64)).astype(np.float32))
+    for t_real in (256, 200):
+        out = encoder_attention(q, k, v, t_real, block_q=128, exp_bf16=False,
+                                interpret=True)
+        ref = _reference_attention(q, k, v, t_real)
+        np.testing.assert_allclose(np.asarray(out[:, :, :t_real]),
+                                   np.asarray(ref[:, :, :t_real]),
+                                   atol=2e-5, rtol=1e-4)
 
 
-def test_flash_attention_causal_matches():
+def test_encoder_attention_kernel_backward():
+    """custom_vjp (einsum-recompute) gradients match autodiff through the
+    reference formulation."""
+    import jax
+    from distil_whisper_tpu.ops.encoder_attention import (
+        encoder_attention, _reference_attention)
     rng = np.random.default_rng(2)
-    q = jnp.asarray(rng.standard_normal((1, 128, 2, 64)).astype(np.float32))
+    t_real = 100
+    q = jnp.asarray(rng.standard_normal((1, 2, 128, 64)).astype(np.float32))
     k, v = q + 0.1, q - 0.1
-    golden = np.asarray(mha(q, k, v, causal=True, use_flash=False))
-    with pltpu.force_tpu_interpret_mode():
-        flash = np.asarray(mha(q, k, v, causal=True, use_flash=True))
-    np.testing.assert_allclose(flash, golden, atol=2e-3, rtol=2e-3)
+
+    def loss_k(q, k, v):
+        return jnp.sum(encoder_attention(q, k, v, t_real, 128, False, True)
+                       [:, :, :t_real] ** 2)
+
+    def loss_r(q, k, v):
+        return jnp.sum(_reference_attention(q, k, v, t_real)
+                       [:, :, :t_real] ** 2)
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_fused_self_attention_matches_attention_block():
+    """Layer-level fusion (projections straight into [B,H,T,D]) equals the
+    standard attention_block bit-for-tolerance."""
+    import jax
+    from distil_whisper_tpu.config import PRESETS
+    from distil_whisper_tpu.models import init_params
+    from distil_whisper_tpu.models.whisper import attention_block
+    from distil_whisper_tpu.ops.encoder_attention import fused_self_attention
+
+    cfg = PRESETS["test-tiny"]
+    p = init_params(cfg, jax.random.PRNGKey(0))
+    lp = jax.tree.map(lambda x: x[0], p["encoder"]["layers"])["self_attn"]
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 256, 64)), jnp.float32)
+    ref = attention_block(lp, x, x, 4)
+    out = fused_self_attention(lp, x, 4, t_real=256, block_q=128,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5, rtol=1e-4)

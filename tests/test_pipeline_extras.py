@@ -68,3 +68,20 @@ def test_eval_cli_flags_round_trip_to_sequential_options():
     assert o.compression_ratio_threshold == 2.0
     assert o.condition_on_prev_tokens is True
     assert o.max_new_tokens == 96
+
+
+def test_pipeline_beam_via_generate_kwargs(tmp_path):
+    """generate_kwargs={'num_beams': 2} routes through beam search (the
+    reference pipeline forwards beams to HF generate the same way)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tests.helpers import make_tiny_checkpoint
+    from distil_whisper_tpu.pipeline import WhisperPipeline
+
+    ck = make_tiny_checkpoint(tmp_path / "ck")
+    pipe = WhisperPipeline(ck, dtype=jnp.float32, batch_size=4,
+                           max_new_tokens=8)
+    t = np.arange(int(3.0 * 16000)) / 16000.0
+    audio = (0.2 * np.sin(2 * np.pi * 300 * t)).astype(np.float32)
+    out = pipe(audio, language="en", generate_kwargs={"num_beams": 2})
+    assert isinstance(out["text"], str)
