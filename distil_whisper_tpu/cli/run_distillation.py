@@ -117,6 +117,11 @@ def parse_args(argv=None):
     p.add_argument("--resume_from_checkpoint", action="store_true")
     p.add_argument("--gradient_checkpointing", action="store_true")
     p.add_argument("--eval_max_new_tokens", type=int, default=128)
+    p.add_argument("--loss_chunk_size", type=int, default=0,
+                   help="chunked CE+KL: never materialise the [B,S,V] "
+                        "student+teacher logits pair (~4 GB at bs16/seq256 "
+                        "for large-v3); 0 = off, 128 recommended on 16 GB "
+                        "chips. Identical math.")
     return p.parse_args(argv)
 
 
@@ -208,7 +213,8 @@ def main(argv=None):
         temperature=args.temperature, mse_weight=args.mse_weight,
         freeze_encoder=args.freeze_encoder,
         share_encoder=args.freeze_encoder,
-        remat=args.gradient_checkpointing)
+        remat=args.gradient_checkpointing,
+        loss_chunk_size=args.loss_chunk_size)
     train_step, eval_step = build_train_step(student_cfg, teacher_cfg, dcfg,
                                              opt_cfg, tx)
     jit_train = jax.jit(train_step, donate_argnums=(0,))

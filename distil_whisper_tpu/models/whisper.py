@@ -344,7 +344,8 @@ def decode(params: Params, cfg: WhisperConfig, tokens: jnp.ndarray,
            pad_len: Optional[jnp.ndarray] = None,
            dtype=jnp.float32, remat: bool = False,
            output_hidden_states: bool = False,
-           dropout_rng: Optional[jax.Array] = None):
+           dropout_rng: Optional[jax.Array] = None,
+           skip_logits: bool = False):
     """Decoder forward.
 
     tokens [B, S] at global cache slots ``pos_offset .. pos_offset+S-1``.
@@ -469,8 +470,13 @@ def decode(params: Params, cfg: WhisperConfig, tokens: jnp.ndarray,
         new_cache = {"k": nk, "v": nv}
 
     y = layer_norm(params["ln"], y)
-    logits = jnp.einsum("bsd,vd->bsv", y, tok_emb.astype(dtype),
-                        preferred_element_type=jnp.float32)
+    if skip_logits:
+        # caller projects per-chunk (training.losses.chunked_ce_kl) — the
+        # full [B, S, V] logits never materialise
+        logits = y
+    else:
+        logits = jnp.einsum("bsd,vd->bsv", y, tok_emb.astype(dtype),
+                            preferred_element_type=jnp.float32)
 
     if output_hidden_states:
         all_hs = jnp.concatenate([hs, y[None]], axis=0)

@@ -39,6 +39,11 @@ class DistillConfig:
     freeze_encoder: bool = True
     share_encoder: bool = True      # student decodes on teacher enc states
     remat: bool = False
+    # Chunked CE+KL (losses.chunked_ce_kl): the [B, S, V] student+teacher
+    # logits pair never materialises — ~4 GB at bs16/seq256 for large-v3,
+    # the difference between bs8 and bs16+ fitting on a 16 GB chip.
+    # Only applies on the shared-encoder path without hidden-state MSE.
+    loss_chunk_size: int = 0        # 0 = off (exact same math when on)
 
 
 def build_train_step(student_cfg: WhisperConfig, teacher_cfg: WhisperConfig,
@@ -55,6 +60,7 @@ def build_train_step(student_cfg: WhisperConfig, teacher_cfg: WhisperConfig,
     use_mse = dcfg.mse_weight > 0.0
     layer_map = get_layers_to_supervise(
         student_cfg.decoder_layers, teacher_cfg.decoder_layers) if use_mse else ()
+    chunked = dcfg.loss_chunk_size > 0 and share and not use_mse
 
     def compute_losses(params: Params, teacher_params: Params,
                        batch: Dict[str, jnp.ndarray], dropout_rng=None):
@@ -62,6 +68,30 @@ def build_train_step(student_cfg: WhisperConfig, teacher_cfg: WhisperConfig,
         dec_in = batch["decoder_input_ids"]
         labels = batch["labels"]
         attn_mask = batch.get("decoder_attention_mask")
+
+        if chunked:
+            enc = encode(teacher_params["encoder"], teacher_cfg, mel,
+                         dtype=dtype, remat=dcfg.remat, freeze=True)
+            t_y, _ = decode(teacher_params["decoder"], teacher_cfg, dec_in,
+                            enc=enc, attention_mask=attn_mask, dtype=dtype,
+                            skip_logits=True)
+            s_y, _ = decode(params["decoder"], student_cfg, dec_in, enc=enc,
+                            attention_mask=attn_mask, dtype=dtype,
+                            remat=dcfg.remat, dropout_rng=dropout_rng,
+                            skip_logits=True)
+            from .losses import chunked_ce_kl
+            ce_sum, kl_sum, n_tok = chunked_ce_kl(
+                s_y, jax.lax.stop_gradient(t_y),
+                params["decoder"]["tok_emb"],
+                teacher_params["decoder"]["tok_emb"], labels,
+                temperature=dcfg.temperature,
+                label_smoothing=dcfg.label_smoothing,
+                chunk=dcfg.loss_chunk_size)
+            n_tok = jnp.maximum(n_tok, 1.0)
+            ce = ce_sum / n_tok
+            kl = kl_sum / n_tok
+            loss = dcfg.ce_weight * ce + dcfg.kl_weight * kl
+            return loss, {"ce_loss": ce, "kl_loss": kl, "loss": loss}
 
         if share:
             enc = encode(teacher_params["encoder"], teacher_cfg, mel,

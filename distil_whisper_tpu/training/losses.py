@@ -59,6 +59,51 @@ def kl_divergence(teacher_logits: jnp.ndarray, student_logits: jnp.ndarray,
     return jnp.sum(kl * mask), jnp.sum(mask)
 
 
+def chunked_ce_kl(student_y: jnp.ndarray, teacher_y: jnp.ndarray,
+                  student_emb: jnp.ndarray, teacher_emb: jnp.ndarray,
+                  labels: jnp.ndarray, temperature: float = 2.0,
+                  label_smoothing: float = 0.0, chunk: int = 128
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """CE + KL WITHOUT materialising the full [B, S, V] logits.
+
+    ``student_y``/``teacher_y`` are the pre-projection decoder hidden states
+    (post final LN); the vocab projection runs per S-chunk inside a
+    rematerialised scan, so the only live full-vocab tensors are the fp32
+    [B, chunk, V] pair (e.g. 0.4 GB instead of 4.3 GB at bs16/seq256 for
+    large-v3 — the difference between bs8 and bs16+ fitting on a 16 GB v5e).
+    Returns (ce_sum, kl_sum, n_tokens) — same contract as the unchunked pair.
+    """
+    b, s, d = student_y.shape
+    pad = (-s) % chunk
+    if pad:
+        student_y = jnp.pad(student_y, ((0, 0), (0, pad), (0, 0)))
+        teacher_y = jnp.pad(teacher_y, ((0, 0), (0, pad), (0, 0)))
+        labels = jnp.pad(labels, ((0, 0), (0, pad)),
+                         constant_values=LABEL_PAD)
+    n_chunks = (s + pad) // chunk
+    sy = student_y.reshape(b, n_chunks, chunk, d).transpose(1, 0, 2, 3)
+    ty = teacher_y.reshape(b, n_chunks, chunk, d).transpose(1, 0, 2, 3)
+    lab = labels.reshape(b, n_chunks, chunk).transpose(1, 0, 2)
+
+    @jax.checkpoint  # recompute per-chunk logits in backward: O(chunk) memory
+    def chunk_losses(syc, tyc, lc):
+        sl = jnp.einsum("bsd,vd->bsv", syc, student_emb.astype(syc.dtype),
+                        preferred_element_type=jnp.float32)
+        tl = jnp.einsum("bsd,vd->bsv", tyc, teacher_emb.astype(tyc.dtype),
+                        preferred_element_type=jnp.float32)
+        ce, n = cross_entropy(sl, lc, label_smoothing)
+        kl, _ = kl_divergence(tl, sl, lc, temperature)
+        return ce, kl, n
+
+    def body(carry, xs):
+        ce, kl, n = chunk_losses(*xs)
+        return (carry[0] + ce, carry[1] + kl, carry[2] + n), None
+
+    (ce, kl, n), _ = jax.lax.scan(
+        body, (jnp.zeros((), jnp.float32),) * 3, (sy, ty, lab))
+    return ce, kl, n
+
+
 def hidden_state_mse(teacher_hs: jnp.ndarray, student_hs: jnp.ndarray,
                      layer_map: Sequence[int], labels: jnp.ndarray
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:

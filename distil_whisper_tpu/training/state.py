@@ -68,6 +68,19 @@ def _trainable_mask(params: Params, frozen_prefixes: Sequence[str]) -> Params:
     return unflatten_paths(mask)
 
 
+def _cast_by_policy(params: Params, cfg: OptimizerConfig) -> Params:
+    """Stored-param dtypes: trainable leaves get ``param_dtype`` (fp32 master
+    copies under half_mixed), FROZEN leaves stay in compute dtype — a frozen
+    large-v3 encoder otherwise carries ~1.3 GB of pointless fp32 masters."""
+    if not cfg.frozen_prefixes or cfg.param_dtype == cfg.compute_dtype:
+        return cast_floating(params, cfg.param_dtype)
+    trainable = _trainable_mask(params, cfg.frozen_prefixes)
+    return jax.tree.map(
+        lambda p, t: cast_floating(p, cfg.param_dtype if t
+                                   else cfg.compute_dtype),
+        params, trainable)
+
+
 def make_schedule(cfg: OptimizerConfig):
     warmup = optax.linear_schedule(0.0, cfg.learning_rate, cfg.warmup_steps)
     if cfg.schedule == "constant_with_warmup":
@@ -82,14 +95,22 @@ def make_optimizer(cfg: OptimizerConfig, params: Params) -> optax.GradientTransf
     chain = []
     if cfg.max_grad_norm is not None:
         chain.append(optax.clip_by_global_norm(cfg.max_grad_norm))
-    chain.append(optax.adamw(
+    adamw = optax.adamw(
         make_schedule(cfg), b1=cfg.b1, b2=cfg.b2, eps=cfg.eps,
-        weight_decay=cfg.weight_decay, mask=_decay_mask(params)))
+        weight_decay=cfg.weight_decay, mask=_decay_mask(params))
     if cfg.frozen_prefixes:
         trainable = _trainable_mask(params, cfg.frozen_prefixes)
+        # adamw wrapped in masked => NO mu/nu allocated for frozen params
+        # (a frozen large-v3 encoder otherwise wastes ~5 GB of fp32 moments
+        # per chip); the trailing set_to_zero guards partially-frozen setups
+        # (freeze_decoder) where frozen grads are nonzero and masked() would
+        # pass them through as updates.
+        chain.append(optax.masked(adamw, trainable))
         chain.append(optax.masked(
             optax.set_to_zero(),
             jax.tree.map(lambda t: not t, trainable)))
+    else:
+        chain.append(adamw)
     tx = optax.chain(*chain)
     if cfg.gradient_accumulation_steps > 1:
         tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)
@@ -107,18 +128,32 @@ def place_state(state: "TrainState", tx: optax.GradientTransformation,
     1905-1908), which for a 756 M student wastes ~6 GB/chip of fp32 moments;
     under GSPMD sharding them costs nothing.  Scalars (step counts, schedule
     state) are replicated.
+
+    Param-shaped opt-state leaves are recognised by their trailing dict-key
+    path (mu['decoder']['fc1']['kernel'] ends with the param path), which is
+    robust to any optax wrapper nesting (chain/masked/MultiSteps/MaskedNode).
     """
     from jax.sharding import NamedSharding, PartitionSpec
 
     rep = NamedSharding(mesh, PartitionSpec())
-    opt_state = optax.tree_map_params(
-        tx, lambda leaf, sh: jax.device_put(leaf, sh),
-        state.opt_state, param_shardings,
-        transform_non_params=lambda leaf: jax.device_put(leaf, rep))
+    flat_sh = {
+        tuple(k.key for k in path): sh
+        for path, sh in
+        jax.tree_util.tree_flatten_with_path(param_shardings)[0]}
+
+    def put(path, leaf):
+        keys = tuple(k.key for k in path
+                     if isinstance(k, jax.tree_util.DictKey))
+        for start in range(len(keys)):
+            sh = flat_sh.get(keys[start:])
+            if sh is not None:
+                return jax.device_put(leaf, sh)
+        return jax.device_put(leaf, rep)
+
     return TrainState(
         step=jax.device_put(state.step, rep),
         params=jax.tree.map(jax.device_put, state.params, param_shardings),
-        opt_state=opt_state)
+        opt_state=jax.tree_util.tree_map_with_path(put, state.opt_state))
 
 
 @jax.tree_util.register_dataclass
@@ -135,7 +170,7 @@ class TrainState:
         tx = tx or make_optimizer(cfg, params)
         params32 = cast_floating(params, jnp.float32)
         state = cls(step=jnp.zeros((), jnp.int32),
-                    params=cast_floating(params, cfg.param_dtype),
+                    params=_cast_by_policy(params, cfg),
                     opt_state=tx.init(params32))
         return state, tx
 
@@ -148,5 +183,5 @@ class TrainState:
         updates, new_opt = tx.update(grads32, self.opt_state, params32)
         new_params = optax.apply_updates(params32, updates)
         return TrainState(step=self.step + 1,
-                          params=cast_floating(new_params, cfg.param_dtype),
+                          params=_cast_by_policy(new_params, cfg),
                           opt_state=new_opt)

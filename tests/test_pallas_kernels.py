@@ -88,3 +88,23 @@ def test_fused_self_attention_matches_attention_block():
                                interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=3e-5, rtol=1e-4)
+
+
+def test_encode_fused_path_matches_einsum_path(monkeypatch):
+    """Full encode() with the fused kernel path (forced on, interpret mode)
+    equals the einsum path, incl. the pad-to-512/slice-back plumbing."""
+    import jax
+    import distil_whisper_tpu.models.whisper as W
+    from distil_whisper_tpu.config import PRESETS
+    from distil_whisper_tpu.models import init_params
+
+    cfg = PRESETS["test-tiny"]
+    p = init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(4)
+    mel = jnp.asarray(rng.standard_normal((2, 80, 3000)), jnp.float32)
+    ref = np.asarray(W.encode(p["encoder"], cfg, mel))
+    monkeypatch.setattr(W, "_flash_available", lambda: True)
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(W.encode(
+            p["encoder"], cfg.replace(use_flash_encoder=True), mel))
+    np.testing.assert_allclose(out, ref, atol=5e-5, rtol=1e-4)

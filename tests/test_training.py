@@ -227,7 +227,9 @@ def test_place_state_shards_optimizer_moments():
     shardings = shardings_for_tree(param_axes(TEACHER_CFG), mesh, RULES_2D)
     placed = place_state(state, tx, mesh, shardings)
 
-    mu = placed.opt_state.inner_opt_state[1][0].mu
+    # chain = (clip, masked(adamw), masked(set_to_zero)) inside MultiSteps;
+    # adamw itself is a chain whose first element is scale_by_adam
+    mu = placed.opt_state.inner_opt_state[1].inner_state[0].mu
     fc1_spec = mu["decoder"]["layers"]["fc1"]["kernel"].sharding.spec
     assert fc1_spec == P(None, "data", "model")  # (layers, embed, mlp) 2-D
     acc_spec = placed.opt_state.acc_grads["decoder"]["layers"]["fc1"][
@@ -258,3 +260,26 @@ def test_dryrun_multichip_entry():
         graft.dryrun_multichip(8)
     finally:
         sys.path.remove("/root/repo")
+
+
+def test_chunked_loss_matches_unchunked():
+    """loss_chunk_size: identical loss/grad-norm without materialising the
+    [B, S, V] logits pair (chunk size not dividing S exercises padding)."""
+    teacher = init_params(TEACHER_CFG, jax.random.PRNGKey(0))
+    student, s_cfg = init_student_from_teacher(teacher, TEACHER_CFG,
+                                               decoder_layers=2)
+    opt_cfg = OptimizerConfig(learning_rate=1e-3, warmup_steps=1,
+                              total_steps=10, precision="full",
+                              frozen_prefixes=("encoder",))
+    batch = _batch(bsz=2, seq=12)
+    results = []
+    for chunk in (0, 5):
+        tx = make_optimizer(opt_cfg, student)
+        state, tx = TrainState.create(student, opt_cfg, tx)
+        step, _ = build_train_step(s_cfg, TEACHER_CFG,
+                                   DistillConfig(loss_chunk_size=chunk),
+                                   opt_cfg, tx)
+        _, m = jax.jit(step)(state, teacher, batch)
+        results.append({k: float(v) for k, v in m.items()})
+    for k in ("loss", "ce_loss", "kl_loss", "grad_norm"):
+        np.testing.assert_allclose(results[0][k], results[1][k], rtol=5e-5)
