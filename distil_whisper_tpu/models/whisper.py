@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 
 from ..config import WhisperConfig
-from ..ops.attention import mha, causal_mask, _flash_available
+from ..ops.attention import (mha, causal_mask, decode_attention,
+                             _flash_available)
 from ..ops.encoder_attention import fused_self_attention
 
 Params = Dict[str, Any]
@@ -223,40 +224,50 @@ def encode(params: Params, cfg: WhisperConfig, mel: jnp.ndarray,
 
 def init_cache(cfg: WhisperConfig, batch: int, dtype=jnp.float32,
                max_len: Optional[int] = None) -> Params:
-    """Static-shape self-attention KV cache: [L, B, max_len, H, hd]."""
+    """Static-shape self-attention KV cache: [L, B, max_len, H*hd].
+
+    Heads are stored MERGED (minor dim = d_model) so the cache buffer fills
+    full 128-lane tile rows; a head-split [.., H, 64] layout would waste
+    ~2x HBM bytes and bandwidth on every per-token read
+    (see ops.attention.decode_attention).
+    """
     max_len = max_len or cfg.max_target_positions
     h, hd = cfg.decoder_attention_heads, cfg.decoder_head_dim
-    shape = (cfg.decoder_layers, batch, max_len, h, hd)
+    shape = (cfg.decoder_layers, batch, max_len, h * hd)
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
 def cross_kv(params: Params, cfg: WhisperConfig, enc: jnp.ndarray,
              quantize: Optional[bool] = None) -> Params:
-    """Cross-attention K/V, computed once per utterance: [L, B, 1500, H, hd].
+    """Cross-attention K/V, computed once per utterance: [L, B, 1500, H*hd].
 
-    With ``quantize`` (default ``cfg.quantize_cross_kv``) K/V are stored int8
-    with per-(layer, batch, head) absmax scales.  Reading the cross K/V is
-    the dominant per-token HBM traffic of long decodes (32 layers x
-    2 x [B,1500,H,hd] for the teacher); int8 halves it vs bf16.  The dequant
-    multiply fuses into the attention matmul's operand load under XLA.
+    Heads are stored MERGED (see :func:`init_cache`): reading the cross K/V
+    is the dominant per-token HBM traffic of long decodes (32 layers x
+    2 x [B,1500,d] for the teacher) and the merged layout streams at native
+    128-lane rows.  With ``quantize`` (default ``cfg.quantize_cross_kv``)
+    K/V are stored int8 with per-(layer, batch, head) absmax scales expanded
+    to a [B, 1, d] vector so the dequant multiply stays elementwise on the
+    merged buffer (and fuses into the attention's operand load under XLA).
     """
     h = cfg.decoder_attention_heads
+    hd = cfg.decoder_head_dim
     if quantize is None:
         quantize = cfg.quantize_cross_kv
 
     def q8(x):
-        # per (batch, head) absmax scale; axes here are the per-layer
-        # [B, T, H, hd] layout
-        amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(1, 3),
-                       keepdims=True)                       # [B,1,H,1]
+        # per (batch, head) absmax scale on the merged [B, T, H*hd] layout
+        b, t, d = x.shape
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)).reshape(b, t, h, hd),
+                       axis=(1, 3))                         # [B, H]
         scale = jnp.maximum(amax, 1e-8) / 127.0
-        q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+        scale_vec = jnp.repeat(scale, hd, axis=-1)[:, None]  # [B, 1, d]
+        q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale_vec),
                      -127, 127).astype(jnp.int8)
-        return q, scale.astype(jnp.float32)
+        return q, scale_vec.astype(jnp.float32)
 
     def per_layer(lp):
-        k = _split_heads(dense(lp["cross_attn"]["k"], enc), h)
-        v = _split_heads(dense(lp["cross_attn"]["v"], enc), h)
+        k = dense(lp["cross_attn"]["k"], enc)
+        v = dense(lp["cross_attn"]["v"], enc)
         if quantize:
             # quantise INSIDE the layer map so only one layer's bf16 K/V is
             # ever live — peak HBM stays ~int8-sized for deep teachers
@@ -284,11 +295,20 @@ def _cross_scan_xs(cross: Params, dtype):
 
 
 def _dequant_part(part, dtype):
+    """Per-layer merged [B, T, d] K/V from a :func:`_cross_scan_xs` slice."""
     if len(part) == 2:
         return part
     kq, ks, vq, vs = part
     return (kq.astype(dtype) * ks.astype(dtype),
             vq.astype(dtype) * vs.astype(dtype))
+
+
+def _split_kv(x: jnp.ndarray, n_heads: int) -> jnp.ndarray:
+    """Merged [B, T, H*hd] -> head-split [B, T, H, hd] view (for the exact
+    einsum attention paths; the bf16 single-token fast path consumes the
+    merged layout directly via ops.attention.decode_attention)."""
+    b, t, d = x.shape
+    return x.reshape(b, t, n_heads, d // n_heads)
 
 
 def _decoder_layer(lp: Params, x: jnp.ndarray, self_k, self_v, ck, cv,
@@ -432,7 +452,7 @@ def decode(params: Params, cfg: WhisperConfig, tokens: jnp.ndarray,
                 lp, cross_part, lrng = xs
             else:
                 (lp, cross_part), lrng = xs, None
-            ck, cv = _ck_cv(cross_part)
+            ck, cv = (_split_kv(t, n_heads) for t in _ck_cv(cross_part))
             h = layer_norm(lp["self_attn_ln"], carry)
             k = _split_heads(dense(lp["self_attn"]["k"], h), n_heads)
             v = _split_heads(dense(lp["self_attn"]["v"], h), n_heads)
@@ -445,28 +465,99 @@ def decode(params: Params, cfg: WhisperConfig, tokens: jnp.ndarray,
         y, hs = jax.lax.scan(body, x, xs)
         new_cache = None
     else:
-        def body(carry, xs):
-            lp, cross_part, cache_k, cache_v = xs
-            ck, cv = _ck_cv(cross_part)
-            h = layer_norm(lp["self_attn_ln"], carry)
-            k = _split_heads(dense(lp["self_attn"]["k"], h), n_heads)
-            v = _split_heads(dense(lp["self_attn"]["v"], h), n_heads)
-            cache_k = jax.lax.dynamic_update_slice_in_dim(
-                cache_k, k.astype(cache_k.dtype), pos_offset, axis=1)
-            cache_v = jax.lax.dynamic_update_slice_in_dim(
-                cache_v, v.astype(cache_v.dtype), pos_offset, axis=1)
-            y = layer(lp, carry, cache_k.astype(dtype), cache_v.astype(dtype),
-                      ck, cv, n_heads, self_mask, False, (0.0, 0.0, 0.0),
-                      None, policy)
-            return y, (cache_k, cache_v,
-                       carry if output_hidden_states else None)
+        f32_attn, fast_act = policy
+        # bf16 single-token steps consume the merged cache/cross layout
+        # directly (no [.., H, 64] materialisation — see decode_attention);
+        # prefill (S>1) and fp32-parity runs take the exact einsum path on
+        # head-split views of the same buffers (identical values).
+        merged_fast = (s == 1) and not f32_attn
+        mask2 = None
+        if merged_fast and self_mask is not None:
+            mask2 = self_mask[:, 0, 0, :]                  # [B or 1, Tk]
 
-        # Unroll shallow (distil) decoders: lets XLA fuse across the 2-4
-        # layers of the per-token hot loop instead of paying scan overhead.
-        unroll = cfg.decoder_layers if cfg.decoder_layers <= 4 else 1
-        y, (nk, nv, hs) = jax.lax.scan(
-            body, x, (params["layers"], cross_xs,
-                      cache["k"], cache["v"]), unroll=unroll)
+        def cached_layer(lp, x, cache_k_l, cache_v_l, ck, cv):
+            """One decoder layer against merged-layout K/V [B, T, d]."""
+            r = x
+            h = layer_norm(lp["self_attn_ln"], x, fp32=not fast_act)
+            q = dense(lp["self_attn"]["q"], h)
+            if merged_fast:
+                a = decode_attention(q[:, 0], cache_k_l.astype(dtype),
+                                     cache_v_l.astype(dtype), n_heads,
+                                     mask2)[:, None]
+            else:
+                a = _merge_heads(mha(
+                    _split_heads(q, n_heads),
+                    _split_kv(cache_k_l.astype(dtype), n_heads),
+                    _split_kv(cache_v_l.astype(dtype), n_heads),
+                    self_mask, float32_logits=f32_attn))
+            x = r + dense(lp["self_attn"]["out"], a)
+
+            r = x
+            h = layer_norm(lp["cross_attn_ln"], x, fp32=not fast_act)
+            q = dense(lp["cross_attn"]["q"], h)
+            if merged_fast:
+                a = decode_attention(q[:, 0], ck, cv, n_heads)[:, None]
+            else:
+                a = _merge_heads(mha(
+                    _split_heads(q, n_heads), _split_kv(ck, n_heads),
+                    _split_kv(cv, n_heads), float32_logits=f32_attn))
+            x = r + dense(lp["cross_attn"]["out"], a)
+
+            r = x
+            h = layer_norm(lp["final_ln"], x, fp32=not fast_act)
+            return r + mlp_block(lp["fc1"], lp["fc2"], h,
+                                 exact_gelu=not fast_act)
+
+        def new_kv(lp, x):
+            h = layer_norm(lp["self_attn_ln"], x, fp32=not fast_act)
+            return (dense(lp["self_attn"]["k"], h),
+                    dense(lp["self_attn"]["v"], h))         # [B, S, d]
+
+        if cfg.decoder_layers <= 4:
+            # Shallow (distil) decoders: full unroll — XLA fuses across the
+            # 2-4 layers and aliases the per-layer cache slices in place.
+            def body(carry, xs):
+                lp, cross_part, cache_k, cache_v = xs
+                ck, cv = _ck_cv(cross_part)
+                k, v = new_kv(lp, carry)
+                cache_k = jax.lax.dynamic_update_slice_in_dim(
+                    cache_k, k.astype(cache_k.dtype), pos_offset, axis=1)
+                cache_v = jax.lax.dynamic_update_slice_in_dim(
+                    cache_v, v.astype(cache_v.dtype), pos_offset, axis=1)
+                y = cached_layer(lp, carry, cache_k, cache_v, ck, cv)
+                return y, (cache_k, cache_v,
+                           carry if output_hidden_states else None)
+
+            y, (nk, nv, hs) = jax.lax.scan(
+                body, x, (params["layers"], cross_xs,
+                          cache["k"], cache["v"]),
+                unroll=cfg.decoder_layers)
+        else:
+            # Deep (teacher) decoders: the cache rides the scan CARRY and
+            # each layer writes ONLY the new token's slice in place — the
+            # xs->ys pattern would rewrite the whole [L,B,T,d] cache every
+            # token (~1 GB/token of extra writes for large-v3 at bs16).
+            def body(carry, xs):
+                y_in, cache_k, cache_v = carry
+                i, lp, cross_part = xs
+                ck, cv = _ck_cv(cross_part)
+                k, v = new_kv(lp, y_in)
+                start = (i, 0, pos_offset, 0)
+                cache_k = jax.lax.dynamic_update_slice(
+                    cache_k, k[None].astype(cache_k.dtype), start)
+                cache_v = jax.lax.dynamic_update_slice(
+                    cache_v, v[None].astype(cache_v.dtype), start)
+                ck_l = jax.lax.dynamic_index_in_dim(cache_k, i, 0,
+                                                    keepdims=False)
+                cv_l = jax.lax.dynamic_index_in_dim(cache_v, i, 0,
+                                                    keepdims=False)
+                y = cached_layer(lp, y_in, ck_l, cv_l, ck, cv)
+                return ((y, cache_k, cache_v),
+                        y_in if output_hidden_states else None)
+
+            (y, nk, nv), hs = jax.lax.scan(
+                body, (x, cache["k"], cache["v"]),
+                (jnp.arange(cfg.decoder_layers), params["layers"], cross_xs))
         new_cache = {"k": nk, "v": nv}
 
     y = layer_norm(params["ln"], y)
@@ -510,7 +601,8 @@ def cross_attention_weights(params: Params, cfg: WhisperConfig,
 
     def body(carry, xs):
         lp, cross_part = xs
-        ck, cv = _dequant_part(cross_part, dtype)
+        ck, cv = (_split_kv(t, n_heads)
+                  for t in _dequant_part(cross_part, dtype))
         h = layer_norm(lp["self_attn_ln"], carry)
         k = _split_heads(dense(lp["self_attn"]["k"], h), n_heads)
         v = _split_heads(dense(lp["self_attn"]["v"], h), n_heads)

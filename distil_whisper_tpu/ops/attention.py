@@ -91,6 +91,46 @@ def mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out
 
 
+def decode_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                     n_heads: int,
+                     mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Single-token attention against MERGED-layout K/V.
+
+    q [B, D], k/v [B, T, D] with D = n_heads * head_dim; mask [B or 1, T]
+    (True = attend).  Returns [B, D] in q.dtype.
+
+    Why merged: a [.., T, H, 64] tensor puts 64 lanes on the TPU's 128-lane
+    tile — the physical buffer (and every HBM read of it) pays ~2x.  Storing
+    K/V as [.., T, H*64] keeps full rows.  The per-head logits are computed
+    WITHOUT reshaping k (which would re-materialise the padded layout):
+
+      logits[b,t,h] = k[b,t,:] @ qblk[b,:,h]   with qblk block-diagonal
+                      (qblk[b, h*hd+j, g] = q[b,h,j] * I[h,g])
+
+    — one [T,D]x[D,H] MXU matmul whose k operand streams at native layout.
+    The probs are expanded back to D lanes with a constant 0/1 [H, D] matrix
+    (another tiny matmul) and multiplied elementwise into merged v, reduced
+    over T with fp32 accumulation.  Exactly equal to the head-split
+    formulation (same contractions, fp32 softmax); measured 2.6x faster
+    per teacher decode step at bs16 on v5e (scripts/ablate_decode2.py).
+    """
+    b, t, d = k.shape
+    hd = d // n_heads
+    scale = jnp.asarray(hd ** -0.5, q.dtype)
+    eye = jnp.eye(n_heads, dtype=q.dtype)
+    qblk = ((q * scale).reshape(b, n_heads, hd, 1)
+            * eye[:, None, :]).reshape(b, d, n_heads)
+    logits = jax.lax.dot_general(k, qblk, (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+    if mask is not None:
+        logits = jnp.where(mask[:, :, None], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=1).astype(q.dtype)
+    expand = jnp.repeat(eye, hd, axis=1)               # [H, D] 0/1
+    pe = jax.lax.dot_general(probs, expand, (((2,), (0,)), ((), ())))
+    out = jnp.sum((pe * v).astype(jnp.float32), axis=1)
+    return out.astype(q.dtype)
+
+
 def causal_mask(tq: int, tk: int, offset) -> jnp.ndarray:
     """[1, 1, tq, tk] causal mask where query position i (global ``offset + i``)
     may attend to key positions <= offset + i."""

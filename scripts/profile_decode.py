@@ -41,7 +41,7 @@ def main():
         def enc_fn(params, mel):
             e = encode(params["encoder"], cfg, mel, dtype=jnp.bfloat16)
             c = cross_kv(params["decoder"], cfg, e)
-            return c["k"][0, 0, 0, 0, :1]
+            return c["k"][0, 0, 0, :1]
 
         out = enc_fn(params, mel); fetch(out)
         t0 = time.perf_counter()
