@@ -165,19 +165,14 @@ def generate(dec_params: Dict[str, Any], cfg: WhisperConfig,
                                               (0, s["cur"]))
         ts = s["ts"].update(nxt, cfg.timestamp_begin)
 
-        # Next-step logits (skipped on the final token to avoid a wasted step).
-        def do_decode(cache):
-            lg, cache = decode(dec_params, cfg, nxt[:, None], cross=cross,
-                               cache=cache, pos_offset=s["cur"],
-                               pad_len=pad_len, dtype=dtype)
-            return lg[:, -1].astype(jnp.float32), cache
-
-        def skip(cache):
-            return s["last_logits"], cache
-
-        last_logits, cache = jax.lax.cond(
-            jnp.logical_and(s["cur"] + 1 < total, ~jnp.all(finished)),
-            do_decode, skip, s["cache"])
+        # Next-step logits. Decoded UNconditionally: a lax.cond would have to
+        # merge the KV cache from both branches (risking a whole-cache copy
+        # every step) to save exactly one decode per utterance — the final
+        # step's logits are simply never read.
+        lg, cache = decode(dec_params, cfg, nxt[:, None], cross=cross,
+                           cache=s["cache"], pos_offset=s["cur"],
+                           pad_len=pad_len, dtype=dtype)
+        last_logits = lg[:, -1].astype(jnp.float32)
 
         return dict(tokens=tokens, cache=cache, last_logits=last_logits,
                     ts=ts, finished=finished, sum_logprobs=sum_logprobs,

@@ -56,15 +56,17 @@ def main():
             rng.standard_normal((batch, cfg.num_mel_bins,
                                  2 * cfg.max_source_positions)), jnp.bfloat16)
 
-        import functools
+        from transformers import GenerationConfig
+        gcfg = GenerationConfig(
+            max_length=1 + max_new, min_length=1 + max_new,
+            do_sample=False, num_beams=1,
+            decoder_start_token_id=cfg.decoder_start_token_id,
+            bos_token_id=cfg.bos_token_id, eos_token_id=cfg.eos_token_id,
+            pad_token_id=cfg.pad_token_id)
 
-        @functools.partial(jax.jit, static_argnames=())
+        @jax.jit
         def gen(params, mel):
-            out = model.generate(
-                mel, params=params, max_new_tokens=max_new,
-                min_new_tokens=max_new, do_sample=False,
-                forced_decoder_ids=[], begin_suppress_tokens=None,
-                suppress_tokens=None)
+            out = model.generate(mel, params=params, generation_config=gcfg)
             return out.sequences
 
         out = gen(params, mel); fetch(out)           # compile + warmup
