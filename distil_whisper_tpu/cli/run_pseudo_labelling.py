@@ -63,7 +63,13 @@ def main(argv=None):
     p.add_argument("--speaker_id_column_name", default=None)
     p.add_argument("--logging_steps", type=int, default=50)
     p.add_argument("--dtype", default="bfloat16")
-    p.add_argument("--compute_wer", action="store_true", default=True)
+    p.add_argument("--compute_wer", action="store_true", default=False,
+                   help="WER of the pseudo-labels vs the text column. The "
+                        "reference computes this for val/test splits only "
+                        "(run_pseudo_labelling.py:930-952); it is pure-host "
+                        "work (normalise + align per sample) that competes "
+                        "with feature prep for the GIL, so keep it off for "
+                        "train-split labelling throughput")
     p.add_argument("--quantize_cross_kv", action="store_true",
                    help="int8 cross-attention K/V for the 256-token decode")
     args = p.parse_args(argv)
@@ -82,6 +88,13 @@ def main(argv=None):
     logger.info("mesh: %s", dict(mesh.shape))
 
     ds = load_dataset_any(args.dataset_path, args.split)
+    if hasattr(ds, "with_format"):
+        # Arrow -> numpy zero-copy for the audio column; the default python
+        # formatting materialises every waveform as a LIST of floats
+        # (tens of ms per 30 s sample — a host bottleneck at bs32+ now that
+        # generate itself runs ~2.4x faster than round 1)
+        ds = ds.with_format("numpy", columns=[args.audio_column_name],
+                            output_all_columns=True)
     if args.concatenate_audio and args.speaker_id_column_name \
             and hasattr(ds, "sort"):
         ds = ds.sort(args.speaker_id_column_name)  # Arrow-backed, O(1) RAM

@@ -32,8 +32,28 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float("-inf")
 
 
+def _poly_exp(x):
+    """exp(x) for x <= 0 via range-reduced exp2 with a degree-4 polynomial.
+
+    The softmax exp is the VPU-bound share of encoder attention (~3 ms of
+    ~6.7 ms/layer at bs16 on v5e).  exp(x) = 2^n * exp(t) with
+    n = round(x*log2e), t = x - n*ln2 in [-ln2/2, ln2/2]; exp(t) is a
+    Taylor poly (max rel err ~4e-5, far below the bf16 rounding the probs
+    see next), and 2^n is built by integer exponent-field assembly — no
+    transcendental instruction anywhere.  Masked -inf columns are clamped
+    to -80 (exp ~ 1.8e-35, dead in the denominator).
+    """
+    x = jnp.maximum(x, -80.0)
+    n = jnp.floor(x * 1.4426950408889634 + 0.5)
+    t = x - n * 0.6931471805599453
+    p = 1.0 + t * (1.0 + t * (0.5 + t * (0.16666667 + t * 0.041666668)))
+    scale = jax.lax.bitcast_convert_type(
+        (n.astype(jnp.int32) + 127) << 23, jnp.float32)
+    return p * scale
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, t_real: int, t_pad: int,
-                 scale: float, exp_bf16: bool):
+                 scale: float, exp_impl: str):
     q = q_ref[0, 0, :, :]                       # [bq, D] bf16
     k = k_ref[0, 0, :, :]                       # [T, D]
     v = v_ref[0, 0, :, :]
@@ -44,7 +64,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, t_real: int, t_pad: int,
         cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(cols >= t_real, NEG_INF, s)
     m = jnp.max(s, axis=-1, keepdims=True)
-    if exp_bf16:
+    if exp_impl == "bf16":
         # bf16 transcendental (measured NOT faster than f32 exp on v5e —
         # kept as an option; |rel err| ~ 4e-3 on (0, 1])
         p = jnp.exp((s - m).astype(jnp.bfloat16))
@@ -52,7 +72,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, t_real: int, t_pad: int,
         pv = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
     else:
-        p = jnp.exp(s - m)
+        p = _poly_exp(s - m) if exp_impl == "poly" else jnp.exp(s - m)
         denom = jnp.sum(p, axis=-1, keepdims=True)
         pv = jax.lax.dot_general(p.astype(v.dtype), v,
                                  (((1,), (0,)), ((), ())),
@@ -60,13 +80,13 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, t_real: int, t_pad: int,
     o_ref[0, 0, :, :] = (pv / denom).astype(o_ref.dtype)
 
 
-def _attention_fwd_impl(q, k, v, t_real: int, block_q: int, exp_bf16: bool,
+def _attention_fwd_impl(q, k, v, t_real: int, block_q: int, exp_impl: str,
                         interpret: bool):
     b, h, t, d = q.shape
     block_q = min(block_q, t)
     scale = d ** -0.5
     kernel = functools.partial(_attn_kernel, t_real=t_real, t_pad=t,
-                               scale=scale, exp_bf16=exp_bf16)
+                               scale=scale, exp_impl=exp_impl)
     flops = 4 * b * h * t * t * d
     return pl.pallas_call(
         kernel,
@@ -107,24 +127,28 @@ def _reference_attention(q, k, v, t_real: int):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def encoder_attention(q, k, v, t_real: int, block_q: int = 512,
-                      exp_bf16: bool = False, interpret: bool = False):
+                      exp_impl: str = "f32", interpret: bool = False):
     """Whisper encoder self-attention.
 
     q/k/v [B, H, T, D] with T block-padded — produce this layout directly
     from the projections (einsum "btd,dhk->bhtk", see fused_self_attention)
     rather than transposing [B,T,H,D] activations.  Keys >= t_real are
     masked.  Returns [B, H, T, D] in q.dtype."""
-    return _attention_fwd_impl(q, k, v, t_real, block_q, exp_bf16, interpret)
+    return _attention_fwd_impl(q, k, v, t_real, block_q, exp_impl, interpret)
 
 
 def fused_self_attention(p_attn, x_ln: jnp.ndarray, n_heads: int,
                          t_real: int, block_q: int = 512,
-                         exp_bf16: bool = False,
-                         interpret: bool = False) -> jnp.ndarray:
+                         exp_impl: str = "f32",
+                         interpret: bool = False,
+                         fused_qkv: bool = False) -> jnp.ndarray:
     """Post-LN hidden states [B, T, d_model] -> self-attention block output
     [B, T, d_model] via the Pallas kernel, with q/k/v projected STRAIGHT into
     the kernel's [B, H, T, D] layout ("btd,dhk->bhtk") and the out-projection
-    consuming it directly ("bhtk,hkd->btd") — zero layout copies."""
+    consuming it directly ("bhtk,hkd->btd") — zero layout copies.
+
+    ``fused_qkv`` projects q/k/v with ONE [dm, 3*dm] matmul (reads x once
+    instead of three times; the weight concat is a cheap one-off copy)."""
     b, t, dm = x_ln.shape
     d = dm // n_heads
 
@@ -136,22 +160,34 @@ def fused_self_attention(p_attn, x_ln: jnp.ndarray, n_heads: int,
             y = y + p["bias"].reshape(n_heads, 1, d).astype(y.dtype)
         return y
 
-    q = proj(p_attn["q"])
-    k = proj(p_attn["k"])
-    v = proj(p_attn["v"])
-    a = encoder_attention(q, k, v, t_real, block_q, exp_bf16, interpret)
+    if fused_qkv:
+        wk = jnp.concatenate(
+            [p_attn[n]["kernel"].reshape(dm, 1, n_heads, d)
+             for n in ("q", "k", "v")], axis=1).astype(x_ln.dtype)
+        y3 = jnp.einsum("btd,dshk->sbhtk", x_ln, wk,
+                        preferred_element_type=jnp.float32).astype(x_ln.dtype)
+        q, k, v = y3[0], y3[1], y3[2]
+        q = q + p_attn["q"]["bias"].reshape(n_heads, 1, d).astype(q.dtype)
+        if "bias" in p_attn["k"]:
+            k = k + p_attn["k"]["bias"].reshape(n_heads, 1, d).astype(k.dtype)
+        v = v + p_attn["v"]["bias"].reshape(n_heads, 1, d).astype(v.dtype)
+    else:
+        q = proj(p_attn["q"])
+        k = proj(p_attn["k"])
+        v = proj(p_attn["v"])
+    a = encoder_attention(q, k, v, t_real, block_q, exp_impl, interpret)
     wo = p_attn["out"]["kernel"].reshape(n_heads, d, dm).astype(a.dtype)
     y = jnp.einsum("bhtk,hkd->btd", a, wo,
                    preferred_element_type=jnp.float32).astype(a.dtype)
     return y + p_attn["out"]["bias"].astype(y.dtype)
 
 
-def _fwd(q, k, v, t_real, block_q, exp_bf16, interpret):
-    out = _attention_fwd_impl(q, k, v, t_real, block_q, exp_bf16, interpret)
+def _fwd(q, k, v, t_real, block_q, exp_impl, interpret):
+    out = _attention_fwd_impl(q, k, v, t_real, block_q, exp_impl, interpret)
     return out, (q, k, v)
 
 
-def _bwd(t_real, block_q, exp_bf16, interpret, res, g):
+def _bwd(t_real, block_q, exp_impl, interpret, res, g):
     q, k, v = res
     _, vjp = jax.vjp(lambda q, k, v: _reference_attention(q, k, v, t_real),
                      q, k, v)

@@ -59,11 +59,15 @@ def main():
 
     res = {}
     for name, kind, kw in [
-        ("custom_q512_bf16exp", "custom", dict(block_q=512, exp_bf16=True)),
-        ("custom_q512_f32exp", "custom", dict(block_q=512, exp_bf16=False)),
-        ("custom_q1536_bf16exp", "custom", dict(block_q=1536, exp_bf16=True)),
-        ("custom_q256_bf16exp", "custom", dict(block_q=256, exp_bf16=True)),
-        ("custom_q768_bf16exp", "custom", dict(block_q=768, exp_bf16=True)),
+        ("custom_q512_f32exp", "custom", dict(block_q=512, exp_impl="f32")),
+        ("custom_q512_polyexp", "custom", dict(block_q=512, exp_impl="poly")),
+        ("custom_q256_polyexp", "custom", dict(block_q=256, exp_impl="poly")),
+        ("custom_q512_poly_qkv", "custom",
+         dict(block_q=512, exp_impl="poly", fused_qkv=True)),
+        ("custom_q512_f32_qkv", "custom",
+         dict(block_q=512, exp_impl="f32", fused_qkv=True)),
+        ("custom_q1536_polyexp", "custom",
+         dict(block_q=1536, exp_impl="poly")),
     ]:
         try:
             t = timeit(make_enc(kind, **kw), params["encoder"], x0)

@@ -36,7 +36,7 @@ def test_encoder_attention_kernel_matches_einsum():
     k = jnp.asarray(rng.standard_normal((2, 4, 256, 64)).astype(np.float32))
     v = jnp.asarray(rng.standard_normal((2, 4, 256, 64)).astype(np.float32))
     for t_real in (256, 200):
-        out = encoder_attention(q, k, v, t_real, block_q=128, exp_bf16=False,
+        out = encoder_attention(q, k, v, t_real, block_q=128, exp_impl="f32",
                                 interpret=True)
         ref = _reference_attention(q, k, v, t_real)
         np.testing.assert_allclose(np.asarray(out[:, :, :t_real]),
