@@ -35,13 +35,15 @@ NEG_INF = float("-inf")
 def _poly_exp(x):
     """exp(x) for x <= 0 via range-reduced exp2 with a degree-4 polynomial.
 
-    The softmax exp is the VPU-bound share of encoder attention (~3 ms of
-    ~6.7 ms/layer at bs16 on v5e).  exp(x) = 2^n * exp(t) with
-    n = round(x*log2e), t = x - n*ln2 in [-ln2/2, ln2/2]; exp(t) is a
-    Taylor poly (max rel err ~4e-5, far below the bf16 rounding the probs
-    see next), and 2^n is built by integer exponent-field assembly — no
-    transcendental instruction anywhere.  Masked -inf columns are clamped
-    to -80 (exp ~ 1.8e-35, dead in the denominator).
+    MEASURED SLOWER than jnp.exp on v5e (278 vs 215 ms for the 32-layer
+    attention-only scan, scripts/bench_encoder_kernel.py) — Mosaic's f32 exp
+    is already cheap; kept as a documented negative result / option for
+    other TPU generations.  exp(x) = 2^n * exp(t) with n = round(x*log2e),
+    t = x - n*ln2 in [-ln2/2, ln2/2]; exp(t) is a Taylor poly (max rel err
+    ~5e-5, far below the bf16 rounding the probs see next), and 2^n is
+    built by integer exponent-field assembly — no transcendental
+    instruction anywhere.  Masked -inf columns are clamped to -80
+    (exp ~ 1.8e-35, dead in the denominator).
     """
     x = jnp.maximum(x, -80.0)
     n = jnp.floor(x * 1.4426950408889634 + 0.5)
@@ -148,7 +150,10 @@ def fused_self_attention(p_attn, x_ln: jnp.ndarray, n_heads: int,
     consuming it directly ("bhtk,hkd->btd") — zero layout copies.
 
     ``fused_qkv`` projects q/k/v with ONE [dm, 3*dm] matmul (reads x once
-    instead of three times; the weight concat is a cheap one-off copy)."""
+    instead of three times; the weight concat is a cheap one-off copy).
+    MEASURED SLOWER on v5e (259 vs 215 ms for the attention-only scan) —
+    XLA already amortises the activation reads across the three projection
+    einsums; kept as a documented negative result."""
     b, t, dm = x_ln.shape
     d = dm // n_heads
 
