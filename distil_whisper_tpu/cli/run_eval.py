@@ -23,6 +23,7 @@ from __future__ import annotations
 import argparse
 import json
 import time
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -335,6 +336,7 @@ def main(argv=None):
     logger.info("results: %s", json.dumps(result))
     print(json.dumps(result))
     if args.output_json:
+        Path(args.output_json).parent.mkdir(parents=True, exist_ok=True)
         with open(args.output_json, "w") as f:
             json.dump({**result, "predictions": hyps, "references": texts},
                       f, indent=2)

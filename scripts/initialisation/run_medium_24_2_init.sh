@@ -1,0 +1,8 @@
+#!/usr/bin/env bash
+# Student init: copy the whisper-medium.en encoder, maximally-spaced 2-layer decoder
+# (reference flax/initialisation_scripts/run_medium_24_2_init.sh).
+set -euo pipefail
+TEACHER=${TEACHER:-ckpts/whisper-medium.en}
+python -m distil_whisper_tpu.cli.create_student_model \
+  --teacher_checkpoint "$TEACHER" --decoder_layers 2 \
+  --save_dir inits/medium_24_2
