@@ -262,6 +262,17 @@ def main(argv=None):
                              "--streaming: preparation happens on the fly "
                              "(reference run_distillation.py:1308-1313)")
         from ..training.data_stream import streaming_batches
+        if n_proc > 1:
+            if hasattr(train_ds, "shard"):
+                # each host streams a disjoint contiguous shard — distinct
+                # shuffle seeds alone would feed every host the full corpus
+                train_ds = train_ds.shard(num_shards=n_proc,
+                                          index=jax.process_index(),
+                                          contiguous=True)
+            else:
+                logger.warning(
+                    "streaming multi-host: dataset has no shard(); hosts "
+                    "will draw independently-shuffled copies of the corpus")
         stream = streaming_batches(
             train_ds,
             prepare=lambda row: _prepare_row(row, tok, teacher_cfg, args,
@@ -303,6 +314,12 @@ def main(argv=None):
                                           "timestamp_probability": 0.0})
         eval_samples = _prepare_samples(eval_ds, tok, teacher_cfg, eval_args,
                                         normalizer, rng)
+        if n_proc > 1 and eval_samples:
+            # each host evaluates its own slice; run_eval() allgathers the
+            # I/S/D counts — without this every host would feed the SAME
+            # rows and the summed counts would be n_proc-fold inflated
+            eval_samples = eval_samples[process_local_slice(
+                len(eval_samples))]
 
     # Preemption robustness (SURVEY.md §5 flags this as a reference gap):
     # SIGTERM/SIGINT request a checkpoint at the next step boundary, so a

@@ -112,7 +112,13 @@ def main(argv=None):
     if args.quantize_cross_kv:
         cfg = cfg.replace(quantize_cross_kv=True)
     tok = WhisperTokenizer.from_pretrained(args.model_checkpoint)
-    mesh = make_mesh()
+    # Evaluation is embarrassingly parallel across hosts: each process runs
+    # an independent mesh over its own devices on its slice of the dataset
+    # (the reference's accelerate pattern); error COUNTS are summed over
+    # hosts at the end so every host logs identical aggregate metrics.
+    n_proc = jax.process_count()
+    mesh = (make_mesh(devices=jax.local_devices()) if n_proc > 1
+            else make_mesh())
     params = shard_params(params, param_axes(cfg), mesh)
     n_data = mesh.shape["data"]
     if args.batch_size % n_data:
@@ -124,6 +130,9 @@ def main(argv=None):
                   else BasicTextNormalizer())
 
     ds = load_dataset_any(args.dataset_path, args.split)
+    if n_proc > 1 and hasattr(ds, "shard"):
+        ds = ds.shard(num_shards=n_proc, index=jax.process_index(),
+                      contiguous=True)
     audios, texts = [], []
     noise_rng = np.random.default_rng(0)
     for row in ds:
@@ -324,6 +333,15 @@ def main(argv=None):
     pairs = [(r, h) for r, h in zip(refs_n, hyps_n) if r.strip()]
     if pairs:
         stats = process_words([r for r, _ in pairs], [h for _, h in pairs])
+        if n_proc > 1:  # sum error counts over the per-host dataset shards
+            from jax.experimental import multihost_utils
+            from ..metrics.wer import WordErrors
+            counts = multihost_utils.process_allgather(np.asarray(
+                [stats.hits, stats.substitutions, stats.insertions,
+                 stats.deletions, stats.num_ref_words], np.int64))
+            h, s, i, d, nw = counts.reshape(-1, 5).sum(axis=0).tolist()
+            stats = WordErrors(hits=h, substitutions=s, insertions=i,
+                               deletions=d, num_ref_words=nw)
         result.update({
             "wer": round(100 * stats.wer, 4),
             "ier": round(100 * stats.ier, 4),

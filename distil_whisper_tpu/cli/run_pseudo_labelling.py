@@ -83,9 +83,18 @@ def main(argv=None):
     if args.quantize_cross_kv:
         cfg = cfg.replace(quantize_cross_kv=True)
     tok = WhisperTokenizer.from_pretrained(args.model_checkpoint)
-    mesh = make_mesh()
+    # Labelling is embarrassingly parallel across hosts: each process runs an
+    # INDEPENDENT mesh over its own devices and labels its contiguous dataset
+    # shard (the reference's accelerate/DDP pattern,
+    # run_pseudo_labelling.py:859-898) — no cross-host collectives in the hot
+    # loop; only the final WER counts are allgathered.  A global mesh here
+    # would require assembling global batches and fetching non-addressable
+    # outputs every step for zero benefit.
+    mesh = (make_mesh(devices=jax.local_devices())
+            if jax.process_count() > 1 else make_mesh())
     params = shard_params(params, param_axes(cfg), mesh)
-    logger.info("mesh: %s", dict(mesh.shape))
+    logger.info("mesh: %s (%d processes)", dict(mesh.shape),
+                jax.process_count())
 
     ds = load_dataset_any(args.dataset_path, args.split)
     if hasattr(ds, "with_format"):
@@ -132,8 +141,8 @@ def main(argv=None):
         return_timestamps=args.return_timestamps,
         no_speech_token_id=tok.no_speech)
 
-    local_bsz = max(args.per_device_batch_size * mesh.shape["data"]
-                    // n_proc, 1)
+    # per-host batch: the mesh is host-local when n_proc > 1 (above)
+    local_bsz = max(args.per_device_batch_size * mesh.shape["data"], 1)
 
     if args.num_beams > 1:
         from ..generation import encode_and_beam_search
@@ -299,10 +308,20 @@ def main(argv=None):
     out_ds.info.write_to_directory(str(ds_dir))
     del out_ds
 
-    if args.compute_wer and wer_stats.num_ref_words:
-        logger.info("PL WER vs ground truth: %.2f%% (S=%d I=%d D=%d)",
-                    100 * wer_stats.wer, wer_stats.substitutions,
-                    wer_stats.insertions, wer_stats.deletions)
+    if args.compute_wer:
+        if n_proc > 1:  # sum error counts over the per-host shards
+            from jax.experimental import multihost_utils
+            counts = multihost_utils.process_allgather(np.asarray(
+                [wer_stats.hits, wer_stats.substitutions,
+                 wer_stats.insertions, wer_stats.deletions,
+                 wer_stats.num_ref_words], np.int64))
+            h, s, i, d, nw = counts.reshape(-1, 5).sum(axis=0).tolist()
+            wer_stats = WordErrors(hits=h, substitutions=s, insertions=i,
+                                   deletions=d, num_ref_words=nw)
+        if wer_stats.num_ref_words:
+            logger.info("PL WER vs ground truth: %.2f%% (S=%d I=%d D=%d)",
+                        100 * wer_stats.wer, wer_stats.substitutions,
+                        wer_stats.insertions, wer_stats.deletions)
 
     rtfx = rated_audio_s / max(gen_seconds, 1e-9)
     logger.info("done: %d samples, %.1f audio-h, RTFx %.1f (%.0f audio-h/h "

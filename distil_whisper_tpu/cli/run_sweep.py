@@ -119,11 +119,21 @@ def main(argv=None):
         argv_run = list(spec.get("command_args", [])) + list(args.extra)
         for k, v in cfg.items():
             argv_run += [f"--{k}", str(v)]
-        argv_run += ["--output_dir", str(run_dir)]
+        if program == "eval":
+            # run_eval has no --output_dir; its artifact is --output_json
+            run_dir.mkdir(parents=True, exist_ok=True)
+            argv_run += ["--output_json", str(run_dir / "result.json")]
+        else:
+            argv_run += ["--output_dir", str(run_dir)]
         logger.info("sweep run %d/%d: %s", i + 1, len(configs), cfg)
         try:
             result = target_main(argv_run)
             status = "ok"
+        except SystemExit as e:
+            # argparse errors raise SystemExit (a BaseException): a flag typo
+            # in one config must fail that RUN, not abort the whole sweep
+            logger.error("run %d exited (bad flags?): %s", i, e)
+            result, status = None, f"exit: {e}"
         except Exception as e:  # noqa: BLE001 — a failed config ends one run
             logger.exception("run %d failed", i)
             result, status = None, f"error: {e}"

@@ -45,8 +45,14 @@ def beam_search(dec_params: Dict[str, Any], cfg: WhisperConfig,
                 cross: Dict[str, Any], prompt_ids: jnp.ndarray,
                 opts: GenerationOptions, num_beams: int = 5,
                 length_penalty: float = 1.0,
+                sot_slot: int = 0,
                 dtype=jnp.float32) -> BeamOutput:
-    """HF-style beam search.  ``cross`` K/V are for batch B (expanded here)."""
+    """HF-style beam search.  ``cross`` K/V are for batch B (expanded here).
+
+    ``sot_slot``: prompt position of <|startoftranscript|> — 0 for plain
+    prompts; for condition-on-prev prompts ([<|startofprev|>, prev..., SOT,
+    ...]) pass the SOT index so no_speech_prob reads the right slot (the
+    same convention as generate()'s ``sot_slot``)."""
     b, p = prompt_ids.shape
     k = num_beams
     total = p + opts.max_new_tokens
@@ -66,9 +72,9 @@ def beam_search(dec_params: Dict[str, Any], cfg: WhisperConfig,
                                    pos_offset=0, dtype=dtype)
 
     # <|nospeech|> probability at the SOT slot of beam 0 (same convention as
-    # generate(); beam prompts are never left-padded so the slot is 0).
+    # generate()).
     if opts.no_speech_token_id is not None:
-        sot_logits = _unflat(prefill_logits, b, k)[:, 0, 0]
+        sot_logits = _unflat(prefill_logits, b, k)[:, 0, sot_slot]
         probs0 = jax.nn.softmax(sot_logits.astype(jnp.float32), -1)
         no_speech_prob = probs0[:, opts.no_speech_token_id]
     else:
@@ -194,9 +200,10 @@ def beam_search(dec_params: Dict[str, Any], cfg: WhisperConfig,
 
 def encode_and_beam_search(params, cfg: WhisperConfig, mel, prompt_ids,
                            opts: GenerationOptions, num_beams: int = 5,
-                           length_penalty: float = 1.0, dtype=jnp.float32):
+                           length_penalty: float = 1.0, sot_slot: int = 0,
+                           dtype=jnp.float32):
     enc = encode(params["encoder"], cfg, mel, dtype=dtype)
     cross = cross_kv(params["decoder"], cfg, enc)
     return beam_search(params["decoder"], cfg, cross, prompt_ids, opts,
                        num_beams=num_beams, length_penalty=length_penalty,
-                       dtype=dtype)
+                       sot_slot=sot_slot, dtype=dtype)

@@ -45,24 +45,8 @@ def mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     depth = q.shape[-1]
     scale = depth ** -0.5
     q = q * jnp.asarray(scale, q.dtype)
-    # Single-token decode fast path (bf16 inference only): with Tq=1 the
-    # "matmuls" are gathers/reductions the MXU runs at 1/128 row utilisation;
-    # an elementwise-multiply + reduce rides the VPU at HBM bandwidth instead
-    # (~25% faster per token on v5e at Whisper cross-attention shapes).
-    if (q.shape[1] == 1 and not float32_logits and dropout_rate == 0.0
-            and q.shape[0] == k.shape[0] and not return_probs):
-        lg = jnp.sum(q[:, 0][:, None] * k, axis=-1)        # [B, Tk, H]
-        logits = lg.transpose(0, 2, 1)[:, :, None, :]      # [B, H, 1, Tk]
-        if causal and mask is None:
-            mask = causal_mask(1, k.shape[1], 0)
-        if mask is not None:
-            logits = jnp.where(mask, logits, NEG_INF)
-        probs = jax.nn.softmax(logits, axis=-1)
-        pv = probs[:, :, 0].transpose(0, 2, 1)             # [B, Tk, H]
-        # fp32 accumulation over Tk, matching the einsum path's
-        # preferred_element_type=f32 for the AV product
-        out = jnp.sum((pv[..., None] * v).astype(jnp.float32), axis=1)
-        return out[:, None].astype(dtype)                  # [B, 1, H, D]
+    # (Single-token decode does NOT come through here: the cached bf16 path
+    # uses decode_attention below against merged-layout K/V.)
     # float32_logits=True (training / parity): fp32 logits via fp32 MXU
     # accumulation over the native-dtype inputs (for bf16 inputs this is
     # bit-identical to upcast-then-matmul at full bf16 MXU rate) and fp32

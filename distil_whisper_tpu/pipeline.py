@@ -104,20 +104,33 @@ class WhisperPipeline:
             self._align_heads_cache = heads
         return self._align_heads_cache
 
-    def _jitted_word_weights(self, opts: GenerationOptions, prompt_len: int):
-        """jit (params, mel, sequences) -> alignment-head cross-attn weights
-        (one extra teacher-forced pass; head selection stays on device)."""
-        key = ("_wts", opts, prompt_len)
+    def _jitted_generate_with_weights(self, opts: GenerationOptions,
+                                      prompt_len: int):
+        """jit (params, mel, prompts, temperature, rng) ->
+        (GenerateOutput, alignment-head cross-attn weights).
+
+        Encoder + cross-KV run ONCE and are shared by the generate loop and
+        the teacher-forced alignment pass — a separate word-weights jit
+        would pay a second full encoder pass per batch (32 layers for
+        large-v3-family models)."""
+        key = ("_gen_wts", opts, prompt_len)
         if key not in self._generate_cache:
             from .generation.word_timestamps import selected_cross_weights
+            from .generation.generate import generate as gen_fn
+            from .models.whisper import cross_kv
             heads = self._alignment_heads()
 
-            def fn(params, mel, seqs):
+            def fn(params, mel, prompts, temperature, rng):
                 enc = encode(params["encoder"], self.cfg, mel,
                              dtype=self.dtype)
-                return selected_cross_weights(
-                    params["decoder"], self.cfg, seqs[:, :-1], heads,
-                    enc=enc, dtype=self.dtype)
+                cross = cross_kv(params["decoder"], self.cfg, enc)
+                out = gen_fn(params["decoder"], self.cfg, cross, prompts,
+                             opts, temperature=temperature, rng=rng,
+                             dtype=self.dtype)
+                sel = selected_cross_weights(
+                    params["decoder"], self.cfg, out.sequences[:, :-1],
+                    heads, cross=cross, dtype=self.dtype)
+                return out, sel
             self._generate_cache[key] = jax.jit(fn)
         return self._generate_cache[key]
 
@@ -217,11 +230,12 @@ class WhisperPipeline:
         if num_beams > 1 and word_timestamps:
             raise NotImplementedError(
                 "word timestamps + beam search not supported together yet")
-        fn = (self._jitted_beam(opts, num_beams, length_penalty)
-              if num_beams > 1 else self._jitted_generate(opts, len(prompt)))
-
-        wts_fn = self._jitted_word_weights(opts, len(prompt)) \
-            if word_timestamps else None
+        if num_beams > 1:
+            fn = self._jitted_beam(opts, num_beams, length_penalty)
+        elif word_timestamps:
+            fn = self._jitted_generate_with_weights(opts, len(prompt))
+        else:
+            fn = self._jitted_generate(opts, len(prompt))
 
         outputs: List[Dict[str, Any]] = []
         rng = jax.random.PRNGKey(0)
@@ -234,17 +248,31 @@ class WhisperPipeline:
                                       batch.dtype)])
             prompts = jnp.asarray([prompt] * batch_size, jnp.int32)
             mel_dev = self._put_batch(batch)
-            out = fn(self.params, mel_dev, prompts, 0.0, rng)
-            seqs = np.asarray(out.sequences)
-            lens = np.asarray(out.seq_len)
             times = None
             if word_timestamps:
                 from .generation.word_timestamps import (
                     token_timestamps_from_weights)
-                sel = np.asarray(wts_fn(self.params, mel_dev,
-                                        out.sequences), np.float32)
+                out, sel_dev = fn(self.params, mel_dev, prompts, 0.0, rng)
+                seqs = np.asarray(out.sequences)
+                lens = np.asarray(out.seq_len)
+                # crop the attention columns to each chunk's REAL mel frames
+                # before the DTW: without this, final tokens can align into
+                # the zero-padded tail past the audio and their words get
+                # silently dropped by the stride filter (HF crops to
+                # num_frames // 2 for the same reason)
+                full = 2 * cfg.max_source_positions
+                num_frames = [
+                    min(int(round(chunks[i + j]["stride"][0] * 100)), full)
+                    if i + j < len(chunks) else full
+                    for j in range(batch_size)]
+                sel = np.asarray(sel_dev, np.float32)
                 times = token_timestamps_from_weights(
-                    sel, num_input_ids=len(prompt), seq_lens=lens)
+                    sel, num_input_ids=len(prompt), seq_lens=lens,
+                    num_frames=num_frames)
+            else:
+                out = fn(self.params, mel_dev, prompts, 0.0, rng)
+                seqs = np.asarray(out.sequences)
+                lens = np.asarray(out.seq_len)
             for j in range(n):
                 entry = {
                     "tokens": seqs[j][:lens[j]].tolist(),
