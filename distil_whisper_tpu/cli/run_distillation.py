@@ -112,6 +112,12 @@ def parse_args(argv=None):
     p.add_argument("--save_steps", type=int, default=500)
     p.add_argument("--save_total_limit", type=int, default=1)
     p.add_argument("--logging_steps", type=int, default=25)
+    p.add_argument("--profile_steps", type=int, default=0,
+                   help="capture a jax.profiler trace of this many steps "
+                        "(starting 2 steps after the first, past compile); "
+                        "view with tensorboard/xprof")
+    p.add_argument("--profile_dir", default=None,
+                   help="trace output dir (default <output_dir>/trace)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--model_parallel", type=int, default=1)
     p.add_argument("--resume_from_checkpoint", action="store_true")
@@ -429,7 +435,18 @@ def main(argv=None):
             best_wer = wer
             mgr.save_best(step, jax.device_get(state), wer)
 
+    profiling = False
     for step in range(start_step, args.max_steps):
+        if args.profile_steps:
+            if step == start_step + 2:  # past compile + warmup
+                jax.profiler.start_trace(args.profile_dir or
+                                         str(Path(args.output_dir) / "trace"))
+                profiling = True
+            elif profiling and step == start_step + 2 + args.profile_steps:
+                from ..utils.profiling import block
+                block(metrics)  # traced steps must have actually executed
+                jax.profiler.stop_trace()
+                profiling = False
         raw = next_batch()
         if step == start_step and int((raw["labels"] != -100).sum()) == 0:
             raise RuntimeError(
@@ -458,6 +475,8 @@ def main(argv=None):
                            "resume with --resume_from_checkpoint", step + 1)
             return None
 
+    if profiling:
+        jax.profiler.stop_trace()
     run_eval(args.max_steps)
     metrics_log.close()
     mgr.save(args.max_steps, jax.device_get(state))

@@ -56,6 +56,11 @@ def main(argv=None):
     p.add_argument("--save_steps", type=int, default=500)
     p.add_argument("--save_total_limit", type=int, default=1)
     p.add_argument("--logging_steps", type=int, default=25)
+    p.add_argument("--profile_steps", type=int, default=0,
+                   help="capture a jax.profiler trace of this many steps "
+                        "(starting 2 steps in, past compile)")
+    p.add_argument("--profile_dir", default=None,
+                   help="trace output dir (default <output_dir>/trace)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--model_parallel", type=int, default=1)
     p.add_argument("--param_sharding", default="1d", choices=["1d", "2d"])
@@ -112,7 +117,18 @@ def main(argv=None):
     order = rng.permutation(len(samples))
     cursor = 0
     t0 = time.perf_counter()
+    profiling = False
     for step in range(args.max_steps):
+        if args.profile_steps:
+            if step == 2:  # past compile + warmup
+                jax.profiler.start_trace(args.profile_dir or
+                                         str(Path(args.output_dir) / "trace"))
+                profiling = True
+            elif profiling and step == 2 + args.profile_steps:
+                from ..utils.profiling import block
+                block(metrics)
+                jax.profiler.stop_trace()
+                profiling = False
         idx = []
         while len(idx) < local_bsz:
             if cursor >= len(order):
@@ -132,6 +148,8 @@ def main(argv=None):
                                        "train/steps_per_second": sps})
         if (step + 1) % args.save_steps == 0:
             mgr.save(step + 1, jax.device_get(state))
+    if profiling:
+        jax.profiler.stop_trace()
     metrics_log.close()
 
     final_dir = Path(args.output_dir) / "end-of-training-weights"

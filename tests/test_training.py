@@ -283,3 +283,19 @@ def test_chunked_loss_matches_unchunked():
         results.append({k: float(v) for k, v in m.items()})
     for k in ("loss", "ce_loss", "kl_loss", "grad_norm"):
         np.testing.assert_allclose(results[0][k], results[1][k], rtol=5e-5)
+
+
+def test_unfrozen_encoder_half_mixed_grads():
+    """Gradients THROUGH the conv stem in bf16 compute: the
+    lax.conv_general_dilated VJP rejects mixed bf16/f32 cotangents under
+    preferred_element_type=f32, which an unfrozen encoder in half_mixed hits
+    — the tap-sum matmul formulation of _conv1d must stay VJP-clean."""
+    cfg = TEACHER_CFG
+    params = init_params(cfg, jax.random.PRNGKey(1))
+    opt_cfg = OptimizerConfig(learning_rate=1e-3, warmup_steps=1,
+                              total_steps=10, precision="half_mixed")
+    tx = make_optimizer(opt_cfg, params)
+    state, tx = TrainState.create(params, opt_cfg, tx)
+    train_step, _ = build_finetune_step(cfg, opt_cfg, tx)
+    state, metrics = jax.jit(train_step)(state, _batch(bsz=2))
+    assert np.isfinite(float(metrics["loss"]))
