@@ -226,11 +226,20 @@ def main(argv=None):
     jit_train = jax.jit(train_step, donate_argnums=(0,))
     jit_eval = jax.jit(eval_step)
 
+
+    def ckpt_view(st):
+        # single-process: host numpy (simple, sync).  Multi-process: pass the
+        # global jax.Arrays themselves — orbax coordinates a sharded
+        # multi-host save/restore (every process participates); a per-process
+        # device_get would raise on non-addressable shards (2-D sharding)
+        # and racing host-side writes would corrupt a shared filesystem.
+        return (st if jax.process_count() > 1
+                else jax.device_get(st))
     mgr = CheckpointManager(args.output_dir,
                             save_total_limit=args.save_total_limit)
     start_step = 0
     if args.resume_from_checkpoint:
-        resumed = mgr.resume_latest(jax.device_get(state))
+        resumed = mgr.resume_latest(ckpt_view(state))
         if resumed is not None:
             start_step, state = resumed
             state = place_state(state, tx, mesh, s_shardings)
@@ -433,7 +442,7 @@ def main(argv=None):
                                         "correct": r == h}) + "\n")
         if wer < best_wer:
             best_wer = wer
-            mgr.save_best(step, jax.device_get(state), wer)
+            mgr.save_best(step, ckpt_view(state), wer)
 
     profiling = False
     for step in range(start_step, args.max_steps):
@@ -467,9 +476,9 @@ def main(argv=None):
         if (step + 1) % args.eval_steps == 0:
             run_eval(step + 1)
         if (step + 1) % args.save_steps == 0:
-            mgr.save(step + 1, jax.device_get(state))
+            mgr.save(step + 1, ckpt_view(state))
         if stop_requested["flag"]:
-            mgr.save(step + 1, jax.device_get(state),
+            mgr.save(step + 1, ckpt_view(state),
                      metadata={"preempted": True})
             logger.warning("preemption checkpoint written at step %d; "
                            "resume with --resume_from_checkpoint", step + 1)
@@ -479,9 +488,21 @@ def main(argv=None):
         jax.profiler.stop_trace()
     run_eval(args.max_steps)
     metrics_log.close()
-    mgr.save(args.max_steps, jax.device_get(state))
+    if args.max_steps % args.save_steps != 0:  # else just saved in the loop
+        mgr.save(args.max_steps, ckpt_view(state))
     # final HF-format export (the reference's end-of-training-weights)
     final_dir = Path(args.output_dir) / "end-of-training-weights"
+    if n_proc > 1:
+        # params may be 2-D sharded across hosts (device_get would raise on
+        # non-addressable shards); the orbax checkpoint above is the
+        # multi-host artifact — convert it like the reference does
+        # (convert_train_state_to_hf.py)
+        logger.info("multi-process run: convert the final checkpoint with "
+                    "dwt-convert --checkpoint_dir %s/checkpoint-%d "
+                    "--base_checkpoint %s --save_dir %s --distributed",
+                    args.output_dir, args.max_steps,
+                    args.student_checkpoint, final_dir)
+        return str(final_dir)
     save_pretrained(to_fp32(jax.device_get(state.params)), student_cfg,
                     str(final_dir))
     copy_tokenizer_files(args.teacher_checkpoint, str(final_dir))

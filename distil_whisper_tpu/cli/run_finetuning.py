@@ -147,12 +147,18 @@ def main(argv=None):
             metrics_log.log(step + 1, {"train/loss": loss,
                                        "train/steps_per_second": sps})
         if (step + 1) % args.save_steps == 0:
-            mgr.save(step + 1, jax.device_get(state))
+            # multi-process: pass global jax.Arrays — orbax coordinates the
+            # sharded multi-host save (cf. run_distillation.ckpt_view)
+            mgr.save(step + 1, state if n_proc > 1 else jax.device_get(state))
     if profiling:
         jax.profiler.stop_trace()
     metrics_log.close()
 
     final_dir = Path(args.output_dir) / "end-of-training-weights"
+    if n_proc > 1:
+        logger.info("multi-process run: convert the final checkpoint with "
+                    "dwt-convert (see run_distillation for the recipe)")
+        return str(final_dir)
     save_pretrained(to_fp32(jax.device_get(state.params)), cfg, str(final_dir))
     copy_tokenizer_files(args.model_checkpoint, str(final_dir))
     logger.info("final weights exported to %s", final_dir)

@@ -42,26 +42,48 @@ class CheckpointManager:
         return self._ckptr
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _clear(path: Path, tag: str) -> None:
+        """Remove a stale checkpoint dir, multi-process-safe: only process 0
+        touches the (possibly shared) filesystem, with a barrier so no
+        process starts writing before the removal is complete."""
+        import jax
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            if jax.process_index() == 0 and path.exists():
+                shutil.rmtree(path)
+            multihost_utils.sync_global_devices(f"ckpt_clear:{tag}")
+        elif path.exists():
+            shutil.rmtree(path)
+
     def save(self, step: int, state: Any, metadata: Optional[dict] = None
              ) -> str:
+        import jax
         path = self.dir / f"checkpoint-{step}"
-        if path.exists():
-            shutil.rmtree(path)
+        self._clear(path, f"{step}")
         self.ckptr.save(path.absolute() / "state", state)
         self.ckptr.wait_until_finished()
-        if metadata is not None:
-            with open(path / "meta.json", "w") as f:
-                json.dump({"step": step, **metadata}, f)
-        self._rotate()
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices(f"ckpt_saved:{step}")
+        if jax.process_index() == 0:
+            if metadata is not None:
+                with open(path / "meta.json", "w") as f:
+                    json.dump({"step": step, **metadata}, f)
+            self._rotate()
         return str(path)
 
     def save_best(self, step: int, state: Any, val_wer: float) -> str:
+        import jax
         path = self.dir / f"checkpoint-{step}-val-wer-{val_wer:.3f}"
-        if path.exists():
-            shutil.rmtree(path)
+        self._clear(path, f"best:{step}")
         self.ckptr.save(path.absolute() / "state", state)
         self.ckptr.wait_until_finished()
-        self._rotate_best()
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices(f"ckpt_best_saved:{step}")
+        if jax.process_index() == 0:
+            self._rotate_best()
         return str(path)
 
     # ------------------------------------------------------------------

@@ -68,14 +68,22 @@ class StepTimer:
 
 
 class MetricsLogger:
-    """Append-only JSONL metrics sink (the offline stand-in for W&B)."""
+    """Append-only JSONL metrics sink (the offline stand-in for W&B).
+
+    Multi-process: only process 0 writes — every host logs identical
+    aggregate values, and concurrent appends to one file on a shared
+    filesystem would interleave corruptly."""
 
     def __init__(self, path: str):
         self.path = Path(path)
-        self.path.parent.mkdir(parents=True, exist_ok=True)
-        self._f = open(self.path, "a")
+        self._f = None
+        if jax.process_index() == 0:
+            self.path.parent.mkdir(parents=True, exist_ok=True)
+            self._f = open(self.path, "a")
 
     def log(self, step: int, metrics: Dict[str, Any]) -> None:
+        if self._f is None:
+            return
         row = {"step": step, "time": time.time()}
         for k, v in metrics.items():
             try:
@@ -86,4 +94,5 @@ class MetricsLogger:
         self._f.flush()
 
     def close(self) -> None:
-        self._f.close()
+        if self._f is not None:
+            self._f.close()

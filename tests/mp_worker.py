@@ -1,0 +1,69 @@
+"""Subprocess worker for the 2-process CPU distributed tests.
+
+Usage: python mp_worker.py <mode> <process_id> <num_processes> <port> [args...]
+Modes:
+  helpers  — exercise host_local_batch_to_global / gather_rows /
+             process_local_slice over a real 2-process global mesh
+  train    — run the REAL run_distillation driver for 2 steps over the
+             2-process mesh (args: teacher_ckpt student_ckpt data_dir out_dir)
+
+Must run with JAX_PLATFORMS unset (sitecustomize pins the remote platform;
+the cpu switch happens here) and XLA_FLAGS=--xla_force_host_platform_device_count=4.
+"""
+
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def main():
+    mode, pid, n, port = (sys.argv[1], int(sys.argv[2]), int(sys.argv[3]),
+                          sys.argv[4])
+    jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                               num_processes=n, process_id=pid)
+    assert jax.process_count() == n, jax.process_count()
+
+    if mode == "helpers":
+        import numpy as np
+        from distil_whisper_tpu.parallel import make_mesh
+        from distil_whisper_tpu.parallel.multihost import (
+            host_local_batch_to_global, gather_rows, process_local_slice)
+        mesh = make_mesh()
+        n_dev = len(jax.devices())
+        per = n_dev // n
+        local = (np.arange(per, dtype=np.float32) + 100 * pid)[:, None]
+        g = host_local_batch_to_global(local, mesh)
+        assert g.shape == (n_dev, 1), g.shape
+        full = gather_rows(g)
+        expect = sorted(float(x) for i in range(n)
+                        for x in np.arange(per) + 100 * i)
+        assert sorted(full.ravel().tolist()) == expect, full.ravel()
+        sl = process_local_slice(n_dev)
+        assert (sl.stop - sl.start) == per
+        print(f"proc {pid}: helpers OK", flush=True)
+
+    elif mode == "train":
+        teacher, student, data, out = sys.argv[5:9]
+        from distil_whisper_tpu.cli.run_distillation import main as train_main
+        train_main([
+            "--teacher_checkpoint", teacher,
+            "--student_checkpoint", student,
+            "--train_dataset_path", data,
+            "--output_dir", out,
+            "--no_pseudo_labels",
+            "--max_steps", "2", "--per_device_train_batch_size", "1",
+            "--learning_rate", "1e-4", "--warmup_steps", "1",
+            "--precision", "full", "--save_steps", "2",
+            "--eval_steps", "100", "--logging_steps", "1",
+            "--language", "en",
+        ])
+        print(f"proc {pid}: train OK", flush=True)
+
+    else:
+        raise SystemExit(f"unknown mode {mode}")
+
+
+if __name__ == "__main__":
+    main()

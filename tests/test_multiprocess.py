@@ -1,0 +1,86 @@
+"""TRUE multi-process tests: 2 CPU processes x 4 virtual devices each.
+
+Spawns real subprocesses that form a jax.distributed cluster (gloo
+collectives), exercising the code paths a single-process run can only fake:
+``jax.make_array_from_process_local_data``, cross-process allgather, the
+process-sliced data feed, and orbax's coordinated multi-host checkpoint
+save — the multi-host plumbing the reference never tests at all (its only
+multi-host-aware script is convert_train_state_to_hf.py:50).
+"""
+
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+WORKER = Path(__file__).parent / "mp_worker.py"
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _spawn(mode, extra_args=(), timeout=420):
+    import os
+    port = _free_port()
+    env = {**os.environ,
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=4"}
+    env.pop("JAX_PLATFORMS", None)
+    repo = str(Path(__file__).parent.parent)
+    env["PYTHONPATH"] = ":".join(
+        [repo, str(Path(__file__).parent)]
+        + (["/root/.axon_site"] if Path("/root/.axon_site").exists() else [])
+        + [env.get("PYTHONPATH", "")])
+    procs = [subprocess.Popen(
+        [sys.executable, str(WORKER), mode, str(i), "2", str(port),
+         *map(str, extra_args)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=timeout)
+        outs.append(out)
+    return [p.returncode for p in procs], outs
+
+
+def test_two_process_multihost_helpers():
+    rcs, outs = _spawn("helpers")
+    for rc, out in zip(rcs, outs):
+        assert rc == 0, out[-2000:]
+    assert "helpers OK" in outs[0] and "helpers OK" in outs[1]
+
+
+def test_two_process_distillation_training(tmp_path):
+    """The REAL run_distillation driver over a 2-process global mesh:
+    per-process data slices, make_array_from_process_local_data batches,
+    cross-process grad all-reduce, and a coordinated orbax save."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, str(Path(__file__).parent))
+    from helpers import make_tiny_checkpoint, make_tone_dataset
+    from distil_whisper_tpu.cli.create_student_model import main as init_main
+
+    teacher = tmp_path / "teacher"
+    make_tiny_checkpoint(teacher)
+    make_tone_dataset(tmp_path / "data", n=8)
+    init_main(["--teacher_checkpoint", str(teacher),
+               "--save_dir", str(tmp_path / "student"),
+               "--decoder_layers", "1"])
+
+    out_dir = tmp_path / "out"
+    rcs, outs = _spawn("train", [teacher, tmp_path / "student",
+                                 tmp_path / "data", out_dir])
+    for rc, out in zip(rcs, outs):
+        assert rc == 0, out[-3000:]
+    assert "train OK" in outs[0] and "train OK" in outs[1]
+    # coordinated orbax save produced one checkpoint; metrics.jsonl written
+    # by process 0 only
+    assert (out_dir / "checkpoint-2" / "state").exists()
+    assert (out_dir / "metrics.jsonl").exists()
+    import json
+    rows = [json.loads(l) for l in open(out_dir / "metrics.jsonl")]
+    assert rows and all("train/loss" in r for r in rows)
