@@ -61,6 +61,32 @@ def main():
         ])
         print(f"proc {pid}: train OK", flush=True)
 
+    elif mode == "pl":
+        # independent local mesh per process + contiguous dataset shard +
+        # final WER-count allgather (run_pseudo_labelling's multi-host model)
+        ckpt, data, out = sys.argv[5:8]
+        from distil_whisper_tpu.cli.run_pseudo_labelling import main as pl_main
+        res = pl_main([
+            "--model_checkpoint", ckpt, "--dataset_path", data,
+            "--output_dir", out, "--per_device_batch_size", "1",
+            "--language", "en", "--max_new_tokens", "8",
+            "--dtype", "float32", "--compute_wer"])
+        import datasets
+        ds = datasets.load_from_disk(res)
+        assert len(ds) >= 1, len(ds)
+        print(f"proc {pid}: pl OK ({len(ds)} rows)", flush=True)
+
+    elif mode == "eval":
+        ckpt, data, out = sys.argv[5:8]
+        from distil_whisper_tpu.cli.run_eval import main as eval_main
+        res = eval_main([
+            "--model_checkpoint", ckpt, "--dataset_path", data,
+            "--mode", "short", "--language", "en", "--batch_size", "2",
+            "--max_new_tokens", "8", "--dtype", "float32",
+            "--output_json", f"{out}/eval-{pid}.json"])
+        assert "wer" in res, res
+        print(f"proc {pid}: eval OK wer={res['wer']}", flush=True)
+
     else:
         raise SystemExit(f"unknown mode {mode}")
 

@@ -54,6 +54,37 @@ def test_two_process_multihost_helpers():
     assert "helpers OK" in outs[0] and "helpers OK" in outs[1]
 
 
+def test_two_process_pl_and_eval(tmp_path):
+    """run_pseudo_labelling and run_eval across 2 processes: each process
+    runs an independent local mesh on its contiguous dataset shard; the
+    aggregate WER counts are allgathered so both report identical metrics."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, str(Path(__file__).parent))
+    from helpers import make_tiny_checkpoint, make_tone_dataset
+
+    ckpt = tmp_path / "ck"
+    make_tiny_checkpoint(ckpt)
+    make_tone_dataset(tmp_path / "data", n=6)
+
+    rcs, outs = _spawn("pl", [ckpt, tmp_path / "data", tmp_path / "pl"])
+    for rc, out in zip(rcs, outs):
+        assert rc == 0, out[-3000:]
+    # per-process output shards, both registered as load_from_disk datasets
+    assert (tmp_path / "pl" / "dataset-0").exists()
+    assert (tmp_path / "pl" / "dataset-1").exists()
+    assert (tmp_path / "pl" / "transcriptions-0.csv").exists()
+
+    rcs, outs = _spawn("eval", [ckpt, tmp_path / "data", tmp_path / "pl"])
+    for rc, out in zip(rcs, outs):
+        assert rc == 0, out[-3000:]
+    import json
+    r0 = json.load(open(tmp_path / "pl" / "eval-0.json"))
+    r1 = json.load(open(tmp_path / "pl" / "eval-1.json"))
+    # allgathered counts -> identical aggregate WER on every host
+    assert r0["wer"] == r1["wer"]
+
+
 def test_two_process_distillation_training(tmp_path):
     """The REAL run_distillation driver over a 2-process global mesh:
     per-process data slices, make_array_from_process_local_data batches,
