@@ -297,13 +297,25 @@ def main(argv=None):
             seed=args.seed + jax.process_index(), repeat=True,
             prefetch_depth=2)
     else:
+        prep_sharded = False
         if (cache_file is not None and cache_file.exists()
                 and not args.preprocessing_only):
             samples = list(np.load(cache_file, allow_pickle=True))
             logger.info("loaded %d prepared samples from %s",
                         len(samples), cache_file)
         else:
-            samples = _prepare_samples(train_ds, tok, teacher_cfg, args,
+            prep_ds = train_ds
+            if (n_proc > 1 and not args.preprocessing_only
+                    and hasattr(train_ds, "shard")):
+                # shard BEFORE preparation: audio load + mel + WER filter is
+                # the dominant startup cost and each host only needs its
+                # 1/n_proc (the train loop cycles, so unequal per-host
+                # counts after filtering are fine)
+                prep_ds = train_ds.shard(num_shards=n_proc,
+                                         index=jax.process_index(),
+                                         contiguous=True)
+                prep_sharded = True
+            samples = _prepare_samples(prep_ds, tok, teacher_cfg, args,
                                        normalizer, rng)
             if not samples:
                 raise RuntimeError("no training samples after filtering")
@@ -317,7 +329,7 @@ def main(argv=None):
             logger.info("--preprocessing_only set: preprocessing finished, "
                         "skipping training")
             return str(cache_file) if cache_file else None
-        if n_proc > 1:
+        if n_proc > 1 and not prep_sharded:
             samples = samples[process_local_slice(len(samples))]
     eval_samples = None
     if args.eval_dataset_path:
@@ -332,7 +344,11 @@ def main(argv=None):
         if n_proc > 1 and eval_samples:
             # each host evaluates its own slice; run_eval() allgathers the
             # I/S/D counts — without this every host would feed the SAME
-            # rows and the summed counts would be n_proc-fold inflated
+            # rows and the summed counts would be n_proc-fold inflated.
+            # NB: eval must prepare the FULL set on every host and slice to
+            # EQUAL sizes (unlike the sharded train prep): the eval loop
+            # runs collectives per batch, so all hosts need identical
+            # iteration counts.
             eval_samples = eval_samples[process_local_slice(
                 len(eval_samples))]
 
@@ -410,19 +426,23 @@ def main(argv=None):
                 hyps.append(normalizer(tok.decode(
                     seqs[j][:lens[j]].tolist())))
                 refs.append(normalizer(group[j]["text"]))
+        from ..metrics.wer import WordErrors
         pairs = [(r, h) for r, h in zip(refs, hyps) if r.strip()]
-        if not pairs:
-            return
-        stats = process_words([r for r, _ in pairs], [h for _, h in pairs])
+        stats = (process_words([r for r, _ in pairs], [h for _, h in pairs])
+                 if pairs else WordErrors())
         if n_proc > 1:  # aggregate error counts over hosts
+            # EVERY host enters the collective — returning early on an
+            # empty local shard would desync the allgather and the
+            # coordinated save_best below, hanging the job
             from jax.experimental import multihost_utils
             counts = multihost_utils.process_allgather(
                 np.asarray([stats.hits, stats.substitutions, stats.insertions,
                             stats.deletions, stats.num_ref_words], np.int64))
             h_, s_, i_, d_, nw = counts.reshape(-1, 5).sum(axis=0).tolist()
-            from ..metrics.wer import WordErrors
             stats = WordErrors(hits=h_, substitutions=s_, insertions=i_,
                                deletions=d_, num_ref_words=nw)
+        if not stats.num_ref_words:
+            return  # global decision: identical on every host
         wer = 100 * stats.wer
         logger.info("eval @%d: ce=%.4f wer=%.2f%% (I=%d S=%d D=%d)",
                     step, np.mean(losses), wer, stats.insertions,
@@ -477,7 +497,15 @@ def main(argv=None):
             run_eval(step + 1)
         if (step + 1) % args.save_steps == 0:
             mgr.save(step + 1, ckpt_view(state))
-        if stop_requested["flag"]:
+        stop = stop_requested["flag"]
+        if n_proc > 1:
+            # SIGTERM lands at different step boundaries per process; agree
+            # across hosts BEFORE entering the coordinated save or its
+            # barriers mismatch against the other hosts' train collectives
+            from jax.experimental import multihost_utils
+            stop = bool(multihost_utils.process_allgather(
+                np.asarray([stop], np.int32)).any())
+        if stop:
             mgr.save(step + 1, ckpt_view(state),
                      metadata={"preempted": True})
             logger.warning("preemption checkpoint written at step %d; "

@@ -273,10 +273,14 @@ def main(argv=None):
             n_tokens += sum(len(s["tokens"]) for s in r["segments"])
 
     elif args.mode == "chunked":
+        # mesh= keeps chunked mode on the host-local mesh under
+        # multi-process runs (the pipeline would otherwise build a global
+        # one and device_put to non-addressable devices)
         pipe = WhisperPipeline(args.model_checkpoint, dtype=dtype,
                                batch_size=args.batch_size,
                                max_new_tokens=args.max_new_tokens,
-                               params=params, cfg=cfg, tokenizer=tok)
+                               params=params, cfg=cfg, tokenizer=tok,
+                               mesh=mesh)
         for a in audios:
             out = pipe(a, chunk_length_s=args.chunk_length_s,
                        language=args.language, task=args.task,
@@ -328,34 +332,46 @@ def main(argv=None):
               "rtfx": round(rtfx, 2),
               "tokens_per_second": round(n_tokens / wall, 2)}
 
+    from ..metrics.wer import WordErrors
     refs_n = [normalizer(t) for t in texts]
     hyps_n = [normalizer(h) for h in hyps]
     pairs = [(r, h) for r, h in zip(refs_n, hyps_n) if r.strip()]
-    if pairs:
-        stats = process_words([r for r, _ in pairs], [h for _, h in pairs])
-        if n_proc > 1:  # sum error counts over the per-host dataset shards
-            from jax.experimental import multihost_utils
-            from ..metrics.wer import WordErrors
-            counts = multihost_utils.process_allgather(np.asarray(
-                [stats.hits, stats.substitutions, stats.insertions,
-                 stats.deletions, stats.num_ref_words], np.int64))
-            h, s, i, d, nw = counts.reshape(-1, 5).sum(axis=0).tolist()
-            stats = WordErrors(hits=h, substitutions=s, insertions=i,
-                               deletions=d, num_ref_words=nw)
+    stats = (process_words([r for r, _ in pairs], [h for _, h in pairs])
+             if pairs else WordErrors())
+    rep5 = sum(count_repeated_ngrams(h, 5) for h in hyps_n)
+    if n_proc > 1:
+        # sum error counts over the per-host dataset shards.  EVERY host
+        # participates — a host whose shard has no usable references must
+        # still enter the collective or the others hang — and the
+        # repeated-5-gram count rides the same vector so all hosts report
+        # identical aggregates.
+        from jax.experimental import multihost_utils
+        counts = multihost_utils.process_allgather(np.asarray(
+            [stats.hits, stats.substitutions, stats.insertions,
+             stats.deletions, stats.num_ref_words, rep5], np.int64))
+        h, s, i, d, nw, rep5 = counts.reshape(-1, 6).sum(axis=0).tolist()
+        stats = WordErrors(hits=h, substitutions=s, insertions=i,
+                           deletions=d, num_ref_words=nw)
+    if stats.num_ref_words:
         result.update({
             "wer": round(100 * stats.wer, 4),
             "ier": round(100 * stats.ier, 4),
             "ser": round(100 * stats.ser, 4),
             "der": round(100 * stats.der, 4),
-            "repeated_5grams": sum(count_repeated_ngrams(h, 5)
-                                   for h in hyps_n),
+            "repeated_5grams": rep5,
         })
 
     logger.info("results: %s", json.dumps(result))
     print(json.dumps(result))
     if args.output_json:
-        Path(args.output_json).parent.mkdir(parents=True, exist_ok=True)
-        with open(args.output_json, "w") as f:
+        out_path = Path(args.output_json)
+        if n_proc > 1:
+            # per-process file (predictions are host-local; concurrent
+            # writes to one path on a shared FS would corrupt it)
+            out_path = out_path.with_name(
+                f"{out_path.stem}-{jax.process_index()}{out_path.suffix}")
+        out_path.parent.mkdir(parents=True, exist_ok=True)
+        with open(out_path, "w") as f:
             json.dump({**result, "predictions": hyps, "references": texts},
                       f, indent=2)
     return result

@@ -100,6 +100,14 @@ def main(argv=None):
                                     "timestamp_probability": 0.0,
                                     "condition_on_prev_probability": 0.0})
     train_ds = load_dataset_any(args.train_dataset_path, "train")
+    n_proc = jax.process_count()
+    prep_sharded = False
+    if n_proc > 1 and hasattr(train_ds, "shard"):
+        # shard BEFORE preparation — each host only pays mel/filter cost for
+        # its 1/n_proc (the train loop cycles, so unequal counts are fine)
+        train_ds = train_ds.shard(num_shards=n_proc,
+                                  index=jax.process_index(), contiguous=True)
+        prep_sharded = True
     samples = _prepare_samples(train_ds, tok, cfg, ft_args, normalizer, rng)
     # mask prompts with the tokenizer's SOT (see run_distillation)
     collator = Collator(decoder_start_token_id=tok.sot,
@@ -108,8 +116,7 @@ def main(argv=None):
     mgr = CheckpointManager(args.output_dir,
                             save_total_limit=args.save_total_limit)
 
-    n_proc = jax.process_count()
-    if n_proc > 1:
+    if n_proc > 1 and not prep_sharded:
         samples = samples[process_local_slice(len(samples))]
     local_bsz = max(
         args.per_device_train_batch_size * mesh.shape["data"] // n_proc, 1)
@@ -153,6 +160,12 @@ def main(argv=None):
     if profiling:
         jax.profiler.stop_trace()
     metrics_log.close()
+    if args.max_steps % args.save_steps != 0:
+        # the loop's last periodic save missed the final steps — without
+        # this a multi-process run (which skips the inline HF export) would
+        # lose the training tail entirely
+        mgr.save(args.max_steps,
+                 state if n_proc > 1 else jax.device_get(state))
 
     final_dir = Path(args.output_dir) / "end-of-training-weights"
     if n_proc > 1:

@@ -83,7 +83,8 @@ def main():
             "--model_checkpoint", ckpt, "--dataset_path", data,
             "--mode", "short", "--language", "en", "--batch_size", "2",
             "--max_new_tokens", "8", "--dtype", "float32",
-            "--output_json", f"{out}/eval-{pid}.json"])
+            # one shared path: the driver suffixes it per process
+            "--output_json", f"{out}/eval.json"])
         assert "wer" in res, res
         print(f"proc {pid}: eval OK wer={res['wer']}", flush=True)
 

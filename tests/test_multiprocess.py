@@ -26,6 +26,7 @@ def _free_port() -> int:
 
 def _spawn(mode, extra_args=(), timeout=420):
     import os
+    import tempfile
     port = _free_port()
     env = {**os.environ,
            "XLA_FLAGS": "--xla_force_host_platform_device_count=4"}
@@ -35,15 +36,29 @@ def _spawn(mode, extra_args=(), timeout=420):
         [repo, str(Path(__file__).parent)]
         + (["/root/.axon_site"] if Path("/root/.axon_site").exists() else [])
         + [env.get("PYTHONPATH", "")])
+    # stdout to FILES, not pipes: a worker blocked writing a full pipe
+    # buffer while the test waits on the OTHER worker's collective would
+    # deadlock the whole cluster
+    logs = [tempfile.NamedTemporaryFile("w+", suffix=f"-mp{i}.log",
+                                        delete=False) for i in range(2)]
     procs = [subprocess.Popen(
         [sys.executable, str(WORKER), mode, str(i), "2", str(port),
          *map(str, extra_args)],
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        env=env, stdout=logs[i], stderr=subprocess.STDOUT, text=True)
         for i in range(2)]
+    try:
+        for p in procs:
+            p.wait(timeout=timeout)
+    finally:
+        for p in procs:  # never leak gloo-connected workers into later tests
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=timeout)
-        outs.append(out)
+    for f in logs:
+        f.flush()
+        outs.append(Path(f.name).read_text())
+        f.close()
     return [p.returncode for p in procs], outs
 
 
