@@ -192,3 +192,28 @@ def test_sequential_condition_on_prev(setup):
         language="en", batch_size=1)
     results = tr.transcribe([feats])
     assert len(results[0]["segments"]) >= 1
+
+
+def test_sequential_fallback_ladder_triggers(setup):
+    """Force the quality gates to reject every candidate: the transcriber
+    must walk the temperature ladder and keep the LAST temperature's result
+    (the reference/HF contract — the final rung is accepted unconditionally),
+    stamping segments with the temperature that produced them."""
+    params, tok = setup
+    rng = np.random.default_rng(3)
+    audio = (0.05 * rng.standard_normal(int(40.0 * 16000))).astype(np.float32)
+    feats = np.asarray(log_mel_spectrogram(
+        jnp.asarray(audio), CFG, pad_to_chunk=False)[0])
+    tr = SequentialTranscriber(
+        params, CFG, tok,
+        SequentialOptions(max_new_tokens=12, temperatures=(0.0, 0.5, 1.0),
+                          compression_ratio_threshold=-1.0,  # ratio >= 0 always fails
+                          logprob_threshold=None,
+                          no_speech_threshold=None),
+        language="en", batch_size=1)
+    results = tr.transcribe([feats])
+    segs = results[0]["segments"]
+    assert segs
+    # every kept segment came from the final rung of the ladder
+    assert all(s["temperature"] == 1.0 for s in segs), \
+        [s["temperature"] for s in segs]
