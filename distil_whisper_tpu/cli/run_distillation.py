@@ -35,7 +35,7 @@ from ..parallel import (make_mesh, shard_params, shardings_for_tree,
                         DEFAULT_RULES, RULES_2D,
                         maybe_initialize_distributed,
                         host_local_batch_to_global, gather_rows,
-                        process_local_slice)
+                        process_local_slice, global_row_positions)
 from ..tokenizer import (WhisperTokenizer, EnglishTextNormalizer,
                          BasicTextNormalizer)
 from ..metrics import process_words
@@ -404,7 +404,10 @@ def main(argv=None):
                                        opts, dtype=opt_cfg.compute_dtype)
         local_ebsz = max(
             args.per_device_eval_batch_size * mesh.shape["data"] // n_proc, 1)
-        pi = jax.process_index()
+        # where THIS host's rows land in the global batch — measured, not
+        # assumed process-contiguous (mesh device order may be reordered
+        # for ICI locality on pod topologies)
+        rowpos = global_row_positions(mesh, local_ebsz)
         refs, hyps, losses = [], [], []
         for i in range(0, len(eval_samples), local_ebsz):
             group = eval_samples[i:i + local_ebsz]
@@ -420,8 +423,8 @@ def main(argv=None):
             prompts = jnp.asarray([prompt] * (local_ebsz * n_proc), jnp.int32)
             out = gen_fn(state.params, sb["input_features"], prompts)
             # gather the global result, keep this host's rows for decoding
-            seqs = gather_rows(out.sequences)[pi * local_ebsz:][:n]
-            lens = gather_rows(out.seq_len)[pi * local_ebsz:][:n]
+            seqs = gather_rows(out.sequences)[rowpos][:n]
+            lens = gather_rows(out.seq_len)[rowpos][:n]
             for j in range(n):
                 hyps.append(normalizer(tok.decode(
                     seqs[j][:lens[j]].tolist())))
@@ -477,10 +480,19 @@ def main(argv=None):
                 jax.profiler.stop_trace()
                 profiling = False
         raw = next_batch()
-        if step == start_step and int((raw["labels"] != -100).sum()) == 0:
-            raise RuntimeError(
-                "first batch has zero supervised tokens — check that the "
-                "checkpoint's special-token ids match its tokenizer")
+        if step == start_step:
+            n_sup = int((raw["labels"] != -100).sum())
+            if n_proc > 1:
+                # agree globally: a single host raising while the others
+                # enter the train-step collective would hang the job, and a
+                # pathological local shard must not kill a healthy global run
+                from jax.experimental import multihost_utils
+                n_sup = int(multihost_utils.process_allgather(
+                    np.asarray([n_sup], np.int64)).sum())
+            if n_sup == 0:
+                raise RuntimeError(
+                    "first batch has zero supervised tokens — check that the "
+                    "checkpoint's special-token ids match its tokenizer")
         batch = host_local_batch_to_global(jax.tree.map(jnp.asarray, raw),
                                            mesh)
         state, metrics = jit_train(state, teacher, batch)
@@ -501,10 +513,22 @@ def main(argv=None):
         if n_proc > 1:
             # SIGTERM lands at different step boundaries per process; agree
             # across hosts BEFORE entering the coordinated save or its
-            # barriers mismatch against the other hosts' train collectives
-            from jax.experimental import multihost_utils
-            stop = bool(multihost_utils.process_allgather(
-                np.asarray([stop], np.int32)).any())
+            # barriers mismatch against the other hosts' train collectives.
+            # Poll only at deterministic boundaries (logging/eval/save/last
+            # step) — NOT whenever the local flag happens to be set (hosts
+            # would enter the collective at different steps and deadlock)
+            # and not every step (a blocking cross-host sync in the hot
+            # loop); a few steps of preemption latency is fine.
+            poll = ((step + 1) % args.logging_steps == 0
+                    or (step + 1) % args.eval_steps == 0
+                    or (step + 1) % args.save_steps == 0
+                    or step + 1 == args.max_steps)
+            if poll:
+                from jax.experimental import multihost_utils
+                stop = bool(multihost_utils.process_allgather(
+                    np.asarray([stop], np.int32)).any())
+            else:
+                stop = False  # deferred to the next poll boundary
         if stop:
             mgr.save(step + 1, ckpt_view(state),
                      metadata={"preempted": True})
@@ -524,13 +548,14 @@ def main(argv=None):
         # params may be 2-D sharded across hosts (device_get would raise on
         # non-addressable shards); the orbax checkpoint above is the
         # multi-host artifact — convert it like the reference does
-        # (convert_train_state_to_hf.py)
+        # (convert_train_state_to_hf.py).  Return the checkpoint that
+        # actually exists, not the unwritten HF export dir.
+        ckpt_dir = Path(args.output_dir) / f"checkpoint-{args.max_steps}"
         logger.info("multi-process run: convert the final checkpoint with "
-                    "dwt-convert --checkpoint_dir %s/checkpoint-%d "
+                    "dwt-convert --checkpoint_dir %s "
                     "--base_checkpoint %s --save_dir %s --distributed",
-                    args.output_dir, args.max_steps,
-                    args.student_checkpoint, final_dir)
-        return str(final_dir)
+                    ckpt_dir, args.student_checkpoint, final_dir)
+        return str(ckpt_dir)
     save_pretrained(to_fp32(jax.device_get(state.params)), student_cfg,
                     str(final_dir))
     copy_tokenizer_files(args.teacher_checkpoint, str(final_dir))

@@ -1,0 +1,113 @@
+"""int8 MXU quantization (W8A8, symmetric absmax).
+
+TPU v5e's MXU runs int8 x int8 -> int32 matmuls at ~2x the bf16 peak
+(394 vs 197 TOPs).  The encoder is ~100% matmul-bound at its measured
+~405 ms/bs16 floor (docs/PERFORMANCE.md), so dropping its projections and
+MLP onto the int8 MXU path is the single biggest remaining inference lever.
+
+Scheme (the standard production W8A8 recipe):
+
+* **Weights**: static symmetric per-output-channel absmax — quantized once
+  at load time.  For stacked scan layouts ``[L, i, o]`` the scale is
+  per ``(layer, o)``.
+* **Activations**: dynamic symmetric per-row (last-dim) absmax, computed
+  on the fly.  The quantize step is one VPU reduction + rescale over the
+  activation; its cost is amortised by sharing one quantized buffer across
+  all consumers of the same activation (q/k/v share their LN input).
+* **Accumulation**: int32 on the MXU (``preferred_element_type=int32``);
+  the result is rescaled in fp32 as ``y * act_scale * weight_scale`` —
+  two rank-broadcast multiplies that XLA fuses into the matmul epilogue.
+
+Max |row| of the int32 accumulator is 127*127*K; K <= 5120 everywhere in
+Whisper, ~8.3e7 << 2^31, so overflow is impossible.
+
+Role in the reference: the hardware-best-path selection the reference gets
+from its sdpa/flash-attention-2 dtype flags
+(/root/reference/training/run_distillation.py:129-148) — here it is an
+explicit opt-in (``cfg.quantize_encoder``) with parity-bounded numerics
+(tests/test_quant.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+
+def quantize_weight(kernel: jnp.ndarray,
+                    contract_axis: int = -2) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-output-channel absmax int8 weight quantization.
+
+    ``kernel`` is ``[..., i, o]`` (contraction on ``contract_axis``); the
+    scale is the absmax over that axis, keepdims so it broadcasts against
+    both the kernel and the matmul output.
+    """
+    k32 = kernel.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(k32), axis=contract_axis, keepdims=True)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(k32 / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def quantize_acts(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dynamic symmetric per-row (last-dim) absmax int8: ``[..., K]`` ->
+    (int8 ``[..., K]``, fp32 scale ``[..., 1]``)."""
+    x32 = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(x32 / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def dense_int8(p: Params, x: jnp.ndarray,
+               xq: jnp.ndarray = None, xs: jnp.ndarray = None) -> jnp.ndarray:
+    """``dense()`` against int8 weights ``{kernel_q [i,o], kernel_scale
+    [1,o], bias?}``.  Pass a pre-quantized ``(xq, xs)`` to share one
+    activation quantization across several projections."""
+    if xq is None:
+        xq, xs = quantize_acts(x)
+    y = jnp.einsum("...i,io->...o", xq, p["kernel_q"],
+                   preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * xs * p["kernel_scale"]
+    if "bias" in p:
+        y = y + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def quantize_dense(p: Params) -> Params:
+    """{kernel, bias?} -> {kernel_q, kernel_scale, bias?} (stacked [L, i, o]
+    kernels quantize per (layer, output-channel))."""
+    q, s = quantize_weight(p["kernel"])
+    out = {"kernel_q": q, "kernel_scale": s}
+    if "bias" in p:
+        out["bias"] = p["bias"]
+    return out
+
+
+def quantize_encoder_params(enc: Params) -> Params:
+    """Encoder subtree -> int8 projection/MLP weights.
+
+    Quantized: per-layer self-attention q/k/v/out and fc1/fc2 — the ~83% of
+    encoder matmul FLOPs that are d_model-contracted GEMMs.  Left untouched:
+    the conv stem (3 ms, input-sensitive numerics), LayerNorms, positional
+    embeddings, and the attention score/probs matmuls (head_dim 64 already
+    caps MXU utilisation at 50%; int8 would not raise it).
+
+    The forward path dispatches on tree structure (``kernel_q`` present), so
+    the transformed tree drops into :func:`models.whisper.encode` unchanged.
+    """
+    layers = enc["layers"]
+    new_layers = dict(layers)
+    new_layers["self_attn"] = {
+        name: quantize_dense(layers["self_attn"][name])
+        for name in ("q", "k", "v", "out")
+    }
+    for name in ("fc1", "fc2"):
+        new_layers[name] = quantize_dense(layers[name])
+    out = dict(enc)
+    out["layers"] = new_layers
+    return out

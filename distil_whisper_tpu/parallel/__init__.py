@@ -4,5 +4,5 @@ from .mesh import (  # noqa: F401
 )
 from .multihost import (  # noqa: F401
     maybe_initialize_distributed, host_local_batch_to_global,
-    process_local_slice, gather_rows,
+    process_local_slice, gather_rows, global_row_positions,
 )

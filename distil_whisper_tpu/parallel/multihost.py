@@ -79,6 +79,33 @@ def gather_rows(x: Any) -> np.ndarray:
     return np.asarray(multihost_utils.process_allgather(x, tiled=True))
 
 
+def global_row_positions(mesh, local_rows: int) -> np.ndarray:
+    """Global-row index of each of this host's local feed rows.
+
+    ``host_local_batch_to_global`` places each process's rows wherever that
+    process's devices sit along the mesh's 'data' axis — which is NOT
+    guaranteed to be process-contiguous in process-index order on every TPU
+    pod topology (``mesh_utils.create_device_mesh`` may reorder devices for
+    ICI locality).  Slicing a ``gather_rows`` result by
+    ``process_index * local_rows`` silently pairs rows across hosts wrongly
+    on such meshes.  This helper measures the true mapping by pushing a tag
+    vector through the identical placement path: ``result[j]`` is the global
+    row index where this host's local row ``j`` landed, so
+    ``gather_rows(global_out)[global_row_positions(mesh, local_rows)]``
+    recovers exactly the rows this host fed, in feed order.
+
+    Deterministic per (mesh, local_rows) — compute once, reuse per batch.
+    """
+    pi = jax.process_index()
+    n = local_rows * jax.process_count()
+    tags = (np.arange(local_rows, dtype=np.int32)
+            + pi * local_rows)[:, None]
+    gids = gather_rows(host_local_batch_to_global(tags, mesh)).ravel()
+    inv = np.empty(n, np.int64)
+    inv[gids] = np.arange(n)  # inv[tag] = global position of that tag
+    return inv[pi * local_rows:(pi + 1) * local_rows]
+
+
 def process_local_slice(n_items: int) -> slice:
     """Which slice of a globally-ordered dataset this host should feed."""
     per = n_items // max(jax.process_count(), 1)

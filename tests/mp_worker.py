@@ -29,7 +29,8 @@ def main():
         import numpy as np
         from distil_whisper_tpu.parallel import make_mesh
         from distil_whisper_tpu.parallel.multihost import (
-            host_local_batch_to_global, gather_rows, process_local_slice)
+            host_local_batch_to_global, gather_rows, process_local_slice,
+            global_row_positions)
         mesh = make_mesh()
         n_dev = len(jax.devices())
         per = n_dev // n
@@ -40,6 +41,12 @@ def main():
         expect = sorted(float(x) for i in range(n)
                         for x in np.arange(per) + 100 * i)
         assert sorted(full.ravel().tolist()) == expect, full.ravel()
+        # ROW ORDER, not just membership: global_row_positions must recover
+        # exactly this host's rows in feed order from the gathered global
+        # array (the eval-pairing invariant, ADVICE r2 medium)
+        rowpos = global_row_positions(mesh, per)
+        back = full[rowpos].ravel()
+        assert back.tolist() == local.ravel().tolist(), (back, local)
         sl = process_local_slice(n_dev)
         assert (sl.stop - sl.start) == per
         print(f"proc {pid}: helpers OK", flush=True)
