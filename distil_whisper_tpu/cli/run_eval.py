@@ -36,6 +36,7 @@ from ..generation import (GenerationOptions, encode_and_generate,
                           speculative_generate)
 from ..models import load_params, param_axes
 from ..models.whisper import encode, cross_kv
+from ..ops.quant import maybe_quantize_encoder
 from ..parallel import (make_mesh, shard_params, data_sharding,
                         maybe_initialize_distributed)
 from ..tokenizer import (WhisperTokenizer, EnglishTextNormalizer,
@@ -80,6 +81,12 @@ def parse_args(argv=None):
     p.add_argument("--quantize_cross_kv", action="store_true",
                    help="int8 cross-attention K/V (halves per-token HBM "
                         "traffic on long decodes; validate WER first)")
+    p.add_argument("--quantize_encoder", action="store_true",
+                   help="W8A8 int8 encoder matmuls (int8 MXU path, ~2x bf16 "
+                        "peak on v5e; validate WER first)")
+    p.add_argument("--quantize_self_kv", action="store_true",
+                   help="int8 decoder self-attention cache (validate WER "
+                        "first)")
     p.add_argument("--precise_tok_per_s", action="store_true",
                    help="fixed-token benchmark on dummy encoder outputs "
                         "(decouples tokens/s from WER)")
@@ -111,6 +118,10 @@ def main(argv=None):
         cfg = cfg.replace(fast_bf16_attention=True, use_flash_encoder=True)
     if args.quantize_cross_kv:
         cfg = cfg.replace(quantize_cross_kv=True)
+    if args.quantize_self_kv:
+        cfg = cfg.replace(quantize_self_kv=True)
+    if args.quantize_encoder:
+        cfg = cfg.replace(quantize_encoder=True)
     tok = WhisperTokenizer.from_pretrained(args.model_checkpoint)
     # Evaluation is embarrassingly parallel across hosts: each process runs
     # an independent mesh over its own devices on its slice of the dataset
@@ -120,6 +131,7 @@ def main(argv=None):
     mesh = (make_mesh(devices=jax.local_devices()) if n_proc > 1
             else make_mesh())
     params = shard_params(params, param_axes(cfg), mesh)
+    params = maybe_quantize_encoder(params, cfg)
     n_data = mesh.shape["data"]
     if args.batch_size % n_data:
         args.batch_size = -(-args.batch_size // n_data) * n_data

@@ -32,6 +32,7 @@ from ..audio.io import load_audio
 from ..audio import compute_mel
 from ..generation import GenerationOptions, encode_and_generate
 from ..models import load_params, param_axes
+from ..ops.quant import maybe_quantize_encoder
 from ..parallel import (make_mesh, shard_params, data_sharding,
                         maybe_initialize_distributed)
 from ..tokenizer import WhisperTokenizer, EnglishTextNormalizer, BasicTextNormalizer
@@ -72,6 +73,12 @@ def main(argv=None):
                         "train-split labelling throughput")
     p.add_argument("--quantize_cross_kv", action="store_true",
                    help="int8 cross-attention K/V for the 256-token decode")
+    p.add_argument("--quantize_encoder", action="store_true",
+                   help="W8A8 int8 encoder matmuls (int8 MXU path; validate "
+                        "WER first)")
+    p.add_argument("--quantize_self_kv", action="store_true",
+                   help="int8 decoder self-attention cache (validate WER "
+                        "first)")
     args = p.parse_args(argv)
     setup_logging()
     maybe_initialize_distributed()
@@ -82,6 +89,10 @@ def main(argv=None):
         cfg = cfg.replace(fast_bf16_attention=True, use_flash_encoder=True)
     if args.quantize_cross_kv:
         cfg = cfg.replace(quantize_cross_kv=True)
+    if args.quantize_self_kv:
+        cfg = cfg.replace(quantize_self_kv=True)
+    if args.quantize_encoder:
+        cfg = cfg.replace(quantize_encoder=True)
     tok = WhisperTokenizer.from_pretrained(args.model_checkpoint)
     # Labelling is embarrassingly parallel across hosts: each process runs an
     # INDEPENDENT mesh over its own devices and labels its contiguous dataset
@@ -93,6 +104,7 @@ def main(argv=None):
     mesh = (make_mesh(devices=jax.local_devices())
             if jax.process_count() > 1 else make_mesh())
     params = shard_params(params, param_axes(cfg), mesh)
+    params = maybe_quantize_encoder(params, cfg)
     logger.info("mesh: %s (%d processes)", dict(mesh.shape),
                 jax.process_count())
 

@@ -52,6 +52,15 @@ class WhisperConfig:
     # scales): halves the dominant per-token HBM traffic of long decodes.
     # Validate WER before enabling in production.
     quantize_cross_kv: bool = False
+    # OPT-IN int8 decoder self-attention KV cache (per token/head absmax
+    # scales): halves the self-cache HBM traffic of deep-decoder (teacher)
+    # generation.  Validate WER before enabling in production.
+    quantize_self_kv: bool = False
+    # OPT-IN W8A8 int8 encoder (per-channel weights + dynamic per-token
+    # activations on the projection/MLP matmuls): rides the int8 MXU path
+    # (~2x bf16 peak on v5e).  Drivers apply ops.quant.quantize_encoder_params
+    # to the loaded weights when this is set.  Validate WER before enabling.
+    quantize_encoder: bool = False
 
     # --- special tokens (defaults = multilingual v2 layout) ---
     pad_token_id: int = 50257

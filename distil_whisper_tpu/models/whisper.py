@@ -30,6 +30,7 @@ from ..config import WhisperConfig
 from ..ops.attention import (mha, causal_mask, decode_attention,
                              _flash_available)
 from ..ops.encoder_attention import fused_self_attention
+from ..ops.quant import dense_int8
 
 Params = Dict[str, Any]
 
@@ -64,6 +65,10 @@ def dropout(x: jnp.ndarray, rate: float, rng) -> jnp.ndarray:
 
 
 def dense(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    if "kernel_q" in p:
+        # int8-quantized weights (ops.quant.quantize_encoder_params):
+        # W8A8 dot on the int8 MXU path, fp32 rescale epilogue
+        return dense_int8(p, x)
     y = jnp.einsum("...i,io->...o", x, p["kernel"].astype(x.dtype),
                    preferred_element_type=jnp.float32).astype(x.dtype)
     if "bias" in p:
@@ -238,18 +243,94 @@ def encode(params: Params, cfg: WhisperConfig, mel: jnp.ndarray,
 
 
 def init_cache(cfg: WhisperConfig, batch: int, dtype=jnp.float32,
-               max_len: Optional[int] = None) -> Params:
+               max_len: Optional[int] = None,
+               quantize: Optional[bool] = None) -> Params:
     """Static-shape self-attention KV cache: [L, B, max_len, H*hd].
 
     Heads are stored MERGED (minor dim = d_model) so the cache buffer fills
     full 128-lane tile rows; a head-split [.., H, 64] layout would waste
     ~2x HBM bytes and bandwidth on every per-token read
     (see ops.attention.decode_attention).
+
+    With ``quantize`` (default ``cfg.quantize_self_kv``) K/V are stored int8
+    with a per-(layer, batch, token) fp32 absmax scale — per-token because
+    tokens arrive incrementally (a global scale can't cover unseen tokens),
+    per-tensor over d_model so the dequant is a clean minor-dim broadcast
+    multiply that XLA fuses into the attention's operand load.  Halves the
+    self-cache HBM read traffic of deep (teacher) decodes.
     """
     max_len = max_len or cfg.max_target_positions
     h, hd = cfg.decoder_attention_heads, cfg.decoder_head_dim
     shape = (cfg.decoder_layers, batch, max_len, h * hd)
+    if quantize is None:
+        quantize = cfg.quantize_self_kv
+    if quantize:
+        sshape = shape[:-1]
+        return {"k_q": jnp.zeros(shape, jnp.int8),
+                "k_scale": jnp.zeros(sshape, jnp.float32),
+                "v_q": jnp.zeros(shape, jnp.int8),
+                "v_scale": jnp.zeros(sshape, jnp.float32)}
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def _self_kv_quantize(x: jnp.ndarray):
+    """[B, S, d] -> (int8 [B, S, d], fp32 scale [B, S]) per-token absmax."""
+    x32 = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=-1)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x32 / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _cache_kv_parts(cache: Params, name: str):
+    """Cache dict -> per-KV tuple-of-arrays: (buf,) plain or (q, scale)."""
+    if "k_q" in cache:
+        return (cache[f"{name}_q"], cache[f"{name}_scale"])
+    return (cache[name],)
+
+
+def _cache_from_parts(k_parts, v_parts) -> Params:
+    if len(k_parts) == 2:
+        return {"k_q": k_parts[0], "k_scale": k_parts[1],
+                "v_q": v_parts[0], "v_scale": v_parts[1]}
+    return {"k": k_parts[0], "v": v_parts[0]}
+
+
+def _kv_parts_write(parts, kv: jnp.ndarray, pos) -> tuple:
+    """Write new-token K or V [B, S, d] at ``pos`` into a PER-LAYER parts
+    tuple (arrays without the leading L axis)."""
+    if len(parts) == 1:
+        return (jax.lax.dynamic_update_slice_in_dim(
+            parts[0], kv.astype(parts[0].dtype), pos, axis=1),)
+    q, s = _self_kv_quantize(kv)
+    return (jax.lax.dynamic_update_slice_in_dim(parts[0], q, pos, axis=1),
+            jax.lax.dynamic_update_slice_in_dim(parts[1], s, pos, axis=1))
+
+
+def _kv_parts_read(parts, dtype) -> jnp.ndarray:
+    """Per-layer parts tuple -> merged [B, T, d] K or V in ``dtype``."""
+    if len(parts) == 1:
+        return parts[0].astype(dtype)
+    return parts[0].astype(dtype) * parts[1][..., None].astype(dtype)
+
+
+def _kv_parts_write_layer(parts, kv: jnp.ndarray, layer_i, pos) -> tuple:
+    """Write K or V [B, S, d] at (``layer_i``, ``pos``) into FULL-cache parts
+    (arrays carrying the leading L axis — the deep-decoder carry layout)."""
+    if len(parts) == 1:
+        return (jax.lax.dynamic_update_slice(
+            parts[0], kv[None].astype(parts[0].dtype), (layer_i, 0, pos, 0)),)
+    q, s = _self_kv_quantize(kv)
+    return (jax.lax.dynamic_update_slice(parts[0], q[None],
+                                         (layer_i, 0, pos, 0)),
+            jax.lax.dynamic_update_slice(parts[1], s[None],
+                                         (layer_i, 0, pos)))
+
+
+def _kv_parts_read_layer(parts, layer_i, dtype) -> jnp.ndarray:
+    got = tuple(jax.lax.dynamic_index_in_dim(p, layer_i, 0, keepdims=False)
+                for p in parts)
+    return _kv_parts_read(got, dtype)
 
 
 def cross_kv(params: Params, cfg: WhisperConfig, enc: jnp.ndarray,
@@ -419,7 +500,7 @@ def decode(params: Params, cfg: WhisperConfig, tokens: jnp.ndarray,
 
     self_causal = False
     if cache is not None:
-        tk = cache["k"].shape[2]
+        tk = (cache["k"] if "k" in cache else cache["k_q"]).shape[2]
         self_mask = causal_mask(s, tk, pos_offset)
     elif attention_mask is None and pad_len is None:
         # pure causal full-sequence attention: leave the mask implicit so the
@@ -528,24 +609,24 @@ def decode(params: Params, cfg: WhisperConfig, tokens: jnp.ndarray,
             return (dense(lp["self_attn"]["k"], h),
                     dense(lp["self_attn"]["v"], h))         # [B, S, d]
 
+        k_parts = _cache_kv_parts(cache, "k")
+        v_parts = _cache_kv_parts(cache, "v")
         if cfg.decoder_layers <= 4:
             # Shallow (distil) decoders: full unroll — XLA fuses across the
             # 2-4 layers and aliases the per-layer cache slices in place.
             def body(carry, xs):
-                lp, cross_part, cache_k, cache_v = xs
+                lp, cross_part, kp, vp = xs
                 ck, cv = _ck_cv(cross_part)
                 k, v = new_kv(lp, carry)
-                cache_k = jax.lax.dynamic_update_slice_in_dim(
-                    cache_k, k.astype(cache_k.dtype), pos_offset, axis=1)
-                cache_v = jax.lax.dynamic_update_slice_in_dim(
-                    cache_v, v.astype(cache_v.dtype), pos_offset, axis=1)
-                y = cached_layer(lp, carry, cache_k, cache_v, ck, cv)
-                return y, (cache_k, cache_v,
+                kp = _kv_parts_write(kp, k, pos_offset)
+                vp = _kv_parts_write(vp, v, pos_offset)
+                y = cached_layer(lp, carry, _kv_parts_read(kp, dtype),
+                                 _kv_parts_read(vp, dtype), ck, cv)
+                return y, (kp, vp,
                            carry if output_hidden_states else None)
 
-            y, (nk, nv, hs) = jax.lax.scan(
-                body, x, (params["layers"], cross_xs,
-                          cache["k"], cache["v"]),
+            y, (nkp, nvp, hs) = jax.lax.scan(
+                body, x, (params["layers"], cross_xs, k_parts, v_parts),
                 unroll=cfg.decoder_layers)
         else:
             # Deep (teacher) decoders: the cache rides the scan CARRY and
@@ -553,27 +634,22 @@ def decode(params: Params, cfg: WhisperConfig, tokens: jnp.ndarray,
             # xs->ys pattern would rewrite the whole [L,B,T,d] cache every
             # token (~1 GB/token of extra writes for large-v3 at bs16).
             def body(carry, xs):
-                y_in, cache_k, cache_v = carry
+                y_in, kp, vp = carry
                 i, lp, cross_part = xs
                 ck, cv = _ck_cv(cross_part)
                 k, v = new_kv(lp, y_in)
-                start = (i, 0, pos_offset, 0)
-                cache_k = jax.lax.dynamic_update_slice(
-                    cache_k, k[None].astype(cache_k.dtype), start)
-                cache_v = jax.lax.dynamic_update_slice(
-                    cache_v, v[None].astype(cache_v.dtype), start)
-                ck_l = jax.lax.dynamic_index_in_dim(cache_k, i, 0,
-                                                    keepdims=False)
-                cv_l = jax.lax.dynamic_index_in_dim(cache_v, i, 0,
-                                                    keepdims=False)
+                kp = _kv_parts_write_layer(kp, k, i, pos_offset)
+                vp = _kv_parts_write_layer(vp, v, i, pos_offset)
+                ck_l = _kv_parts_read_layer(kp, i, dtype)
+                cv_l = _kv_parts_read_layer(vp, i, dtype)
                 y = cached_layer(lp, y_in, ck_l, cv_l, ck, cv)
-                return ((y, cache_k, cache_v),
+                return ((y, kp, vp),
                         y_in if output_hidden_states else None)
 
-            (y, nk, nv), hs = jax.lax.scan(
-                body, (x, cache["k"], cache["v"]),
+            (y, nkp, nvp), hs = jax.lax.scan(
+                body, (x, k_parts, v_parts),
                 (jnp.arange(cfg.decoder_layers), params["layers"], cross_xs))
-        new_cache = {"k": nk, "v": nv}
+        new_cache = _cache_from_parts(nkp, nvp)
 
     y = layer_norm(params["ln"], y)
     if skip_logits:

@@ -156,8 +156,25 @@ def fused_self_attention(p_attn, x_ln: jnp.ndarray, n_heads: int,
     einsums; kept as a documented negative result."""
     b, t, dm = x_ln.shape
     d = dm // n_heads
+    quantized = "kernel_q" in p_attn["q"]
+    fused_qkv = fused_qkv and not quantized  # int8 path projects per-weight
+    if quantized:
+        # W8A8 (ops/quant.py): ONE activation quantization shared by the
+        # q/k/v projections; int8 x int8 -> int32 on the MXU, fp32 rescale.
+        from .quant import quantize_acts
+        xq, xs = quantize_acts(x_ln)
+        xs4 = xs[:, None]                                  # [B, 1, T, 1]
 
     def proj(p):
+        if quantized:
+            wq = p["kernel_q"].reshape(dm, n_heads, d)
+            ws = p["kernel_scale"].reshape(1, n_heads, 1, d)
+            y = jnp.einsum("btd,dhk->bhtk", xq, wq,
+                           preferred_element_type=jnp.int32)
+            y = y.astype(jnp.float32) * xs4 * ws
+            if "bias" in p:
+                y = y + p["bias"].reshape(n_heads, 1, d).astype(jnp.float32)
+            return y.astype(x_ln.dtype)
         wk = p["kernel"].reshape(dm, n_heads, d).astype(x_ln.dtype)
         y = jnp.einsum("btd,dhk->bhtk", x_ln, wk,
                        preferred_element_type=jnp.float32).astype(x_ln.dtype)
@@ -181,6 +198,19 @@ def fused_self_attention(p_attn, x_ln: jnp.ndarray, n_heads: int,
         k = proj(p_attn["k"])
         v = proj(p_attn["v"])
     a = encoder_attention(q, k, v, t_real, block_q, exp_impl, interpret)
+    if quantized:
+        # out-projection contracts over (h, k): per-(b, t) dynamic scale
+        # reduced over both, int8 dot, fp32 rescale — no head-merge copy
+        a32 = a.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(a32), axis=(1, 3), keepdims=True)  # [B,1,T,1]
+        a_scale = jnp.maximum(amax, 1e-12) / 127.0
+        aq = jnp.clip(jnp.round(a32 / a_scale), -127, 127).astype(jnp.int8)
+        wo = p_attn["out"]["kernel_q"].reshape(n_heads, d, dm)
+        y = jnp.einsum("bhtk,hkd->btd", aq, wo,
+                       preferred_element_type=jnp.int32)
+        y = (y.astype(jnp.float32) * a_scale[:, 0]
+             * p_attn["out"]["kernel_scale"])
+        return (y + p_attn["out"]["bias"].astype(jnp.float32)).astype(a.dtype)
     wo = p_attn["out"]["kernel"].reshape(n_heads, d, dm).astype(a.dtype)
     y = jnp.einsum("bhtk,hkd->btd", a, wo,
                    preferred_element_type=jnp.float32).astype(a.dtype)

@@ -100,6 +100,8 @@ def quantize_encoder_params(enc: Params) -> Params:
     The forward path dispatches on tree structure (``kernel_q`` present), so
     the transformed tree drops into :func:`models.whisper.encode` unchanged.
     """
+    if "kernel_q" in enc["layers"]["fc1"]:
+        return enc  # already quantized (idempotent)
     layers = enc["layers"]
     new_layers = dict(layers)
     new_layers["self_attn"] = {
@@ -111,3 +113,16 @@ def quantize_encoder_params(enc: Params) -> Params:
     out = dict(enc)
     out["layers"] = new_layers
     return out
+
+
+def maybe_quantize_encoder(params: Params, cfg) -> Params:
+    """Full param tree -> tree with int8 encoder iff ``cfg.quantize_encoder``.
+
+    Drivers call this once after loading/sharding; the forward path picks up
+    the quantized weights structurally (``kernel_q`` dispatch in
+    ``models.whisper.dense`` / ``ops.encoder_attention.fused_self_attention``).
+    """
+    if not getattr(cfg, "quantize_encoder", False):
+        return params
+    return {**params, "encoder": quantize_encoder_params(params["encoder"])}
+

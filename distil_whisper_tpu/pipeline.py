@@ -48,6 +48,9 @@ class WhisperPipeline:
         self.mesh = mesh if mesh is not None else make_mesh()
         self._n_data = self.mesh.shape["data"]
         self.params = shard_params(params, param_axes(cfg), self.mesh)
+        if cfg.quantize_encoder:
+            from .ops.quant import maybe_quantize_encoder
+            self.params = maybe_quantize_encoder(self.params, cfg)
         self.cfg = cfg
         self.tokenizer = tokenizer or WhisperTokenizer.from_pretrained(checkpoint)
         self.dtype = dtype
