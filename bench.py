@@ -12,15 +12,25 @@ gen_kwargs and README.md:266-275):
   * the SAME protocol is then run through the reference implementation —
     stock ``transformers.FlaxWhisperForConditionalGeneration.generate`` (the
     exact class the reference's training/flax path subclasses) — on the same
-    chip, giving the absolute baseline a user switches from.
+    chip.  Ours and the reference stack are timed in INTERLEAVED A/B rounds
+    within one process (timing discipline of the reference's
+    --precise_tok_per_s, training/run_eval.py:806-844): each round yields a
+    paired ratio, cancelling chip-speed drift, and the reported spread shows
+    whether the margin survives its own error bars (chip timings vary
+    ~±15% run-to-run ACROSS processes, docs/PERFORMANCE.md — interleaving
+    inside one process is what makes a 4-20% margin measurable).
 
 Headline fields:
-  value       = distil-large-v3 RTFx in this framework
-  vs_baseline = value / (distil-large-v3 RTFx on the reference stack,
-                measured in this same run)  — >1.0 means faster than the
-                reference implementation on identical hardware + protocol.
+  value       = distil-large-v3 RTFx in this framework (median over rounds)
+  vs_baseline = median over per-round paired ratios ours/reference-stack
+                — >1.0 means faster than the reference implementation on
+                identical hardware + protocol.
 
 "extra" fields:
+  vs_baseline_min / vs_baseline_max — spread of the per-round paired ratios.
+  rtfx_min / rtfx_max               — spread of our per-round RTFx.
+  int8_rtfx / vs_baseline_int8      — ours with the opt-in W8A8 int8 encoder
+      (cfg.quantize_encoder): the int8-MXU inference path, same protocol.
   teacher_rtfx / speedup_vs_teacher — large-v3 in this framework and the
       in-stack relative latency.  NOTE: this ratio COMPRESSES as the teacher
       gets faster — round 2's merged-KV decode cut large-v3 from 23.3 to
@@ -56,54 +66,56 @@ def _fetch(x):
     np.asarray(x)
 
 
-def _bench_pair(batch, max_new, forced_eos_at=None, n_iters=3):
-    """Returns {preset: rtfx} for distil-large-v3 + large-v3."""
+def _time_once(fn, iters):
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        _fetch(fn())
+    return (time.perf_counter() - t0) / iters
+
+
+def _build_ours(preset, batch, max_new, forced_eos_at=None, int8=False):
+    """-> zero-arg callable running one generate; compiled+warm on return."""
     import jax
     import jax.numpy as jnp
     from distil_whisper_tpu.config import PRESETS
     from distil_whisper_tpu.models import init_params
     from distil_whisper_tpu.generation import GenerationOptions, build_generate
+    from distil_whisper_tpu.ops.quant import maybe_quantize_encoder
 
-    out = {}
-    for preset in ("distil-large-v3", "large-v3"):
-        cfg = PRESETS[preset].replace(fast_bf16_attention=True,
-                                      use_flash_encoder=True)
-        params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-        if forced_eos_at is not None:
-            # force <|endoftext|> at a fixed generated position: random
-            # weights never emit EOS, this drives the early-exit path the
-            # way a real checkpoint does
-            opts = GenerationOptions(
-                max_new_tokens=max_new,
-                forced_decoder_ids=((forced_eos_at, cfg.eos_token_id),))
-        else:
-            # min_new_tokens pins generation to the full budget: a fixed-
-            # token benchmark like the reference's --precise_tok_per_s
-            opts = GenerationOptions(max_new_tokens=max_new,
-                                     min_new_tokens=max_new)
-        fn = build_generate(cfg, opts, dtype=jnp.bfloat16)
+    cfg = PRESETS[preset].replace(fast_bf16_attention=True,
+                                  use_flash_encoder=True,
+                                  quantize_encoder=int8)
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    params = maybe_quantize_encoder(params, cfg)
+    if forced_eos_at is not None:
+        # force <|endoftext|> at a fixed generated position: random weights
+        # never emit EOS, this drives the early-exit path the way a real
+        # checkpoint does
+        opts = GenerationOptions(
+            max_new_tokens=max_new,
+            forced_decoder_ids=((forced_eos_at, cfg.eos_token_id),))
+    else:
+        # min_new_tokens pins generation to the full budget: a fixed-token
+        # benchmark like the reference's --precise_tok_per_s
+        opts = GenerationOptions(max_new_tokens=max_new,
+                                 min_new_tokens=max_new)
+    gen = build_generate(cfg, opts, dtype=jnp.bfloat16)
 
-        rng = np.random.default_rng(0)
-        mel = jnp.asarray(rng.standard_normal((batch, cfg.num_mel_bins, 3000)),
-                          jnp.bfloat16)
-        prompt = jnp.full((batch, 1), cfg.decoder_start_token_id, jnp.int32)
-        key = jax.random.PRNGKey(0)
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((batch, cfg.num_mel_bins, 3000)),
+                      jnp.bfloat16)
+    prompt = jnp.full((batch, 1), cfg.decoder_start_token_id, jnp.int32)
+    key = jax.random.PRNGKey(0)
 
-        res = fn(params, mel, prompt, 0.0, key)       # compile + warmup
-        _fetch(res.seq_len)
-        t0 = time.perf_counter()
-        for _ in range(n_iters):
-            res = fn(params, mel, prompt, 0.0, key)
-            _fetch(res.seq_len)
-        dt = (time.perf_counter() - t0) / n_iters
-        out[preset] = batch * 30.0 / dt
-        del params
-    return out
+    def fn():
+        return gen(params, mel, prompt, 0.0, key).seq_len
+
+    _fetch(fn())  # compile + warmup
+    return fn
 
 
-def _bench_hf_flax_distil(batch, max_new, n_iters=3):
-    """distil-large-v3 RTFx through the stock transformers FlaxWhisper stack
-    (the reference implementation) on the same chip, same protocol."""
+def _build_hf(batch, max_new):
+    """Reference stack: stock transformers FlaxWhisper distil-large-v3."""
     import jax
     import jax.numpy as jnp
     from transformers import (FlaxWhisperForConditionalGeneration,
@@ -132,50 +144,111 @@ def _bench_hf_flax_distil(batch, max_new, n_iters=3):
     rng = np.random.default_rng(0)
     mel = jnp.asarray(rng.standard_normal((batch, cfg.num_mel_bins, 3000)),
                       jnp.bfloat16)
-    out = gen(params, mel); _fetch(out)
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = gen(params, mel); _fetch(out)
-    dt = (time.perf_counter() - t0) / n_iters
-    return batch * 30.0 / dt
+
+    def fn():
+        return gen(params, mel)
+
+    _fetch(fn())
+    return fn
+
+
+def _interleaved_rounds(fns, rounds, iters):
+    """{name: fn} -> {name: [seconds per round]}, A/B/C interleaved so every
+    round is a same-moment paired comparison."""
+    out = {name: [] for name in fns}
+    for _ in range(rounds):
+        for name, fn in fns.items():
+            out[name].append(_time_once(fn, iters))
+    return out
 
 
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     long_budget = int(os.environ.get("BENCH_TOKENS", "256"))
+    rounds = int(os.environ.get("BENCH_ROUNDS", "5"))
+    iters = int(os.environ.get("BENCH_ITERS", "2"))
+    audio_s = batch * 30.0
+    skip_hf = os.environ.get("BENCH_NO_HF") == "1"
 
-    headline = _bench_pair(batch, long_budget)
-    ratio = headline["distil-large-v3"] / headline["large-v3"]
-    value = headline["distil-large-v3"]
+    extra = {}
 
-    extra = {
-        "teacher_rtfx": round(headline["large-v3"], 2),
+    # --- headline: ours vs reference stack vs int8, interleaved ---
+    fns = {"ours": _build_ours("distil-large-v3", batch, long_budget)}
+    try:
+        fns["int8"] = _build_ours("distil-large-v3", batch, long_budget,
+                                  int8=True)
+    except Exception as e:  # noqa: BLE001
+        extra["int8_error"] = str(e)[:200]
+    hf_err = None
+    if not skip_hf:
+        try:
+            fns["hf"] = _build_hf(batch, long_budget)
+        except Exception as e:  # noqa: BLE001
+            hf_err = str(e)[:200]
+
+    times = _interleaved_rounds(fns, rounds, iters)
+    rtfx = {k: [audio_s / t for t in v] for k, v in times.items()}
+    value = float(np.median(rtfx["ours"]))
+    extra["rtfx_min"] = round(min(rtfx["ours"]), 2)
+    extra["rtfx_max"] = round(max(rtfx["ours"]), 2)
+
+    if "int8" in rtfx:
+        extra["int8_rtfx"] = round(float(np.median(rtfx["int8"])), 2)
+
+    # --- teacher (in-stack ratio context; separate so peak HBM stays low) ---
+    for k in list(fns):
+        del fns[k]
+    t_fn = _build_ours("large-v3", batch, long_budget)
+    t_times = [_time_once(t_fn, 1) for _ in range(max(rounds - 2, 3))]
+    teacher_rtfx = float(np.median([audio_s / t for t in t_times]))
+    del t_fn
+    ratio = value / teacher_rtfx
+    extra.update({
+        "teacher_rtfx": round(teacher_rtfx, 2),
         "speedup_vs_teacher": round(ratio, 2),
         "in_stack_ratio_vs_published_6.3": round(ratio / 6.3, 3),
-    }
+    })
 
-    if os.environ.get("BENCH_NO_HF") == "1":
-        vs_baseline = ratio / 6.3
-        extra["vs_baseline_kind"] = "in_stack_ratio/6.3 (BENCH_NO_HF)"
+    if "hf" in rtfx:
+        pair = [o / h for o, h in zip(rtfx["ours"], rtfx["hf"])]
+        vs_baseline = float(np.median(pair))
+        extra.update({
+            "hf_distil_rtfx": round(float(np.median(rtfx["hf"])), 2),
+            "vs_baseline_min": round(min(pair), 3),
+            "vs_baseline_max": round(max(pair), 3),
+            "vs_baseline_kind":
+                "ours/reference-stack, paired interleaved rounds, same chip",
+        })
+        if "int8" in rtfx:
+            pair8 = [o / h for o, h in zip(rtfx["int8"], rtfx["hf"])]
+            extra["vs_baseline_int8"] = round(float(np.median(pair8)), 3)
+            extra["vs_baseline_int8_min"] = round(min(pair8), 3)
+            extra["vs_baseline_int8_max"] = round(max(pair8), 3)
     else:
-        try:
-            hf = _bench_hf_flax_distil(batch, long_budget)
-            extra["hf_distil_rtfx"] = round(hf, 2)
-            extra["vs_baseline_kind"] = "ours/reference-stack, same chip"
-            vs_baseline = value / hf
-        except Exception as e:  # noqa: BLE001
-            extra["hf_error"] = str(e)[:200]
-            extra["vs_baseline_kind"] = "in_stack_ratio/6.3 (HF fallback)"
-            vs_baseline = ratio / 6.3
+        vs_baseline = ratio / 6.3
+        extra["vs_baseline_kind"] = ("in_stack_ratio/6.3 (BENCH_NO_HF)"
+                                     if skip_hf else
+                                     "in_stack_ratio/6.3 (HF fallback)")
+        if hf_err:
+            extra["hf_error"] = hf_err
 
     if os.environ.get("BENCH_FAST") != "1":
-        short = _bench_pair(batch, 128)
-        eos = _bench_pair(batch, 128, forced_eos_at=96)
+        def quick_pair(max_new, eos=None):
+            f_d = _build_ours("distil-large-v3", batch, max_new, eos)
+            d = audio_s / float(np.median([_time_once(f_d, 1)
+                                           for _ in range(3)]))
+            del f_d
+            f_t = _build_ours("large-v3", batch, max_new, eos)
+            t = audio_s / float(np.median([_time_once(f_t, 1)
+                                           for _ in range(3)]))
+            del f_t
+            return d, t
+
+        d128, t128 = quick_pair(128)
+        d96, t96 = quick_pair(128, eos=96)
         extra.update({
-            "rtfx_128": round(short["distil-large-v3"], 2),
-            "ratio_128": round(short["distil-large-v3"] / short["large-v3"], 2),
-            "rtfx_eos96": round(eos["distil-large-v3"], 2),
-            "ratio_eos96": round(eos["distil-large-v3"] / eos["large-v3"], 2),
+            "rtfx_128": round(d128, 2), "ratio_128": round(d128 / t128, 2),
+            "rtfx_eos96": round(d96, 2), "ratio_eos96": round(d96 / t96, 2),
         })
 
     print(json.dumps({

@@ -104,7 +104,8 @@ def seq_options_from_args(args) -> SequentialOptions:
         no_speech_threshold=args.no_speech_threshold,
         compression_ratio_threshold=args.compression_ratio_threshold,
         condition_on_prev_tokens=args.condition_on_prev,
-        max_new_tokens=args.max_new_tokens)
+        max_new_tokens=args.max_new_tokens,
+        num_beams=args.num_beams)
 
 
 def main(argv=None):

@@ -46,13 +46,18 @@ def beam_search(dec_params: Dict[str, Any], cfg: WhisperConfig,
                 opts: GenerationOptions, num_beams: int = 5,
                 length_penalty: float = 1.0,
                 sot_slot: int = 0,
+                pad_len=None,
                 dtype=jnp.float32) -> BeamOutput:
     """HF-style beam search.  ``cross`` K/V are for batch B (expanded here).
 
     ``sot_slot``: prompt position of <|startoftranscript|> — 0 for plain
     prompts; for condition-on-prev prompts ([<|startofprev|>, prev..., SOT,
     ...]) pass the SOT index so no_speech_prob reads the right slot (the
-    same convention as generate()'s ``sot_slot``)."""
+    same convention as generate()'s ``sot_slot``).
+
+    ``pad_len`` [B]: left-padded prompt support (the sequential long-form
+    prompt layout) — pad slots are masked out of self-attention and positions
+    shift per sample, exactly as in ``generate()``/``decode()``."""
     b, p = prompt_ids.shape
     k = num_beams
     total = p + opts.max_new_tokens
@@ -65,11 +70,13 @@ def beam_search(dec_params: Dict[str, Any], cfg: WhisperConfig,
     cross_bk = {name: jnp.repeat(arr, k, axis=1)
                 for name, arr in cross.items()}
     prompts_bk = jnp.repeat(prompt_ids.astype(jnp.int32), k, axis=0)
+    pad_bk = (jnp.repeat(pad_len.astype(jnp.int32), k, axis=0)
+              if pad_len is not None else None)
 
     cache = init_cache(cfg, b * k, dtype=dtype, max_len=total)
     prefill_logits, cache = decode(dec_params, cfg, prompts_bk,
                                    cross=cross_bk, cache=cache,
-                                   pos_offset=0, dtype=dtype)
+                                   pos_offset=0, pad_len=pad_bk, dtype=dtype)
 
     # <|nospeech|> probability at the SOT slot of beam 0 (same convention as
     # generate()).
@@ -165,7 +172,7 @@ def beam_search(dec_params: Dict[str, Any], cfg: WhisperConfig,
 
         lg, cache = decode(dec_params, cfg, live_tok.reshape(-1, 1),
                            cross=cross_bk, cache=cache,
-                           pos_offset=s["cur"], dtype=dtype)
+                           pos_offset=s["cur"], pad_len=pad_bk, dtype=dtype)
 
         return dict(tokens=tokens, live_scores=live_top,
                     fin_tokens=fin_tokens, fin_scores=fin_top,
@@ -201,9 +208,9 @@ def beam_search(dec_params: Dict[str, Any], cfg: WhisperConfig,
 def encode_and_beam_search(params, cfg: WhisperConfig, mel, prompt_ids,
                            opts: GenerationOptions, num_beams: int = 5,
                            length_penalty: float = 1.0, sot_slot: int = 0,
-                           dtype=jnp.float32):
+                           pad_len=None, dtype=jnp.float32):
     enc = encode(params["encoder"], cfg, mel, dtype=dtype)
     cross = cross_kv(params["decoder"], cfg, enc)
     return beam_search(params["decoder"], cfg, cross, prompt_ids, opts,
                        num_beams=num_beams, length_penalty=length_penalty,
-                       sot_slot=sot_slot, dtype=dtype)
+                       sot_slot=sot_slot, pad_len=pad_len, dtype=dtype)

@@ -25,6 +25,7 @@ import numpy as np
 
 from ..config import WhisperConfig
 from ..tokenizer import WhisperTokenizer
+from .beam import encode_and_beam_search
 from .generate import GenerationOptions, encode_and_generate
 
 FRAMES_PER_SECOND = 100   # mel frames per second (hop 160 @ 16 kHz)
@@ -44,6 +45,13 @@ class SequentialOptions:
     prompt_reset_on_temperature: float = 0.5
     max_new_tokens: int = 224
     max_initial_timestamp_index: Optional[int] = 50
+    # Beam search at the temperature-0 rung only; fallback rungs sample with
+    # one beam (HF generate_with_fallback sets do_sample = t > 0 and forces
+    # num_beams = 1 when sampling — the combination the reference exposes by
+    # passing num_beams straight into sequential generate,
+    # training/run_eval.py:690-718).
+    num_beams: int = 1
+    length_penalty: float = 1.0
 
 
 def compression_ratio(text: str) -> float:
@@ -98,6 +106,21 @@ class SequentialTranscriber:
             self._jit_cache[do_sample] = jax.jit(fn)
         return self._jit_cache[do_sample]
 
+    def _beam_fn(self):
+        """Beam program for the temperature-0 rung (opts.num_beams > 1)."""
+        if "beam" not in self._jit_cache:
+            gen_opts = self._gen_opts[False]
+            sot_slot = self.prompt_len - len(self.base_prompt)
+            k, lp = self.opts.num_beams, self.opts.length_penalty
+
+            def fn(params, mel, prompts, pad_len):
+                return encode_and_beam_search(
+                    params, self.cfg, mel, prompts, gen_opts, num_beams=k,
+                    length_penalty=lp, sot_slot=sot_slot, pad_len=pad_len,
+                    dtype=self.dtype)
+            self._jit_cache["beam"] = jax.jit(fn)
+        return self._jit_cache["beam"]
+
     # ------------------------------------------------------------------
     def _build_prompt(self, prev_tokens: List[int]) -> Tuple[List[int], int]:
         """(fixed-length prompt, pad_len) with prev context left-padded."""
@@ -120,10 +143,18 @@ class SequentialTranscriber:
             prompts = np.concatenate([prompts,
                                       np.tile(prompts[:1], (bsz - n, 1))])
             pads = np.concatenate([pads, np.tile(pads[:1], bsz - n)])
-        fn = self._fn(do_sample=temperature > 0)
-        out = fn(self.params, jnp.asarray(mels, self.dtype),
-                 jnp.asarray(prompts, jnp.int32), jnp.asarray(pads, jnp.int32),
-                 float(temperature), rng)
+        if temperature == 0 and self.opts.num_beams > 1:
+            # beam at the t=0 rung only; fallback rungs sample with 1 beam
+            # (HF generate_with_fallback semantics)
+            out = self._beam_fn()(self.params, jnp.asarray(mels, self.dtype),
+                                  jnp.asarray(prompts, jnp.int32),
+                                  jnp.asarray(pads, jnp.int32))
+        else:
+            fn = self._fn(do_sample=temperature > 0)
+            out = fn(self.params, jnp.asarray(mels, self.dtype),
+                     jnp.asarray(prompts, jnp.int32),
+                     jnp.asarray(pads, jnp.int32),
+                     float(temperature), rng)
         return {
             "sequences": np.asarray(out.sequences)[:n],
             "seq_len": np.asarray(out.seq_len)[:n],

@@ -96,6 +96,42 @@ class WhisperPipeline:
             self._generate_cache[key] = jax.jit(fn)
         return self._generate_cache[key]
 
+    def _jitted_beam_with_weights(self, opts: GenerationOptions,
+                                  num_beams: int, length_penalty: float):
+        """Beam search + alignment-head cross-attention weights for the
+        WINNING hypothesis (word timestamps x beam).
+
+        Cross-attention rows depend only on the decoder hidden state at their
+        own position, and that state depends only on the token prefix — so a
+        teacher-forced pass over the winning beam reproduces exactly the
+        weights beam search saw along that hypothesis path (HF instead
+        gathers per-beam cross-attentions step by step,
+        generation_whisper.py::_extract_token_timestamps; same result).
+        Encoder + cross-KV are shared between the search and the alignment
+        pass, so the combination costs one extra decoder-only pass."""
+        key = ("_beam_wts", opts, num_beams, length_penalty)
+        if key not in self._generate_cache:
+            from .generation.beam import beam_search
+            from .generation.word_timestamps import selected_cross_weights
+            from .models.whisper import cross_kv
+            heads = self._alignment_heads()
+
+            def fn(params, mel, prompts, temperature, rng):
+                # temperature/rng unused: beam is deterministic (HF semantics)
+                enc = encode(params["encoder"], self.cfg, mel,
+                             dtype=self.dtype)
+                cross = cross_kv(params["decoder"], self.cfg, enc)
+                out = beam_search(params["decoder"], self.cfg, cross,
+                                  prompts, opts, num_beams=num_beams,
+                                  length_penalty=length_penalty,
+                                  dtype=self.dtype)
+                sel = selected_cross_weights(
+                    params["decoder"], self.cfg, out.sequences[:, :-1],
+                    heads, cross=cross, dtype=self.dtype)
+                return out, sel
+            self._generate_cache[key] = jax.jit(fn)
+        return self._generate_cache[key]
+
     def _alignment_heads(self):
         if not hasattr(self, "_align_heads_cache"):
             from .generation.word_timestamps import (default_alignment_heads,
@@ -231,9 +267,9 @@ class WhisperPipeline:
             no_speech_token_id=tok.no_speech,
             **gen_kwargs)
         if num_beams > 1 and word_timestamps:
-            raise NotImplementedError(
-                "word timestamps + beam search not supported together yet")
-        if num_beams > 1:
+            fn = self._jitted_beam_with_weights(opts, num_beams,
+                                                length_penalty)
+        elif num_beams > 1:
             fn = self._jitted_beam(opts, num_beams, length_penalty)
         elif word_timestamps:
             fn = self._jitted_generate_with_weights(opts, len(prompt))

@@ -119,3 +119,28 @@ def test_pipeline_word_timestamps(tmp_path):
     starts = [w["timestamp"][0] for w in out["chunks"]]
     assert starts == sorted(starts)
     assert out["text"] == "".join(w["text"] for w in out["chunks"]).strip()
+
+
+def test_pipeline_word_timestamps_with_beam(tmp_path):
+    """word timestamps x beam (closes the former NotImplementedError): the
+    alignment pass runs teacher-forced over the winning beam hypothesis and
+    yields the same well-formed word spans contract as greedy."""
+    import jax.numpy as jnp
+    from tests.helpers import make_tiny_checkpoint
+    from distil_whisper_tpu.pipeline import WhisperPipeline
+
+    ck = make_tiny_checkpoint(tmp_path / "ck")
+    pipe = WhisperPipeline(ck, dtype=jnp.float32, batch_size=8,
+                           max_new_tokens=12)
+    t = np.arange(int(40.0 * 16000)) / 16000.0
+    audio = (0.2 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    out = pipe(audio, chunk_length_s=30.0, return_timestamps="word",
+               language="en", generate_kwargs={"num_beams": 2})
+    assert "chunks" in out
+    for w in out["chunks"]:
+        s, e = w["timestamp"]
+        assert 0.0 <= s <= e <= 40.01
+        assert isinstance(w["text"], str)
+    starts = [w["timestamp"][0] for w in out["chunks"]]
+    assert starts == sorted(starts)
+    assert out["text"] == "".join(w["text"] for w in out["chunks"]).strip()
