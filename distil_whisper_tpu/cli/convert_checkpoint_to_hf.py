@@ -36,7 +36,7 @@ def main(argv=None):
     args = p.parse_args(argv)
     setup_logging()
     if args.distributed:
-        maybe_initialize_distributed()
+        maybe_initialize_distributed(force=True)
 
     params, cfg = load_params(args.base_checkpoint)
     opt_cfg = OptimizerConfig(total_steps=1, precision="full")

@@ -112,12 +112,22 @@ def parse_args(argv=None):
     p.add_argument("--save_steps", type=int, default=500)
     p.add_argument("--save_total_limit", type=int, default=1)
     p.add_argument("--logging_steps", type=int, default=25)
+    p.add_argument("--report_to", default="jsonl",
+                   help="comma list of metrics sinks: jsonl (default), "
+                        "tensorboard (event files when importable), wandb "
+                        "(env-gated via WANDB_PROJECT) — mirrors the "
+                        "reference's --report_to "
+                        "(flax/run_distillation.py:764-816)")
+    p.add_argument("--tensorboard_dir", default=None,
+                   help="TB event-file dir (default <output_dir>/tb)")
     p.add_argument("--profile_steps", type=int, default=0,
                    help="capture a jax.profiler trace of this many steps "
                         "(starting 2 steps after the first, past compile); "
                         "view with tensorboard/xprof")
     p.add_argument("--profile_dir", default=None,
                    help="trace output dir (default <output_dir>/trace)")
+    p.add_argument("--distributed", action="store_true",
+                   help="fail fast unless jax.distributed comes up multi-process (use on pods/orchestrators where auto-detection is unreliable)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--model_parallel", type=int, default=1)
     p.add_argument("--resume_from_checkpoint", action="store_true")
@@ -176,7 +186,7 @@ def _prepare_samples(ds, tok, cfg, args, normalizer, rng):
 def main(argv=None):
     args = parse_args(argv)
     setup_logging()
-    maybe_initialize_distributed()
+    maybe_initialize_distributed(force=args.distributed)
     rng = np.random.default_rng(args.seed)
 
     teacher, teacher_cfg = load_params(args.teacher_checkpoint)
@@ -375,7 +385,11 @@ def main(argv=None):
     # JSONL scalar sink + per-eval prediction tables — the reference's W&B
     # scalars and prediction tables (training/run_distillation.py:501-537)
     # without a network dependency.
-    metrics_log = MetricsLogger(str(Path(args.output_dir) / "metrics.jsonl"))
+    metrics_log = MetricsLogger(
+        str(Path(args.output_dir) / "metrics.jsonl"),
+        report_to=tuple(s.strip() for s in args.report_to.split(",")),
+        tensorboard_dir=args.tensorboard_dir,
+        run_name=Path(args.output_dir).name)
 
     def next_batch():
         nonlocal order, cursor

@@ -90,6 +90,8 @@ def parse_args(argv=None):
     p.add_argument("--precise_tok_per_s", action="store_true",
                    help="fixed-token benchmark on dummy encoder outputs "
                         "(decouples tokens/s from WER)")
+    p.add_argument("--distributed", action="store_true",
+                   help="fail fast unless jax.distributed comes up multi-process (use on pods/orchestrators where auto-detection is unreliable)")
     from .common import parse_args_with_json
     return parse_args_with_json(p, argv)
 
@@ -111,7 +113,7 @@ def seq_options_from_args(args) -> SequentialOptions:
 def main(argv=None):
     args = parse_args(argv)
     setup_logging()
-    maybe_initialize_distributed()
+    maybe_initialize_distributed(force=args.distributed)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
     params, cfg = load_params(args.model_checkpoint, dtype=dtype)

@@ -56,17 +56,22 @@ def main(argv=None):
     p.add_argument("--save_steps", type=int, default=500)
     p.add_argument("--save_total_limit", type=int, default=1)
     p.add_argument("--logging_steps", type=int, default=25)
+    p.add_argument("--report_to", default="jsonl",
+                   help="comma list of metrics sinks: jsonl / tensorboard / "
+                        "wandb (see run_distillation --report_to)")
     p.add_argument("--profile_steps", type=int, default=0,
                    help="capture a jax.profiler trace of this many steps "
                         "(starting 2 steps in, past compile)")
     p.add_argument("--profile_dir", default=None,
                    help="trace output dir (default <output_dir>/trace)")
+    p.add_argument("--distributed", action="store_true",
+                   help="fail fast unless jax.distributed comes up multi-process (use on pods/orchestrators where auto-detection is unreliable)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--model_parallel", type=int, default=1)
     p.add_argument("--param_sharding", default="1d", choices=["1d", "2d"])
     args = p.parse_args(argv)
     setup_logging()
-    maybe_initialize_distributed()
+    maybe_initialize_distributed(force=args.distributed)
     rng = np.random.default_rng(args.seed)
 
     params, cfg = load_params(args.model_checkpoint)
@@ -120,7 +125,10 @@ def main(argv=None):
         samples = samples[process_local_slice(len(samples))]
     local_bsz = max(
         args.per_device_train_batch_size * mesh.shape["data"] // n_proc, 1)
-    metrics_log = MetricsLogger(str(Path(args.output_dir) / "metrics.jsonl"))
+    metrics_log = MetricsLogger(
+        str(Path(args.output_dir) / "metrics.jsonl"),
+        report_to=tuple(s.strip() for s in args.report_to.split(",")),
+        run_name=Path(args.output_dir).name)
     order = rng.permutation(len(samples))
     cursor = 0
     t0 = time.perf_counter()

@@ -79,9 +79,19 @@ def main(argv=None):
     p.add_argument("--quantize_self_kv", action="store_true",
                    help="int8 decoder self-attention cache (validate WER "
                         "first)")
+    p.add_argument("--distributed", action="store_true",
+                   help="fail fast unless jax.distributed comes up multi-process (use on pods/orchestrators where auto-detection is unreliable)")
+    p.add_argument("--featurizer_workers", type=int, default=0,
+                   help="N subprocess featurizer workers (audio load + 30 s "
+                        "packing + int16 conversion escape the GIL; the "
+                        "dataset is contiguously sharded per worker, so "
+                        "condition-on-prev chains break only at worker "
+                        "boundaries — the reference dataloader num_workers "
+                        "role, run_pseudo_labelling.py:751-790).  0 = "
+                        "in-process producer thread")
     args = p.parse_args(argv)
     setup_logging()
-    maybe_initialize_distributed()
+    maybe_initialize_distributed(force=args.distributed)
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     params, cfg = load_params(args.model_checkpoint, dtype=dtype)
@@ -204,6 +214,30 @@ def main(argv=None):
     from ..training.data_stream import Prefetcher
 
     def make_feature_batches():
+        if args.featurizer_workers > 0:
+            # N subprocess featurizers produce int16 batches; this (producer-
+            # thread) side keeps only the device work: upload + mel.
+            from ..training.pl_workers import worker_feature_batches
+            spec = dict(dataset_path=args.dataset_path, split=args.split,
+                        audio_col=args.audio_column_name,
+                        text_col=args.text_column_name,
+                        speaker_col=args.speaker_id_column_name,
+                        concatenate=args.concatenate_audio,
+                        sampling_rate=cfg.sampling_rate,
+                        n_samples=cfg.n_samples, local_bsz=local_bsz,
+                        host_shard=(jax.process_index(), n_proc))
+            for item in worker_feature_batches(spec, args.featurizer_workers):
+                group = [{
+                    # int16 round-trips 16-bit-source audio bit-exactly
+                    "audio": (item["wav16"][j, :item["lens"][j]]
+                              .astype(np.float32) / 32768.0),
+                    "text": item["texts"][j],
+                    "condition_on_prev": item["cond"][j],
+                    "worker": item["worker"],
+                } for j in range(item["n"])]
+                dev = jnp.asarray(item["wav16"]).astype(jnp.float32) / 32768.0
+                yield group, compute_mel(dev, cfg).astype(dtype)
+            return
         group = []
         for s in sample_iter:
             group.append(s)
@@ -236,7 +270,10 @@ def main(argv=None):
     n_samples = 0
     audio_seconds = 0.0
     gen_seconds = 0.0
-    prev_ids = None  # previous row's generated ids (crosses batches)
+    # previous row's generated ids, keyed by featurizer-worker stream (rows
+    # from different worker shards interleave batch-to-batch; each worker's
+    # own rows stay in order, so the condition-on-prev chain is per stream)
+    prev_ids: dict = {}
 
     last_consume_end = {"t": None}
     rated_audio_s = 0.0   # audio counted toward the steady-state rate
@@ -259,8 +296,9 @@ def main(argv=None):
             transcript = tok.decode(ids, skip_special_tokens=False,
                                     decode_with_timestamps=True)
             s = group[j]
-            prev = (prev_prompt_from_output(tok, prev_ids)
-                    if s.get("condition_on_prev") and prev_ids is not None
+            wid = s.get("worker", 0)
+            prev = (prev_prompt_from_output(tok, prev_ids[wid])
+                    if s.get("condition_on_prev") and wid in prev_ids
                     else None)
             writer.write({
                 "audio": {"array": s["audio"],
@@ -271,7 +309,7 @@ def main(argv=None):
             })
             csv_w.writerow([n_samples, transcript, s["text"]])
             n_samples += 1
-            prev_ids = ids
+            prev_ids[wid] = ids
             if args.compute_wer and s["text"]:
                 r = normalizer(s["text"])
                 h = normalizer(tok.decode(tok.encode_transcript(transcript)))

@@ -18,29 +18,55 @@ import numpy as np
 
 def maybe_initialize_distributed(coordinator_address: Optional[str] = None,
                                  num_processes: Optional[int] = None,
-                                 process_id: Optional[int] = None) -> bool:
+                                 process_id: Optional[int] = None,
+                                 force: bool = False) -> bool:
     """Initialise jax.distributed when running multi-process (idempotent).
 
-    On TPU pods the arguments are auto-detected from the metadata server; on
-    other setups pass them or set JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES
-    / JAX_PROCESS_ID.
+    On classic TPU pod VMs the pod is detected via TPU_WORKER_HOSTNAMES; on
+    other orchestrators (GKE, slurm, ...) that variable is absent, so pass
+    the arguments, set JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID, or pass ``force=True`` (the CLIs' ``--distributed``):
+    with ``force`` the function always attempts initialisation (letting
+    ``jax.distributed`` auto-detect the cluster) and RAISES if the job comes
+    up single-process — a misconfigured pod fails fast instead of silently
+    training on one host.
     """
+    import logging
+    log = logging.getLogger("distil_whisper_tpu")
     if jax.process_count() > 1:
         return True  # already initialised
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS")
     explicit = coordinator_address is not None
     in_tpu_pod = os.environ.get("TPU_WORKER_HOSTNAMES", "").count(",") > 0
-    if not (explicit or in_tpu_pod):
+    if not (explicit or in_tpu_pod or force):
         return False
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes or _int_env("JAX_NUM_PROCESSES"),
             process_id=process_id or _int_env("JAX_PROCESS_ID"))
-        return True
-    except (RuntimeError, ValueError):
-        return jax.process_count() > 1
+    except (RuntimeError, ValueError) as e:
+        if jax.process_count() > 1:
+            return True
+        if force:
+            raise RuntimeError(
+                "--distributed was set but jax.distributed failed to "
+                f"initialize ({e}); set JAX_COORDINATOR_ADDRESS / "
+                "JAX_NUM_PROCESSES / JAX_PROCESS_ID (or run on a TPU pod "
+                "with auto-detection)") from e
+        log.warning("jax.distributed initialisation failed (%s); "
+                    "continuing single-process", e)
+        return False
+    if force and jax.process_count() <= 1:
+        raise RuntimeError(
+            "--distributed was set but the job initialised with "
+            "process_count=1 — the cluster env is not visible to this "
+            "process (misconfigured pod/orchestrator)")
+    log.info("jax.distributed initialised: process %d/%d, %d local + %d "
+             "global devices", jax.process_index(), jax.process_count(),
+             len(jax.local_devices()), len(jax.devices()))
+    return True
 
 
 def _int_env(name: str) -> Optional[int]:

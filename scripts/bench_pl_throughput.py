@@ -35,6 +35,9 @@ def main():
     tokens = int(os.environ.get("PL_TOKENS", "256"))
     hours = float(os.environ.get("PL_HOURS", "2.0"))
     quant = os.environ.get("PL_QUANT") == "1"
+    quant_enc = os.environ.get("PL_QUANT_ENC") == "1"
+    quant_self = os.environ.get("PL_QUANT_SELF") == "1"
+    workers = int(os.environ.get("PL_WORKERS", "0"))
 
     root = Path(os.environ.get("PL_ROOT", "/tmp/plbench_shared"))
     root.mkdir(parents=True, exist_ok=True)
@@ -94,6 +97,12 @@ def main():
                "--logging_steps", "2"]
     if quant:
         pl_args.append("--quantize_cross_kv")
+    if quant_enc:
+        pl_args.append("--quantize_encoder")
+    if quant_self:
+        pl_args.append("--quantize_self_kv")
+    if workers:
+        pl_args += ["--featurizer_workers", str(workers)]
     pl_main(pl_args)
     wall = time.perf_counter() - t0
 
@@ -103,6 +112,8 @@ def main():
     audio_h = n * 28 / 3600
     print(json.dumps({
         "pl_batch": batch, "pl_tokens": tokens, "int8_cross_kv": quant,
+        "int8_encoder": quant_enc, "int8_self_kv": quant_self,
+        "featurizer_workers": workers,
         "audio_hours": round(audio_h, 2),
         "wall_seconds_incl_compile": round(wall, 1),
         "audio_hours_per_hour_generate": round(gen_rtfx, 1),

