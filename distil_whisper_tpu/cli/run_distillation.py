@@ -111,6 +111,9 @@ def parse_args(argv=None):
     p.add_argument("--eval_steps", type=int, default=500)
     p.add_argument("--save_steps", type=int, default=500)
     p.add_argument("--save_total_limit", type=int, default=1)
+    p.add_argument("--save_best_total_limit", type=int, default=1,
+                   help="how many best-by-val-WER checkpoints to keep "
+                        "(reference run_distillation.py:714-726)")
     p.add_argument("--logging_steps", type=int, default=25)
     p.add_argument("--report_to", default="jsonl",
                    help="comma list of metrics sinks: jsonl (default), "
@@ -246,7 +249,8 @@ def main(argv=None):
         return (st if jax.process_count() > 1
                 else jax.device_get(st))
     mgr = CheckpointManager(args.output_dir,
-                            save_total_limit=args.save_total_limit)
+                            save_total_limit=args.save_total_limit,
+                            best_total_limit=args.save_best_total_limit)
     start_step = 0
     if args.resume_from_checkpoint:
         resumed = mgr.resume_latest(ckpt_view(state))

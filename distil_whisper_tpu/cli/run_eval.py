@@ -90,6 +90,10 @@ def parse_args(argv=None):
     p.add_argument("--precise_tok_per_s", action="store_true",
                    help="fixed-token benchmark on dummy encoder outputs "
                         "(decouples tokens/s from WER)")
+    p.add_argument("--prompt_text", default=None,
+                   help="condition generation on this text via "
+                        "<|startofprev|> prompt ids (reference "
+                        "run_eval.py:709-710 / HF get_prompt_ids)")
     p.add_argument("--distributed", action="store_true",
                    help="fail fast unless jax.distributed comes up multi-process (use on pods/orchestrators where auto-detection is unreliable)")
     from .common import parse_args_with_json
@@ -206,6 +210,12 @@ def main(argv=None):
     if args.mode == "short":
         prompt = tok.prompt_ids(language=args.language, task=args.task,
                                 no_timestamps=not args.return_timestamps)
+        if args.prompt_text:
+            # HF get_prompt_ids layout: <|startofprev|> + " "+text tokens,
+            # prefixed to the task prompt (reference run_eval.py:709-710)
+            prompt = ([tok.sot_prev]
+                      + tok.encode(" " + args.prompt_text.strip())
+                      + list(prompt))
         opts = GenerationOptions.from_config(
             cfg, max_new_tokens=args.max_new_tokens,
             return_timestamps=args.return_timestamps,
@@ -247,6 +257,10 @@ def main(argv=None):
             prompt = tok.prompt_ids(
                 language=next(iter(tok.lang_to_id)), task=args.task,
                 no_timestamps=not args.return_timestamps)
+            if args.prompt_text:
+                prompt = ([tok.sot_prev]
+                          + tok.encode(" " + args.prompt_text.strip())
+                          + list(prompt))
 
         for group in batched(list(zip(audios, texts)), args.batch_size):
             n = len(group)
@@ -260,10 +274,14 @@ def main(argv=None):
             if detect is not None:
                 logits = np.asarray(detect(params, mels))
                 best = lang_ids[np.argmax(logits[:, lang_ids], axis=-1)]
+                prefix = ([tok.sot_prev]
+                          + tok.encode(" " + args.prompt_text.strip())
+                          if args.prompt_text else [])
                 prompts = jnp.asarray(
-                    [tok.prompt_ids(language=tok.id_to_lang[int(i)],
-                                    task=args.task,
-                                    no_timestamps=not args.return_timestamps)
+                    [prefix
+                     + tok.prompt_ids(language=tok.id_to_lang[int(i)],
+                                      task=args.task,
+                                      no_timestamps=not args.return_timestamps)
                      for i in best], jnp.int32)
             else:
                 prompts = jnp.asarray([prompt] * args.batch_size, jnp.int32)
@@ -273,7 +291,10 @@ def main(argv=None):
             for j in range(n):
                 ids = seqs[j][:lens[j]].tolist()
                 n_tokens += max(len(ids) - len(prompt), 0)
-                hyps.append(tok.decode(ids))
+                # slice the prompt off before decoding: --prompt_text tokens
+                # are ordinary text tokens and must not leak into the
+                # hypothesis (decode skips specials, not prompt text)
+                hyps.append(tok.decode(ids[len(prompt):]))
 
     elif args.mode == "sequential":
         tr = SequentialTranscriber(
@@ -282,7 +303,14 @@ def main(argv=None):
             batch_size=args.batch_size, dtype=dtype)
         feats = [np.asarray(compute_mel(
             jnp.asarray(a), cfg, pad_to_chunk=False)[0]) for a in audios]
-        results = tr.transcribe(feats)
+        init_prompt = None
+        if args.prompt_text:
+            if not args.condition_on_prev:
+                raise SystemExit("--prompt_text in sequential mode requires "
+                                 "--condition_on_prev (the prompt layout "
+                                 "reserves the context budget only then)")
+            init_prompt = tok.encode(" " + args.prompt_text.strip())
+        results = tr.transcribe(feats, initial_prompt_tokens=init_prompt)
         for r in results:
             hyps.append(r["text"])
             n_tokens += sum(len(s["tokens"]) for s in r["segments"])

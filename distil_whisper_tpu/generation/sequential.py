@@ -214,20 +214,33 @@ class SequentialTranscriber:
 
     # ------------------------------------------------------------------
     def transcribe(self, features: Sequence[np.ndarray],
-                   rng: Optional[jax.Array] = None) -> List[Dict[str, Any]]:
+                   rng: Optional[jax.Array] = None,
+                   initial_prompt_tokens: Optional[List[int]] = None,
+                   ) -> List[Dict[str, Any]]:
         """features: per-sample full-length log-mel [n_mels, total_frames].
+
+        ``initial_prompt_tokens`` seeds the <|startofprev|> context of the
+        FIRST window (the reference's prompt_ids / openai-whisper
+        initial_prompt; requires ``condition_on_prev_tokens`` — the prompt
+        layout reserves the context budget only then).
 
         Returns per sample: {"text", "segments": [{start, end, text, tokens,
         temperature, avg_logprob, compression_ratio, no_speech_prob}]}.
         """
         opts = self.opts
+        if initial_prompt_tokens and not opts.condition_on_prev_tokens:
+            raise ValueError("initial_prompt_tokens requires "
+                             "condition_on_prev_tokens=True (the compiled "
+                             "prompt layout reserves context space only "
+                             "then)")
         if rng is None:
             rng = jax.random.PRNGKey(0)
         n = len(features)
         window = self.cfg.nb_max_frames  # 3000
         seeks = [0] * n
         totals = [f.shape[-1] for f in features]
-        prev_tokens: List[List[int]] = [[] for _ in range(n)]
+        prev_tokens: List[List[int]] = [
+            list(initial_prompt_tokens or []) for _ in range(n)]
         condition_flags = [opts.condition_on_prev_tokens] * n
         results: List[Dict[str, Any]] = [
             {"segments": [], "text": ""} for _ in range(n)]

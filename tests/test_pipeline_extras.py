@@ -85,3 +85,43 @@ def test_pipeline_beam_via_generate_kwargs(tmp_path):
     audio = (0.2 * np.sin(2 * np.pi * 300 * t)).astype(np.float32)
     out = pipe(audio, language="en", generate_kwargs={"num_beams": 2})
     assert isinstance(out["text"], str)
+
+
+def test_run_eval_prompt_text(tmp_path):
+    """--prompt_text conditions short-mode generation via <|startofprev|>
+    prompt ids and the prompt text never leaks into the hypotheses."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).parent))
+    from helpers import make_tiny_checkpoint, make_tone_dataset
+    from distil_whisper_tpu.cli.run_eval import main as eval_main
+
+    ck = tmp_path / "ck"
+    make_tiny_checkpoint(ck)
+    make_tone_dataset(tmp_path / "data", n=2)
+    res = eval_main([
+        "--model_checkpoint", str(ck), "--dataset_path",
+        str(tmp_path / "data"), "--mode", "short", "--language", "en",
+        "--batch_size", "2", "--max_new_tokens", "6", "--dtype", "float32",
+        "--prompt_text", "ZYQXW unlikely context",
+        "--output_json", str(tmp_path / "eval.json")])
+    assert "wer" in res
+    import json
+    preds = json.load(open(tmp_path / "eval.json"))
+    assert "ZYQXW" not in json.dumps(preds)
+
+
+def test_sequential_initial_prompt_requires_condition_on_prev():
+    from distil_whisper_tpu.generation.sequential import (
+        SequentialOptions, SequentialTranscriber)
+    from tests.test_longform import CFG as LCFG
+    from distil_whisper_tpu.models import init_params as ip
+    params = ip(LCFG, jax.random.PRNGKey(0))
+    tok = _real_layout_tokenizer()
+    tr = SequentialTranscriber(
+        params, LCFG, tok,
+        SequentialOptions(condition_on_prev_tokens=False, max_new_tokens=8),
+        batch_size=1)
+    feats = np.zeros((LCFG.num_mel_bins, 3100), np.float32)
+    with pytest.raises(ValueError):
+        tr.transcribe([feats], initial_prompt_tokens=[5, 6, 7])
