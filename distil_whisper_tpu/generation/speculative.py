@@ -51,12 +51,24 @@ def speculative_generate(
         draft_dec: Dict[str, Any], draft_cfg: WhisperConfig,
         teacher_cross: Dict[str, Any], draft_cross: Dict[str, Any],
         prompt_ids: jnp.ndarray, opts: GenerationOptions,
-        gamma: int = 5, dtype=jnp.float32) -> SpeculativeOutput:
+        gamma: int = 5, dtype=jnp.float32,
+        synthetic_acceptance: float = None,
+        synthetic_seed: int = 0) -> SpeculativeOutput:
     """Greedy speculative decoding, batch 1 (the reference's regime —
     'low batch sizes', README.md:425-427).
 
     ``opts.return_timestamps`` is not supported here: the timestamp FSM is
     sequential by construction and would serialise verification.
+
+    ``synthetic_acceptance`` (BENCHMARK-ONLY, default off): when set to
+    k in (0, 1], both models still execute their full per-step compute but
+    their token CHOICES are overridden by a position-keyed oracle — the
+    draft proposes the oracle token with probability k (else a wrong one),
+    the teacher always chooses the oracle token — so the accept rate per
+    drafted token is exactly k.  This turns the projected speedup-vs-
+    acceptance curve into an on-chip measurement without trained
+    checkpoints (zero-egress sandbox; reference measures ~2x at its real
+    acceptance rates, README.md:352-432).  Output tokens are synthetic.
     """
     assert prompt_ids.shape[0] == 1, "speculative decoding is batch-1"
     assert not opts.return_timestamps, "use plain generate for timestamps"
@@ -65,6 +77,13 @@ def speculative_generate(
     assert total <= min(teacher_cfg.max_target_positions,
                         draft_cfg.max_target_positions)
     eos = teacher_cfg.eos_token_id
+
+    def _oracle(pos):
+        # position-keyed pseudo-random token, kept far from eos/specials
+        # (Knuth multiplicative hash, folded into int32 range)
+        return (pos * jnp.int32(60493) % jnp.int32(997)) % 400 + 10
+
+    noise_key = jax.random.PRNGKey(synthetic_seed)
 
     prompt_ids = prompt_ids.astype(jnp.int32)
     # gamma+1 slack: the verify window may overhang the budget near the end —
@@ -85,6 +104,8 @@ def speculative_generate(
     first_scores = _process(t_logits[:, -1].astype(jnp.float32), 0,
                             teacher_cfg, opts, p)
     first_tok = jnp.argmax(first_scores, axis=-1).astype(jnp.int32)
+    if synthetic_acceptance is not None:
+        first_tok = jnp.full_like(first_tok, _oracle(p))
 
     tokens = jnp.full((b, total + slack), teacher_cfg.pad_token_id, jnp.int32)
     tokens = jax.lax.dynamic_update_slice(tokens, prompt_ids, (0, 0))
@@ -116,6 +137,15 @@ def speculative_generate(
             scores = _process(lg[:, -1].astype(jnp.float32), gen_idx,
                               draft_cfg, opts, p)
             nxt = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+            if synthetic_acceptance is not None:
+                # full compute above still ran; only the CHOICE is replaced
+                tok_pos = offset + 1
+                agree = jax.random.bernoulli(
+                    jax.random.fold_in(noise_key, tok_pos),
+                    synthetic_acceptance)
+                nxt = jnp.full_like(
+                    nxt, jnp.where(agree, _oracle(tok_pos),
+                                   _oracle(tok_pos) + 1))
             return (nxt, offset + 1, cache), nxt
 
         last_tok = jax.lax.dynamic_slice(s["tokens"], (0, cur - 1), (b, 1))[:, 0]
@@ -136,6 +166,11 @@ def speculative_generate(
                 _process(t_logits[:, i].astype(jnp.float32), gi,
                          teacher_cfg, opts, p), axis=-1)[0])
         t_choice = jnp.stack(cols).astype(jnp.int32)  # [gamma+1]
+        if synthetic_acceptance is not None:
+            # teacher always "chooses" the oracle token for its position
+            t_choice = _oracle(
+                cur + jax.lax.broadcasted_iota(jnp.int32, (gamma + 1,), 0)
+            ).astype(jnp.int32)
 
         matches = (drafts == t_choice[:gamma])
         n = jnp.sum(jnp.cumprod(matches.astype(jnp.int32)))  # accepted drafts

@@ -92,6 +92,36 @@ def main():
     print("speculative (random draft = worst-case acceptance):",
           res["speculative_ms"], "ms", flush=True)
 
+    # --- synthetic-acceptance sweep: the MEASURED speedup-vs-k curve ---
+    # (VERDICT r2 item 7: both models run their real compute; token choices
+    # are oracle-driven so the accept rate is exactly k.)
+    import functools
+
+    for k in (0.6, 0.8, 0.95):
+        @functools.partial(jax.jit, static_argnames=("accept",))
+        def spec_k(teacher_p, draft_p, mel, prompt, accept):
+            enc = encode(teacher_p["encoder"], t_cfg, mel, dtype=jnp.bfloat16)
+            t_cross = cross_kv(teacher_p["decoder"], t_cfg, enc)
+            d_cross = cross_kv(draft_p["decoder"], d_cfg, enc)
+            out = speculative_generate(teacher_p["decoder"], t_cfg,
+                                       draft_p["decoder"], d_cfg,
+                                       t_cross, d_cross, prompt, sopts,
+                                       gamma=gamma, dtype=jnp.bfloat16,
+                                       synthetic_acceptance=accept)
+            return out.seq_len, out.drafted, out.accepted
+
+        t_k = run(lambda: spec_k(teacher, draft, mel, prompt, k)[0])
+        _, drafted, accepted = (np.asarray(x) for x in
+                                spec_k(teacher, draft, mel, prompt, k))
+        res[f"speculative_ms_accept{int(k*100)}"] = round(t_k * 1e3, 1)
+        res[f"speedup_accept{int(k*100)}"] = round(t_alone / t_k, 2)
+        res[f"measured_accept_rate_{int(k*100)}"] = round(
+            float(accepted) / max(float(drafted), 1), 3)
+        print(f"acceptance {k:.0%}: {t_k*1e3:.1f} ms, "
+              f"speedup {t_alone/t_k:.2f}x "
+              f"(measured accept {res[f'measured_accept_rate_{int(k*100)}']})",
+              flush=True)
+
     print(json.dumps(res))
 
 

@@ -78,3 +78,57 @@ def test_speculative_jits(setup):
     prompt = jnp.asarray([[3]], jnp.int32)
     out = fn(teacher["decoder"], draft["decoder"], t_cross, d_cross, prompt)
     assert int(out.seq_len[0]) > 1
+
+
+def test_synthetic_acceptance_follows_prefix_law(setup):
+    """synthetic_acceptance=k drives the real accept/verify loop at a
+    controlled PER-TOKEN accept probability k.  Speculative acceptance is
+    prefix-structured (a round accepts the longest matching prefix), so the
+    accepted/drafted ratio must follow the geometric law
+    E[n]/gamma = sum_{i=1..gamma} k^i / gamma — and rounds must shrink
+    monotonically as k grows."""
+    teacher, draft, d_cfg, t_cross, d_cross = setup
+    opts = GenerationOptions(max_new_tokens=96)
+    prompt = jnp.asarray([[TEACHER_CFG.decoder_start_token_id]], jnp.int32)
+    gamma = 5
+    stats = {}
+    for k in (0.6, 0.8, 0.95):
+        out = speculative_generate(teacher["decoder"], TEACHER_CFG,
+                                   draft["decoder"], d_cfg, t_cross, d_cross,
+                                   prompt, opts, gamma=gamma,
+                                   synthetic_acceptance=k)
+        # the whole budget was emitted (oracle never hits EOS)
+        assert int(out.seq_len[0]) == 1 + 96
+        stats[k] = (float(out.drafted), float(out.accepted),
+                    float(out.rounds))
+        # exact host simulation of the same position-keyed bernoulli
+        # stream: the on-model loop must reproduce it round for round
+        key = jax.random.PRNGKey(0)
+
+        def agree(pos):
+            return bool(jax.random.bernoulli(jax.random.fold_in(key, pos),
+                                             k))
+        p, total = 1, 97
+        cur, drafted, accepted, rounds = p + 1, 0, 0, 0
+        while cur < total:
+            n = 0
+            for i in range(gamma):
+                if agree(cur + i):
+                    n += 1
+                else:
+                    break
+            drafted += gamma
+            accepted += n
+            rounds += 1
+            if cur + n + 1 >= total:
+                break
+            cur = cur + n + 1
+        assert stats[k] == (drafted, accepted, rounds), (k, stats[k],
+                                                         (drafted, accepted,
+                                                          rounds))
+        # and the asymptotic prefix law holds loosely
+        expected = sum(k ** i for i in range(1, gamma + 1)) / gamma
+        assert abs(accepted / drafted - expected) < 0.15
+    # higher acceptance -> fewer rounds / fewer drafted tokens for the
+    # same budget
+    assert stats[0.6][2] > stats[0.8][2] > stats[0.95][2], stats
