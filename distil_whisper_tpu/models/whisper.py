@@ -102,6 +102,12 @@ def attention_block(p: Params, x_q: jnp.ndarray, x_kv: jnp.ndarray,
 def mlp_block(fc1: Params, fc2: Params, x: jnp.ndarray,
               act_dropout: float = 0.0, rng=None,
               exact_gelu: bool = True) -> jnp.ndarray:
+    if "kernel_q" in fc1 and act_dropout == 0.0 and exact_gelu:
+        # fused int8 Pallas MLP: the gelu intermediate never touches HBM
+        # (ops/int8_mlp.py); falls back to dense_int8 off-TPU / odd shapes
+        from ..ops.int8_mlp import fused_int8_mlp, mlp_supported
+        if mlp_supported(fc1, x) and _flash_available():
+            return fused_int8_mlp(fc1, fc2, x)
     h = jax.nn.gelu(dense(fc1, x), approximate=not exact_gelu)
     h = dropout(h, act_dropout, rng)
     return dense(fc2, h)

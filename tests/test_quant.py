@@ -135,6 +135,40 @@ def test_quantized_self_cache_decode_parity(deep):
     assert _rel_err(deq_k[:, :, :4], cache_ex["k"][:, :, :4]) < 0.01
 
 
+def test_fused_int8_mlp_matches_unfused(monkeypatch=None):
+    """Pallas fused int8 MLP (interpret mode) vs the dense_int8 + gelu +
+    dense_int8 composition: same quantized weights, near-identical output
+    (per-(row,chunk) activation scales are finer, so only the activation
+    requantization differs)."""
+    from distil_whisper_tpu.models.whisper import mlp_block
+    from distil_whisper_tpu.ops.int8_mlp import fused_int8_mlp, mlp_supported
+
+    rng = np.random.default_rng(8)
+    d, f, m = 256, 1024, 40
+    fc1 = quantize_dense({
+        "kernel": jnp.asarray(rng.standard_normal((d, f)) * 0.05,
+                              jnp.float32),
+        "bias": jnp.asarray(rng.standard_normal(f) * 0.01, jnp.float32)})
+    fc2 = quantize_dense({
+        "kernel": jnp.asarray(rng.standard_normal((f, d)) * 0.05,
+                              jnp.float32),
+        "bias": jnp.asarray(rng.standard_normal(d) * 0.01, jnp.float32)})
+    x = jnp.asarray(rng.standard_normal((2, m // 2, d)), jnp.float32)
+    assert mlp_supported(fc1, x, chunk_f=512)
+
+    fused = fused_int8_mlp(fc1, fc2, x, chunk_f=512, interpret=True)
+    unfused = mlp_block(fc1, fc2, x)   # dense_int8 path off-TPU
+    assert fused.shape == x.shape
+    assert _rel_err(fused, unfused) < 0.02
+    # and both near the exact fp32 MLP
+    fc1_e = {"kernel": fc1["kernel_q"].astype(jnp.float32)
+             * fc1["kernel_scale"], "bias": fc1["bias"]}
+    fc2_e = {"kernel": fc2["kernel_q"].astype(jnp.float32)
+             * fc2["kernel_scale"], "bias": fc2["bias"]}
+    exact = mlp_block(fc1_e, fc2_e, x)
+    assert _cos(fused, exact) > 0.999
+
+
 def test_fused_attention_int8_matches_einsum_int8():
     """The Pallas-path int8 projections (interpret mode on CPU) must agree
     with the einsum-path int8 projections (same quantization, same math)."""
