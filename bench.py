@@ -73,7 +73,8 @@ def _time_once(fn, iters):
     return (time.perf_counter() - t0) / iters
 
 
-def _build_ours(preset, batch, max_new, forced_eos_at=None, int8=False):
+def _build_ours(preset, batch, max_new, forced_eos_at=None, int8=False,
+                int8_kv=False):
     """-> zero-arg callable running one generate; compiled+warm on return."""
     import jax
     import jax.numpy as jnp
@@ -84,7 +85,9 @@ def _build_ours(preset, batch, max_new, forced_eos_at=None, int8=False):
 
     cfg = PRESETS[preset].replace(fast_bf16_attention=True,
                                   use_flash_encoder=True,
-                                  quantize_encoder=int8)
+                                  quantize_encoder=int8,
+                                  quantize_cross_kv=int8_kv,
+                                  quantize_self_kv=int8_kv)
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     params = maybe_quantize_encoder(params, cfg)
     if forced_eos_at is not None:
@@ -202,6 +205,16 @@ def main():
     t_times = [_time_once(t_fn, 1) for _ in range(max(rounds - 2, 3))]
     teacher_rtfx = float(np.median([audio_s / t for t in t_times]))
     del t_fn
+    try:
+        # the full int8 teacher (encoder + self/cross KV) — the PL config
+        t8 = _build_ours("large-v3", batch, long_budget, int8=True,
+                         int8_kv=True)
+        t8_times = [_time_once(t8, 1) for _ in range(3)]
+        extra["teacher_int8_rtfx"] = round(
+            float(np.median([audio_s / t for t in t8_times])), 2)
+        del t8
+    except Exception as e:  # noqa: BLE001
+        extra["teacher_int8_error"] = str(e)[:200]
     ratio = value / teacher_rtfx
     extra.update({
         "teacher_rtfx": round(teacher_rtfx, 2),

@@ -83,6 +83,18 @@ def speculative_generate(
         # (Knuth multiplicative hash, folded into int32 range)
         return (pos * jnp.int32(60493) % jnp.int32(997)) % 400 + 10
 
+    def _bias_to(scores, target_tok):
+        """Force argmax(scores) == target_tok WITHOUT severing the data
+        dependence on the computed logits: overriding the token choice
+        directly would make every model forward pass dead code, and XLA
+        would eliminate the whole thing (docs/PERFORMANCE.md measurement
+        rule 3 — an early draft of this mode 'ran' 256 tokens in 27 ms).
+        Clamp + scale keeps |scores| <= 1e-4, the +1e6 one-hot dominates."""
+        v = scores.shape[-1]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (v,), 0)
+        bias = jnp.where(iota == target_tok, 1e6, 0.0)
+        return jnp.maximum(scores, -1e5) * 1e-9 + bias
+
     noise_key = jax.random.PRNGKey(synthetic_seed)
 
     prompt_ids = prompt_ids.astype(jnp.int32)
@@ -103,9 +115,9 @@ def speculative_generate(
     # First token comes straight from the teacher (position p).
     first_scores = _process(t_logits[:, -1].astype(jnp.float32), 0,
                             teacher_cfg, opts, p)
-    first_tok = jnp.argmax(first_scores, axis=-1).astype(jnp.int32)
     if synthetic_acceptance is not None:
-        first_tok = jnp.full_like(first_tok, _oracle(p))
+        first_scores = _bias_to(first_scores, _oracle(p))
+    first_tok = jnp.argmax(first_scores, axis=-1).astype(jnp.int32)
 
     tokens = jnp.full((b, total + slack), teacher_cfg.pad_token_id, jnp.int32)
     tokens = jax.lax.dynamic_update_slice(tokens, prompt_ids, (0, 0))
@@ -136,16 +148,15 @@ def speculative_generate(
             gen_idx = offset + 1 - p
             scores = _process(lg[:, -1].astype(jnp.float32), gen_idx,
                               draft_cfg, opts, p)
-            nxt = jnp.argmax(scores, axis=-1).astype(jnp.int32)
             if synthetic_acceptance is not None:
-                # full compute above still ran; only the CHOICE is replaced
                 tok_pos = offset + 1
                 agree = jax.random.bernoulli(
                     jax.random.fold_in(noise_key, tok_pos),
                     synthetic_acceptance)
-                nxt = jnp.full_like(
-                    nxt, jnp.where(agree, _oracle(tok_pos),
-                                   _oracle(tok_pos) + 1))
+                target = jnp.where(agree, _oracle(tok_pos),
+                                   _oracle(tok_pos) + 1)
+                scores = _bias_to(scores, target)
+            nxt = jnp.argmax(scores, axis=-1).astype(jnp.int32)
             return (nxt, offset + 1, cache), nxt
 
         last_tok = jax.lax.dynamic_slice(s["tokens"], (0, cur - 1), (b, 1))[:, 0]
@@ -162,15 +173,13 @@ def speculative_generate(
         cols = []
         for i in range(gamma + 1):
             gi = cur + i - p
-            cols.append(jnp.argmax(
-                _process(t_logits[:, i].astype(jnp.float32), gi,
-                         teacher_cfg, opts, p), axis=-1)[0])
+            sc = _process(t_logits[:, i].astype(jnp.float32), gi,
+                          teacher_cfg, opts, p)
+            if synthetic_acceptance is not None:
+                # teacher always "chooses" the oracle token for its position
+                sc = _bias_to(sc, _oracle(cur + i))
+            cols.append(jnp.argmax(sc, axis=-1)[0])
         t_choice = jnp.stack(cols).astype(jnp.int32)  # [gamma+1]
-        if synthetic_acceptance is not None:
-            # teacher always "chooses" the oracle token for its position
-            t_choice = _oracle(
-                cur + jax.lax.broadcasted_iota(jnp.int32, (gamma + 1,), 0)
-            ).astype(jnp.int32)
 
         matches = (drafts == t_choice[:gamma])
         n = jnp.sum(jnp.cumprod(matches.astype(jnp.int32)))  # accepted drafts
