@@ -324,10 +324,11 @@ def main(argv=None):
                                max_new_tokens=args.max_new_tokens,
                                params=params, cfg=cfg, tokenizer=tok,
                                mesh=mesh)
+        gk = {"num_beams": args.num_beams} if args.num_beams > 1 else None
         for a in audios:
             out = pipe(a, chunk_length_s=args.chunk_length_s,
                        language=args.language, task=args.task,
-                       return_timestamps=True)
+                       return_timestamps=True, generate_kwargs=gk)
             hyps.append(out["text"])
 
     elif args.mode == "speculative":
