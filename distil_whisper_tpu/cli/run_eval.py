@@ -84,6 +84,9 @@ def parse_args(argv=None):
     p.add_argument("--quantize_encoder", action="store_true",
                    help="W8A8 int8 encoder matmuls (int8 MXU path, ~2x bf16 "
                         "peak on v5e; validate WER first)")
+    p.add_argument("--quantize_decoder", action="store_true",
+                   help="W8A8 int8 decoder projections (halves the weight-"
+                        "read floor of low-batch decode; validate WER first)")
     p.add_argument("--quantize_self_kv", action="store_true",
                    help="int8 decoder self-attention cache (validate WER "
                         "first)")
@@ -129,6 +132,8 @@ def main(argv=None):
         cfg = cfg.replace(quantize_self_kv=True)
     if args.quantize_encoder:
         cfg = cfg.replace(quantize_encoder=True)
+    if args.quantize_decoder:
+        cfg = cfg.replace(quantize_decoder=True)
     tok = WhisperTokenizer.from_pretrained(args.model_checkpoint)
     # Evaluation is embarrassingly parallel across hosts: each process runs
     # an independent mesh over its own devices on its slice of the dataset

@@ -76,6 +76,8 @@ def main(argv=None):
     p.add_argument("--quantize_encoder", action="store_true",
                    help="W8A8 int8 encoder matmuls (int8 MXU path; validate "
                         "WER first)")
+    p.add_argument("--quantize_decoder", action="store_true",
+                   help="W8A8 int8 decoder projections (validate WER first)")
     p.add_argument("--quantize_self_kv", action="store_true",
                    help="int8 decoder self-attention cache (validate WER "
                         "first)")
@@ -103,6 +105,8 @@ def main(argv=None):
         cfg = cfg.replace(quantize_self_kv=True)
     if args.quantize_encoder:
         cfg = cfg.replace(quantize_encoder=True)
+    if args.quantize_decoder:
+        cfg = cfg.replace(quantize_decoder=True)
     tok = WhisperTokenizer.from_pretrained(args.model_checkpoint)
     # Labelling is embarrassingly parallel across hosts: each process runs an
     # INDEPENDENT mesh over its own devices and labels its contiguous dataset

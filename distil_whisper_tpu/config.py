@@ -61,6 +61,10 @@ class WhisperConfig:
     # (~2x bf16 peak on v5e).  Drivers apply ops.quant.quantize_encoder_params
     # to the loaded weights when this is set.  Validate WER before enabling.
     quantize_encoder: bool = False
+    # OPT-IN W8A8 int8 decoder projections/MLP: low-batch decode is
+    # weight-read bound, so int8 weights nearly halve the per-token floor
+    # (the bs1-4 serving/speculative regime).  Validate WER before enabling.
+    quantize_decoder: bool = False
 
     # --- special tokens (defaults = multilingual v2 layout) ---
     pad_token_id: int = 50257

@@ -163,7 +163,13 @@ def fused_int8_mlp(fc1, fc2, x, block_m: int = 512, chunk_f: int = 512,
 
 
 def mlp_supported(fc1, x, block_m: int = 512, chunk_f: int = 512) -> bool:
-    """Shape gate for the fused path (else callers use dense_int8)."""
+    """Shape gate for the fused path (else callers use dense_int8).
+
+    Requires >= 256 rows: below that (single-token decode steps) the work
+    is weight-read bound and XLA's dense_int8 composition already streams
+    the int8 weights at full rate — the fused kernel's VMEM blocking buys
+    nothing and its tuning targets encoder-scale row counts.
+    """
     if "kernel_q" not in fc1:
         return False
     d = x.shape[-1]
@@ -171,4 +177,4 @@ def mlp_supported(fc1, x, block_m: int = 512, chunk_f: int = 512) -> bool:
     m = 1
     for s in x.shape[:-1]:
         m *= s
-    return _supported(m, d, f, block_m, chunk_f)
+    return m >= 256 and _supported(m, d, f, block_m, chunk_f)

@@ -115,14 +115,41 @@ def quantize_encoder_params(enc: Params) -> Params:
     return out
 
 
+def quantize_decoder_params(dec: Params) -> Params:
+    """Decoder subtree -> int8 projection/MLP weights.
+
+    Low-batch decode is WEIGHT-read bound (large-v3 bs1: ~1.8 GB of bf16
+    weight reads per token dominate the 3.5 ms/token step), so int8 weights
+    nearly halve the per-token floor — the serving/speculative regime the
+    reference benchmarks at bs 1-4 (README.md:425-427).  Quantized: per-layer
+    self/cross-attention q/k/v/out and fc1/fc2.  Left untouched: tied
+    token embeddings (the logits matmul), positional embeddings, LayerNorms.
+    """
+    if "kernel_q" in dec["layers"]["fc1"]:
+        return dec  # already quantized (idempotent)
+    layers = dict(dec["layers"])
+    for attn in ("self_attn", "cross_attn"):
+        layers[attn] = {name: quantize_dense(layers[attn][name])
+                        for name in ("q", "k", "v", "out")}
+    for name in ("fc1", "fc2"):
+        layers[name] = quantize_dense(layers[name])
+    out = dict(dec)
+    out["layers"] = layers
+    return out
+
+
 def maybe_quantize_encoder(params: Params, cfg) -> Params:
-    """Full param tree -> tree with int8 encoder iff ``cfg.quantize_encoder``.
+    """Full param tree -> int8 encoder/decoder per the cfg flags.
 
     Drivers call this once after loading/sharding; the forward path picks up
     the quantized weights structurally (``kernel_q`` dispatch in
     ``models.whisper.dense`` / ``ops.encoder_attention.fused_self_attention``).
     """
-    if not getattr(cfg, "quantize_encoder", False):
-        return params
-    return {**params, "encoder": quantize_encoder_params(params["encoder"])}
+    if getattr(cfg, "quantize_encoder", False):
+        params = {**params,
+                  "encoder": quantize_encoder_params(params["encoder"])}
+    if getattr(cfg, "quantize_decoder", False):
+        params = {**params,
+                  "decoder": quantize_decoder_params(params["decoder"])}
+    return params
 

@@ -48,16 +48,29 @@ def main():
     B = int(os.environ.get("BENCH_BATCH", "1"))
     gamma = int(os.environ.get("GAMMA", "5"))
     max_new = int(os.environ.get("BENCH_TOKENS", "256"))
-    res = {"batch": B, "gamma": gamma, "tokens": max_new}
+    int8 = os.environ.get("SPEC_INT8") == "1"
+    res = {"batch": B, "gamma": gamma, "tokens": max_new, "int8": int8}
 
     t_cfg = PRESETS["large-v3"].replace(fast_bf16_attention=True,
-                                        use_flash_encoder=True)
+                                        use_flash_encoder=True,
+                                        quantize_encoder=int8,
+                                        quantize_decoder=int8,
+                                        quantize_self_kv=int8,
+                                        quantize_cross_kv=int8)
     d_cfg = PRESETS["distil-large-v3"].replace(fast_bf16_attention=True,
-                                               use_flash_encoder=True)
+                                               use_flash_encoder=True,
+                                               quantize_encoder=int8,
+                                               quantize_decoder=int8,
+                                               quantize_self_kv=int8,
+                                               quantize_cross_kv=int8)
     teacher = init_params(t_cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     draft = init_params(d_cfg, jax.random.PRNGKey(1), dtype=jnp.bfloat16)
     # the draft shares the teacher's encoder (reference speculative setup)
     draft["encoder"] = teacher["encoder"]
+    if int8:
+        from distil_whisper_tpu.ops.quant import maybe_quantize_encoder
+        teacher = maybe_quantize_encoder(teacher, t_cfg)
+        draft = maybe_quantize_encoder(draft, d_cfg)
 
     rng = np.random.default_rng(0)
     mel = jnp.asarray(rng.standard_normal((B, t_cfg.num_mel_bins, 3000)),

@@ -154,7 +154,10 @@ def test_fused_int8_mlp_matches_unfused(monkeypatch=None):
                               jnp.float32),
         "bias": jnp.asarray(rng.standard_normal(d) * 0.01, jnp.float32)})
     x = jnp.asarray(rng.standard_normal((2, m // 2, d)), jnp.float32)
-    assert mlp_supported(fc1, x, chunk_f=512)
+    # the automatic dispatch requires encoder-scale row counts (>=256);
+    # single-token decode rows stay on dense_int8
+    assert not mlp_supported(fc1, x, chunk_f=512)
+    assert mlp_supported(fc1, jnp.zeros((2, 200, d)), chunk_f=512)
 
     fused = fused_int8_mlp(fc1, fc2, x, chunk_f=512, interpret=True)
     unfused = mlp_block(fc1, fc2, x)   # dense_int8 path off-TPU
@@ -167,6 +170,44 @@ def test_fused_int8_mlp_matches_unfused(monkeypatch=None):
              * fc2["kernel_scale"], "bias": fc2["bias"]}
     exact = mlp_block(fc1_e, fc2_e, x)
     assert _cos(fused, exact) > 0.999
+
+
+def test_quantized_decoder_generate_parity():
+    """int8 decoder projections through the REAL cached generate loop:
+    greedy sequences must closely track the exact decoder on a tiny model
+    (autoregressive drift bounded), and the tree transform must leave
+    embeddings/LNs untouched."""
+    from distil_whisper_tpu.ops.quant import (quantize_decoder_params,
+                                              maybe_quantize_encoder)
+    from distil_whisper_tpu.generation import (GenerationOptions,
+                                               encode_and_generate)
+
+    cfg = PRESETS["test-tiny"].replace(max_target_positions=64)
+    params = init_params(cfg, jax.random.PRNGKey(3))
+    qdec = quantize_decoder_params(params["decoder"])
+    assert "kernel_q" in qdec["layers"]["self_attn"]["q"]
+    assert "kernel_q" in qdec["layers"]["cross_attn"]["out"]
+    assert "kernel" not in qdec["layers"]["fc2"]
+    assert qdec["tok_emb"] is params["decoder"]["tok_emb"]
+    assert quantize_decoder_params(qdec) is qdec  # idempotent
+    qtree = maybe_quantize_encoder(params,
+                                   cfg.replace(quantize_decoder=True))
+    assert "kernel_q" in qtree["decoder"]["layers"]["fc1"]
+    assert "kernel" in qtree["encoder"]["layers"]["fc1"]  # encoder untouched
+
+    rng = np.random.default_rng(10)
+    mel = jnp.asarray(rng.standard_normal((2, cfg.num_mel_bins, 3000)) * 0.5,
+                      jnp.float32)
+    prompts = jnp.full((2, 1), cfg.decoder_start_token_id, jnp.int32)
+    opts = GenerationOptions(max_new_tokens=12, min_new_tokens=12)
+    exact = encode_and_generate(params, cfg, mel, prompts, opts)
+    q = encode_and_generate(qtree, cfg, mel, prompts, opts)
+    ex_seq = np.asarray(exact.sequences)
+    q_seq = np.asarray(q.sequences)
+    # random tiny models have near-uniform logits, so exact token equality
+    # is not guaranteed — require the large majority of steps to agree
+    agree = (ex_seq == q_seq).mean()
+    assert agree >= 0.75, (agree, ex_seq, q_seq)
 
 
 def test_beam_search_with_quantized_self_cache():
