@@ -136,6 +136,17 @@ def parse_args(argv=None):
     p.add_argument("--resume_from_checkpoint", action="store_true")
     p.add_argument("--gradient_checkpointing", action="store_true")
     p.add_argument("--eval_max_new_tokens", type=int, default=128)
+    p.add_argument("--teacher_precision", default="train",
+                   choices=["train", "inference", "int8"],
+                   help="Numerics for the TEACHER side of the step, which is "
+                        "pure inference (frozen shared encoder + no-grad "
+                        "teacher decode): 'train' = the fp32-island training "
+                        "policy (default, exact); 'inference' = the validated "
+                        "bf16 fast-attention + fused-Pallas-encoder stack; "
+                        "'int8' = inference + W8A8 int8 teacher projections "
+                        "(ops/quant.py).  Student numerics are unaffected; "
+                        "distillation targets shift within the same bounds "
+                        "as the int8 inference stack (tests/test_quant.py)")
     p.add_argument("--loss_chunk_size", type=int, default=0,
                    help="chunked CE+KL: never materialise the [B,S,V] "
                         "student+teacher logits pair (~4 GB at bs16/seq256 "
@@ -206,6 +217,19 @@ def main(argv=None):
                 dict(mesh.shape), jax.process_count(), args.param_sharding)
     teacher = shard_params(teacher, param_axes(teacher_cfg), mesh, rules)
     student = shard_params(student, param_axes(student_cfg), mesh, rules)
+
+    if args.teacher_precision != "train":
+        # The teacher side of a distillation step is INFERENCE (frozen shared
+        # encoder + stop-gradient decode), so it can ride the same fast paths
+        # the serving stack uses; the student keeps exact training numerics.
+        teacher_cfg = teacher_cfg.replace(fast_bf16_attention=True,
+                                          use_flash_encoder=True)
+        if args.teacher_precision == "int8":
+            from ..ops.quant import (quantize_encoder_params,
+                                     quantize_decoder_params)
+            teacher = {**teacher,
+                       "encoder": quantize_encoder_params(teacher["encoder"]),
+                       "decoder": quantize_decoder_params(teacher["decoder"])}
 
     frozen = []
     if args.freeze_encoder:

@@ -2,7 +2,12 @@
 distil-large-v3 student (frozen shared encoder, half_mixed, remat).
 
 Reports steps/s and training audio-hours/hour (= bs * 30 s per step).
-Env: TRAIN_BS (default 8), TRAIN_SEQ (default 256).
+Env: TRAIN_BS (default 8), TRAIN_SEQ (default 256),
+TRAIN_TEACHER_PREC: comma-separated subset of {train, inference, int8}
+(default "train") — the --teacher_precision knob of cli/run_distillation.py:
+the teacher side of the step is pure inference, so it can ride the
+bf16-fast / int8 stack.  Multiple precisions are timed in ONE process so
+the comparison cancels run-to-run chip drift (docs/PERFORMANCE.md rule 1).
 """
 
 import json
@@ -12,7 +17,7 @@ import time
 import numpy as np
 
 
-def main():
+def time_prec(prec, bs, seq, chunk):
     import jax
     import jax.numpy as jnp
     from distil_whisper_tpu.config import PRESETS
@@ -21,14 +26,21 @@ def main():
         DistillConfig, OptimizerConfig, TrainState, build_train_step,
         init_student_from_teacher, make_optimizer)
 
-    bs = int(os.environ.get("TRAIN_BS", "8"))
-    seq = int(os.environ.get("TRAIN_SEQ", "256"))
-    chunk = int(os.environ.get("TRAIN_CHUNK", "0"))
-
     t_cfg = PRESETS["large-v3"]
     teacher = init_params(t_cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     student, s_cfg = init_student_from_teacher(teacher, t_cfg,
                                                decoder_layers=2)
+    if prec != "train":
+        # teacher-only fast paths; the student keeps exact training numerics
+        t_cfg = t_cfg.replace(fast_bf16_attention=True,
+                              use_flash_encoder=True)
+        if prec == "int8":
+            from distil_whisper_tpu.ops.quant import (
+                quantize_encoder_params, quantize_decoder_params)
+            teacher = {**teacher,
+                       "encoder": quantize_encoder_params(teacher["encoder"]),
+                       "decoder": quantize_decoder_params(teacher["decoder"])}
+            teacher = jax.tree.map(jnp.asarray, teacher)  # materialise once
     opt_cfg = OptimizerConfig(learning_rate=1e-4, warmup_steps=10,
                               total_steps=1000, precision="half_mixed",
                               frozen_prefixes=("encoder",))
@@ -55,7 +67,7 @@ def main():
     state, metrics = jit_step(state, teacher, batch)
     np.asarray(metrics["loss"])
     compile_s = time.perf_counter() - t0
-    print(f"compile+first step: {compile_s:.0f}s loss="
+    print(f"[{prec}] compile+first step: {compile_s:.0f}s loss="
           f"{float(metrics['loss']):.3f}", flush=True)
 
     iters = 5
@@ -64,13 +76,26 @@ def main():
         state, metrics = jit_step(state, teacher, batch)
         np.asarray(metrics["loss"])
     dt = (time.perf_counter() - t0) / iters
-    audio_per_hour = bs * 30.0 / dt            # audio-seconds per second
-    print(json.dumps({
-        "train_bs": bs, "label_seq": seq, "loss_chunk": chunk,
-        "steps_per_second": round(1 / dt, 3),
-        "step_ms": round(dt * 1e3, 1),
-        "train_audio_hours_per_hour": round(audio_per_hour, 1),
-    }))
+    print(f"[{prec}] {dt*1e3:.1f} ms/step", flush=True)
+    return dt
+
+
+def main():
+    bs = int(os.environ.get("TRAIN_BS", "8"))
+    seq = int(os.environ.get("TRAIN_SEQ", "256"))
+    chunk = int(os.environ.get("TRAIN_CHUNK", "0"))
+    precs = os.environ.get("TRAIN_TEACHER_PREC", "train").split(",")
+
+    out = {"train_bs": bs, "label_seq": seq, "loss_chunk": chunk,
+           "variants": {}}
+    for prec in precs:
+        dt = time_prec(prec, bs, seq, chunk)
+        out["variants"][prec] = {
+            "steps_per_second": round(1 / dt, 3),
+            "step_ms": round(dt * 1e3, 1),
+            "train_audio_s_per_s": round(bs * 30.0 / dt, 1),
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -327,7 +327,9 @@ def main():
         "`--distributed` (fail-fast pod init), `--profile_steps` "
         "(jax.profiler traces), `--featurizer_workers` (PL GIL escape), "
         "`--noise_snr_db` (noise eval in one driver), `--gamma` "
-        "(speculative draft length), sweep runner (`run_sweep`), "
+        "(speculative draft length), `--teacher_precision` (serve the "
+        "no-grad teacher side of distillation with the inference/int8 "
+        "stack), sweep runner (`run_sweep`), "
         "checkpoint converter (`convert_checkpoint_to_hf`).", "",
     ]
     if errors:

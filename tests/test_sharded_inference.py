@@ -67,3 +67,29 @@ def test_tp_speculative_matches():
     out = jax.jit(run)(t_sh, d_sh)
     np.testing.assert_array_equal(np.asarray(out.sequences),
                                   np.asarray(ref.sequences))
+
+
+def test_int8_generate_under_tp_matches_unsharded_int8():
+    """int8 projections (quantize_encoder/decoder) must compose with the
+    dp x tp sharded serving path: quantizing a sharded tree and generating
+    over the mesh gives the same tokens as the single-device int8 run."""
+    from distil_whisper_tpu.ops.quant import maybe_quantize_encoder
+
+    cfg = CFG.replace(quantize_encoder=True, quantize_decoder=True)
+    params = init_params(cfg, jax.random.PRNGKey(2))
+    rng = np.random.default_rng(2)
+    mel = jnp.asarray(rng.standard_normal((4, 80, 3000)), jnp.float32)
+    prompt = jnp.full((4, 1), 3, jnp.int32)
+    opts = GenerationOptions(max_new_tokens=10)
+
+    q_ref = maybe_quantize_encoder(params, cfg)
+    ref = encode_and_generate(q_ref, cfg, mel, prompt, opts)
+
+    mesh = make_mesh((2, 4))
+    sharded = shard_params(params, param_axes(cfg), mesh)
+    q_sh = maybe_quantize_encoder(sharded, cfg)  # eager quantize on shards
+    batch = shard_batch({"mel": mel, "prompt": prompt}, mesh)
+    fn = jax.jit(lambda p, m, pr: encode_and_generate(p, cfg, m, pr, opts))
+    out = fn(q_sh, batch["mel"], batch["prompt"])
+    np.testing.assert_array_equal(np.asarray(out.sequences),
+                                  np.asarray(ref.sequences))

@@ -119,6 +119,48 @@ def test_distillation_loss_descends():
         np.asarray(student["encoder"]["conv1"]["kernel"]))
 
 
+def test_int8_teacher_train_step():
+    """--teacher_precision int8: the teacher side of the step (frozen shared
+    encoder + no-grad decode) runs on int8 projections; the step must run,
+    its loss must stay near the exact-teacher loss, and the student gradient
+    structure/flow must be unchanged (the teacher is off the grad path)."""
+    from distil_whisper_tpu.ops.quant import (quantize_encoder_params,
+                                              quantize_decoder_params)
+    teacher = init_params(TEACHER_CFG, jax.random.PRNGKey(0))
+    student, s_cfg = init_student_from_teacher(teacher, TEACHER_CFG,
+                                               decoder_layers=2)
+    batch = _batch(bsz=2)
+    opt_cfg = OptimizerConfig(learning_rate=1e-4, warmup_steps=1,
+                              total_steps=10, precision="full",
+                              frozen_prefixes=("encoder",))
+    tx = make_optimizer(opt_cfg, student)
+    dcfg = DistillConfig(freeze_encoder=True, share_encoder=True)
+
+    state, tx = TrainState.create(student, opt_cfg, tx)
+    train_step, _ = build_train_step(s_cfg, TEACHER_CFG, dcfg, opt_cfg, tx)
+    _, exact = jax.jit(train_step)(state, teacher, batch)
+
+    t_int8 = {**teacher,
+              "encoder": quantize_encoder_params(teacher["encoder"]),
+              "decoder": quantize_decoder_params(teacher["decoder"])}
+    state, tx = TrainState.create(student, opt_cfg, tx)
+    train_step8, _ = build_train_step(s_cfg, TEACHER_CFG, dcfg, opt_cfg, tx)
+    state8, m8 = jax.jit(train_step8)(state, t_int8, batch)
+
+    assert np.isfinite(float(m8["loss"]))
+    # int8 teacher shifts the targets slightly, not wildly
+    assert abs(float(m8["loss"]) - float(exact["loss"])) < \
+        0.1 * abs(float(exact["loss"])) + 0.1, (m8, exact)
+    assert float(m8["grad_norm"]) > 0.0
+    # and the chunked-loss variant accepts the quantized tree too
+    dcfg_c = DistillConfig(freeze_encoder=True, share_encoder=True,
+                           loss_chunk_size=8)
+    state, tx = TrainState.create(student, opt_cfg, tx)
+    step_c, _ = build_train_step(s_cfg, TEACHER_CFG, dcfg_c, opt_cfg, tx)
+    _, mc = jax.jit(step_c)(state, t_int8, batch)
+    assert np.isfinite(float(mc["loss"]))
+
+
 def test_precision_modes_run():
     teacher = init_params(TEACHER_CFG, jax.random.PRNGKey(0))
     student, s_cfg = init_student_from_teacher(teacher, TEACHER_CFG,
