@@ -573,6 +573,13 @@ def decode(params: Params, cfg: WhisperConfig, tokens: jnp.ndarray,
         # prefill (S>1) and fp32-parity runs take the exact einsum path on
         # head-split views of the same buffers (identical values).
         merged_fast = (s == 1) and not f32_attn
+        # Small multi-token windows (speculative verify, S = gamma+1) stay on
+        # the head-split einsum: the merged-layout generalisation
+        # (ops.attention.decode_attention_multi) measured SLOWER at the
+        # verify shape (~53 vs ~44 us/layer, scripts/ablate_verify_attn.py)
+        # — at S>1 the S-times probs-expand traffic outweighs the layout
+        # win that makes the S=1 trick 2.6x.  Kept as a documented negative
+        # result, unit-tested but not wired.
         mask2 = None
         if merged_fast and self_mask is not None:
             mask2 = self_mask[:, 0, 0, :]                  # [B or 1, Tk]

@@ -115,6 +115,57 @@ def decode_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out.astype(q.dtype)
 
 
+def decode_attention_multi(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                           n_heads: int,
+                           mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Small-Tq attention against MERGED-layout K/V (the Tq>1 generalisation
+    of :func:`decode_attention` — same block-diagonal trick, one extra query
+    axis).
+
+    **Documented NEGATIVE result — not wired into decode().**  At the
+    speculative-verify shape (B=1, T=454, D=1280, S=6) this measured ~53
+    us/layer vs ~44 for the head-split bf16 einsum it would replace
+    (scripts/ablate_verify_attn.py): the S-times probs-expand traffic
+    outweighs the merged-layout win that makes the S=1 trick 2.6x faster.
+    A probs@v matmul variant (H-redundant [S*H, D] block + diagonal
+    extract) did not beat the einsum either.  Kept unit-tested
+    (tests/test_attention_ops.py) for the record.
+
+    q [B, S, D], k/v [B, T, D] with D = n_heads * head_dim and S small
+    (speculative verify windows, S = gamma+1 <= ~8); mask [B or 1, T, S]
+    (True = attend).  Returns [B, S, D] in q.dtype.
+
+    The S query positions are folded into the block-diagonal q operand —
+    qblk[b, h*hd+j, s*H+h] = q[b,s,h,j] — so the logits for ALL S positions
+    come from ONE [T,D]x[D,S*H] MXU matmul whose k operand streams at native
+    merged 128-lane layout (a head-split einsum would re-materialise the
+    whole cache at 64-lane minor, ~2x HBM bytes; see decode_attention).
+    The probs->output step expands probs to D lanes with the constant 0/1
+    [H, D] matrix and reduces over T against merged v; the [B, T, S, D]
+    intermediate is fusion-only (never hits HBM).  Exactly the same
+    contractions as the head-split formulation, fp32 softmax.
+    """
+    b, t, d = k.shape
+    s = q.shape[1]
+    hd = d // n_heads
+    scale = jnp.asarray(hd ** -0.5, q.dtype)
+    eye = jnp.eye(n_heads, dtype=q.dtype)
+    # [B,S,H,hd,1] * [H,1,H] -> [B,S,H,hd,H]; transpose the query axis inward
+    # so minor-dim pairs (h, hd) stay together: -> [B, H, hd, S, H] -> [B,D,S*H]
+    qblk = ((q * scale).reshape(b, s, n_heads, hd, 1) * eye[:, None, :])
+    qblk = qblk.transpose(0, 2, 3, 1, 4).reshape(b, d, s * n_heads)
+    logits = jax.lax.dot_general(k, qblk, (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+    logits = logits.reshape(b, t, s, n_heads)
+    if mask is not None:
+        logits = jnp.where(mask[:, :, :, None], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=1).astype(q.dtype)   # [B,T,S,H]
+    expand = jnp.repeat(eye, hd, axis=1)                     # [H, D] 0/1
+    pe = jax.lax.dot_general(probs, expand, (((3,), (0,)), ((), ())))
+    out = jnp.sum((pe * v[:, :, None, :]).astype(jnp.float32), axis=1)
+    return out.astype(q.dtype)                               # [B, S, D]
+
+
 def causal_mask(tq: int, tk: int, offset) -> jnp.ndarray:
     """[1, 1, tq, tk] causal mask where query position i (global ``offset + i``)
     may attend to key positions <= offset + i."""

@@ -10,7 +10,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from distil_whisper_tpu.ops.attention import mha, decode_attention, causal_mask
+from distil_whisper_tpu.ops.attention import (mha, decode_attention,
+                                              decode_attention_multi,
+                                              causal_mask)
 
 
 @pytest.mark.parametrize("n_heads,hd", [(4, 8), (5, 16), (20, 64)])
@@ -55,6 +57,84 @@ def test_decode_attention_masked_matches_mha():
     out = decode_attention(q, k, v, n_heads, cm)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("n_heads,hd,s", [(4, 8, 6), (5, 16, 3), (20, 64, 8)])
+def test_decode_attention_multi_matches_mha(n_heads, hd, s):
+    b, t = 2, 37
+    d = n_heads * hd
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.standard_normal((b, s, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+
+    ref = mha(q.reshape(b, s, n_heads, hd), k.reshape(b, t, n_heads, hd),
+              v.reshape(b, t, n_heads, hd), float32_logits=True
+              ).reshape(b, s, d)
+    out = decode_attention_multi(q, k, v, n_heads)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_decode_attention_multi_causal_matches_mha():
+    """The speculative-verify shape: S=6 causal window at a cache offset."""
+    b, t, n_heads, hd, s, offset = 1, 54, 4, 8, 6, 17
+    d = n_heads * hd
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((b, s, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+
+    cm = causal_mask(s, t, offset)                        # [1, 1, S, T]
+    ref = mha(q.reshape(b, s, n_heads, hd), k.reshape(b, t, n_heads, hd),
+              v.reshape(b, t, n_heads, hd), cm,
+              float32_logits=True).reshape(b, s, d)
+    out = decode_attention_multi(q, k, v, n_heads,
+                                 jnp.swapaxes(cm[:, 0], 1, 2))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    # each row of the multi-query output == the single-token fast path
+    for i in range(s):
+        one = decode_attention(q[:, i], k, v, n_heads,
+                               causal_mask(1, t, offset + i)[:, 0, 0, :])
+        np.testing.assert_allclose(np.asarray(out[:, i]), np.asarray(one),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_speculative_verify_uses_multi_fast_path():
+    """decode() with a cache and 1<S<=8 in bf16 fast mode must agree with
+    the fp32 exact einsum path on the same inputs (the verify-window
+    integration check for speculative decoding)."""
+    from distil_whisper_tpu.config import PRESETS
+    from distil_whisper_tpu.models import init_params
+    from distil_whisper_tpu.models.whisper import (decode, init_cache,
+                                                   cross_kv, encode)
+
+    cfg = PRESETS["test-tiny"]
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    rng = np.random.default_rng(4)
+    mel = jnp.asarray(rng.standard_normal(
+        (1, cfg.num_mel_bins, 2 * cfg.max_source_positions)), jnp.float32)
+    enc = encode(params["encoder"], cfg, mel)
+    cross = cross_kv(params["decoder"], cfg, enc)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 11)), jnp.int32)
+
+    def run(p, c, dtype):
+        cache = init_cache(c, 1, dtype=dtype, max_len=16)
+        cr = jax.tree.map(lambda x: x.astype(dtype), cross)
+        _, cache = decode(p, c, toks[:, :5], cross=cr, cache=cache,
+                          pos_offset=0, dtype=dtype)
+        lg, _ = decode(p, c, toks[:, 5:], cross=cr, cache=cache,
+                       pos_offset=5, dtype=dtype)      # S=6 verify window
+        return np.asarray(lg.astype(jnp.float32))
+
+    exact = run(params["decoder"], cfg, jnp.float32)
+    pb = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params["decoder"])
+    fast = run(pb, cfg.replace(fast_bf16_attention=True), jnp.bfloat16)
+    assert np.argmax(exact[0, -1]) == np.argmax(fast[0, -1])
+    scale = np.maximum(np.abs(exact).max(), 1.0)
+    np.testing.assert_allclose(fast / scale, exact / scale, atol=0.06)
 
 
 def test_cached_decode_layouts_agree_bf16_vs_f32():
