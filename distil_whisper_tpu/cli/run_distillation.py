@@ -227,9 +227,12 @@ def main(argv=None):
         if args.teacher_precision == "int8":
             from ..ops.quant import (quantize_encoder_params,
                                      quantize_decoder_params)
-            teacher = {**teacher,
-                       "encoder": quantize_encoder_params(teacher["encoder"]),
-                       "decoder": quantize_decoder_params(teacher["decoder"])}
+            # under jit: eager elementwise ops on a globally-sharded tree
+            # would touch non-addressable shards in multi-process runs
+            teacher = jax.jit(lambda t: {
+                **t,
+                "encoder": quantize_encoder_params(t["encoder"]),
+                "decoder": quantize_decoder_params(t["decoder"])})(teacher)
 
     frozen = []
     if args.freeze_encoder:

@@ -65,6 +65,11 @@ def main():
             "--precision", "full", "--save_steps", "2",
             "--eval_steps", "100", "--logging_steps", "1",
             "--language", "en",
+            # int8 teacher over the 2-process global mesh: proves the
+            # jit-wrapped quantization of a globally-sharded tree works
+            # multi-controller (the single-process default path is covered
+            # by tests/test_cli_e2e.py)
+            "--teacher_precision", "int8",
         ])
         print(f"proc {pid}: train OK", flush=True)
 
