@@ -22,6 +22,19 @@ def pipe():
     return p
 
 
+def test_pipeline_quantizes_decoder_only():
+    """The constructor's quantize gate must fire for quantize_decoder even
+    when quantize_encoder is off (regression: the gate only checked the
+    encoder flag)."""
+    cfg = CFG.replace(quantize_decoder=True)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    p = WhisperPipeline(checkpoint=None, params=params, cfg=cfg,
+                        tokenizer=_real_layout_tokenizer(),
+                        dtype=jnp.float32, batch_size=2, max_new_tokens=4)
+    assert "kernel_q" in p.params["decoder"]["layers"]["fc1"]
+    assert "kernel" in p.params["encoder"]["layers"]["fc1"]
+
+
 def test_translate_task_prompt(pipe):
     tok = pipe.tokenizer
     ids = tok.prompt_ids(language="fr", task="translate")
