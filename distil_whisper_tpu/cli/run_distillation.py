@@ -222,8 +222,11 @@ def main(argv=None):
         # The teacher side of a distillation step is INFERENCE (frozen shared
         # encoder + stop-gradient decode), so it can ride the same fast paths
         # the serving stack uses; the student keeps exact training numerics.
-        teacher_cfg = teacher_cfg.replace(fast_bf16_attention=True,
-                                          use_flash_encoder=True)
+        # flash encoder only under bf16 compute (mirrors the inference
+        # drivers); fast_bf16_attention is exact for fp32 inputs
+        teacher_cfg = teacher_cfg.replace(
+            fast_bf16_attention=True,
+            use_flash_encoder=(args.precision != "full"))
         if args.teacher_precision == "int8":
             from ..ops.quant import (quantize_encoder_params,
                                      quantize_decoder_params)
