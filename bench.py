@@ -30,8 +30,8 @@ Headline fields:
   vs_baseline_min / vs_baseline_max — spread of the per-round paired ratios.
   rtfx_min / rtfx_max               — spread of our per-round RTFx.
   int8_rtfx / vs_baseline_int8      — ours with the opt-in FULL int8 stack
-      (W8A8 encoder + decoder projections + int8 self/cross-KV): the
-      int8-MXU inference path, same protocol.
+      (W8A8 encoder + decoder projections + int8 self/cross-KV + int8
+      logits matmul): the int8-MXU inference path, same protocol.
   teacher_rtfx / speedup_vs_teacher — large-v3 in this framework and the
       in-stack relative latency.  NOTE: this ratio COMPRESSES as the teacher
       gets faster — round 2's merged-KV decode cut large-v3 from 23.3 to
@@ -75,7 +75,7 @@ def _time_once(fn, iters):
 
 
 def _build_ours(preset, batch, max_new, forced_eos_at=None, int8=False,
-                int8_kv=False, int8_dec=False):
+                int8_kv=False, int8_dec=False, int8_lm=False):
     """-> zero-arg callable running one generate; compiled+warm on return."""
     import jax
     import jax.numpy as jnp
@@ -88,6 +88,7 @@ def _build_ours(preset, batch, max_new, forced_eos_at=None, int8=False,
                                   use_flash_encoder=True,
                                   quantize_encoder=int8,
                                   quantize_decoder=int8_dec,
+                                  quantize_lm_head=int8_lm,
                                   quantize_cross_kv=int8_kv,
                                   quantize_self_kv=int8_kv)
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
@@ -181,10 +182,11 @@ def main():
     fns = {"ours": _build_ours("distil-large-v3", batch, long_budget)}
     try:
         # the FULL int8 stack (encoder + decoder projections + both KV
-        # caches): enc-only 948 / +dec 969 / +kv 1049 RTFx at bs16/256tok
-        # (scripts/ablate_distil_int8.py)
+        # caches + int8 logits matmul): enc-only 948 / +dec 969 / +kv 1049
+        # / +lm 1120 RTFx at bs16/256tok (scripts/ablate_distil_int8.py)
         fns["int8"] = _build_ours("distil-large-v3", batch, long_budget,
-                                  int8=True, int8_kv=True, int8_dec=True)
+                                  int8=True, int8_kv=True, int8_dec=True,
+                                  int8_lm=True)
     except Exception as e:  # noqa: BLE001
         extra["int8_error"] = str(e)[:200]
     hf_err = None
@@ -211,10 +213,10 @@ def main():
     teacher_rtfx = float(np.median([audio_s / t for t in t_times]))
     del t_fn
     try:
-        # the full int8 teacher (encoder + decoder + self/cross KV) —
-        # the PL config
+        # the full int8 teacher (encoder + decoder + self/cross KV + lm
+        # head) — the PL config
         t8 = _build_ours("large-v3", batch, long_budget, int8=True,
-                         int8_kv=True, int8_dec=True)
+                         int8_kv=True, int8_dec=True, int8_lm=True)
         t8_times = [_time_once(t8, 1) for _ in range(3)]
         extra["teacher_int8_rtfx"] = round(
             float(np.median([audio_s / t for t in t8_times])), 2)

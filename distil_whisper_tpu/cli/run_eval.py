@@ -90,6 +90,9 @@ def parse_args(argv=None):
     p.add_argument("--quantize_self_kv", action="store_true",
                    help="int8 decoder self-attention cache (validate WER "
                         "first)")
+    p.add_argument("--quantize_lm_head", action="store_true",
+                   help="int8 logits matmul against an int8 copy of the "
+                        "tied embedding (validate WER first)")
     p.add_argument("--precise_tok_per_s", action="store_true",
                    help="fixed-token benchmark on dummy encoder outputs "
                         "(decouples tokens/s from WER)")
@@ -134,6 +137,8 @@ def main(argv=None):
         cfg = cfg.replace(quantize_encoder=True)
     if args.quantize_decoder:
         cfg = cfg.replace(quantize_decoder=True)
+    if args.quantize_lm_head:
+        cfg = cfg.replace(quantize_lm_head=True)
     tok = WhisperTokenizer.from_pretrained(args.model_checkpoint)
     # Evaluation is embarrassingly parallel across hosts: each process runs
     # an independent mesh over its own devices on its slice of the dataset

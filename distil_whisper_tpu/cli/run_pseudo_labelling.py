@@ -81,6 +81,9 @@ def main(argv=None):
     p.add_argument("--quantize_self_kv", action="store_true",
                    help="int8 decoder self-attention cache (validate WER "
                         "first)")
+    p.add_argument("--quantize_lm_head", action="store_true",
+                   help="int8 logits matmul against an int8 copy of the "
+                        "tied embedding (validate WER first)")
     p.add_argument("--distributed", action="store_true",
                    help="fail fast unless jax.distributed comes up multi-process (use on pods/orchestrators where auto-detection is unreliable)")
     p.add_argument("--featurizer_workers", type=int, default=0,
@@ -107,6 +110,8 @@ def main(argv=None):
         cfg = cfg.replace(quantize_encoder=True)
     if args.quantize_decoder:
         cfg = cfg.replace(quantize_decoder=True)
+    if args.quantize_lm_head:
+        cfg = cfg.replace(quantize_lm_head=True)
     tok = WhisperTokenizer.from_pretrained(args.model_checkpoint)
     # Labelling is embarrassingly parallel across hosts: each process runs an
     # INDEPENDENT mesh over its own devices and labels its contiguous dataset

@@ -65,6 +65,12 @@ class WhisperConfig:
     # weight-read bound, so int8 weights nearly halve the per-token floor
     # (the bs1-4 serving/speculative regime).  Validate WER before enabling.
     quantize_decoder: bool = False
+    # OPT-IN int8 logits matmul: an int8 copy of the tied token embedding
+    # is used for the [d_model, vocab] output projection (the input
+    # embedding lookup stays exact bf16).  The logits matmul re-reads the
+    # whole table every decode step — ~1/3 of distil's per-token weight
+    # traffic.  Validate WER before enabling.
+    quantize_lm_head: bool = False
 
     # --- special tokens (defaults = multilingual v2 layout) ---
     pad_token_id: int = 50257

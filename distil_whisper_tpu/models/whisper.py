@@ -669,6 +669,16 @@ def decode(params: Params, cfg: WhisperConfig, tokens: jnp.ndarray,
         # caller projects per-chunk (training.losses.chunked_ce_kl) — the
         # full [B, S, V] logits never materialise
         logits = y
+    elif "tok_emb_q" in params:
+        # int8 logits matmul (cfg.quantize_lm_head): W8A8 against the int8
+        # copy of the tied embedding; per-token activation scale, per-vocab-
+        # row weight scale, fp32 rescale epilogue (ops/quant.py)
+        from ..ops.quant import quantize_acts
+        yq, ys = quantize_acts(y)
+        logits = jnp.einsum("bsd,vd->bsv", yq, params["tok_emb_q"],
+                            preferred_element_type=jnp.int32)
+        logits = (logits.astype(jnp.float32) * ys
+                  * params["tok_emb_scale"][:, 0])
     else:
         logits = jnp.einsum("bsd,vd->bsv", y, tok_emb.astype(dtype),
                             preferred_element_type=jnp.float32)

@@ -138,6 +138,25 @@ def quantize_decoder_params(dec: Params) -> Params:
     return out
 
 
+def quantize_lm_head_params(dec: Params) -> Params:
+    """Add an int8 copy of the tied token embedding used ONLY for the
+    output logits matmul (``tok_emb_q [V, D]`` + per-vocab-row scale).
+
+    The logits matmul re-reads the whole [51865, 1280] table every decode
+    step (~133 MB bf16 at large-v3 width — ~1/3 of the distil per-token
+    weight traffic); the int8 copy halves that.  The INPUT embedding
+    lookup keeps the exact bf16 table: its per-step reads are B rows, so
+    exactness there is free.
+    """
+    if "tok_emb_q" in dec:
+        return dec  # idempotent
+    q, s = quantize_weight(dec["tok_emb"], contract_axis=-1)  # [V, D] -> [V, 1]
+    out = dict(dec)
+    out["tok_emb_q"] = q
+    out["tok_emb_scale"] = s
+    return out
+
+
 def maybe_quantize_encoder(params: Params, cfg) -> Params:
     """Full param tree -> int8 encoder/decoder per the cfg flags.
 
@@ -151,5 +170,8 @@ def maybe_quantize_encoder(params: Params, cfg) -> Params:
     if getattr(cfg, "quantize_decoder", False):
         params = {**params,
                   "decoder": quantize_decoder_params(params["decoder"])}
+    if getattr(cfg, "quantize_lm_head", False):
+        params = {**params,
+                  "decoder": quantize_lm_head_params(params["decoder"])}
     return params
 

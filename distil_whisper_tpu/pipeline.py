@@ -48,7 +48,8 @@ class WhisperPipeline:
         self.mesh = mesh if mesh is not None else make_mesh()
         self._n_data = self.mesh.shape["data"]
         self.params = shard_params(params, param_axes(cfg), self.mesh)
-        if cfg.quantize_encoder or cfg.quantize_decoder:
+        if (cfg.quantize_encoder or cfg.quantize_decoder
+                or cfg.quantize_lm_head):
             from .ops.quant import maybe_quantize_encoder
             self.params = maybe_quantize_encoder(self.params, cfg)
         self.cfg = cfg

@@ -26,11 +26,12 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     max_new = int(os.environ.get("BENCH_TOKENS", "256"))
 
-    def build(enc8, dec8, kv8):
+    def build(enc8, dec8, kv8, lm8=False):
         cfg = PRESETS["distil-large-v3"].replace(
             fast_bf16_attention=True, use_flash_encoder=True,
             quantize_encoder=enc8, quantize_decoder=dec8,
-            quantize_cross_kv=kv8, quantize_self_kv=kv8)
+            quantize_cross_kv=kv8, quantize_self_kv=kv8,
+            quantize_lm_head=lm8)
         params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
         params = maybe_quantize_encoder(params, cfg)
         opts = GenerationOptions(max_new_tokens=max_new,
@@ -49,8 +50,8 @@ def main():
 
     variants = {
         "enc8": build(True, False, False),
-        "enc8_dec8": build(True, True, False),
         "enc8_dec8_kv8": build(True, True, True),
+        "enc8_dec8_kv8_lm8": build(True, True, True, True),
     }
     # interleaved rounds: each round times every variant once
     times = {k: [] for k in variants}

@@ -38,6 +38,7 @@ def main():
     quant_enc = os.environ.get("PL_QUANT_ENC") == "1"
     quant_self = os.environ.get("PL_QUANT_SELF") == "1"
     quant_dec = os.environ.get("PL_QUANT_DEC") == "1"
+    quant_lm = os.environ.get("PL_QUANT_LM") == "1"
     workers = int(os.environ.get("PL_WORKERS", "0"))
 
     root = Path(os.environ.get("PL_ROOT", "/tmp/plbench_shared"))
@@ -104,6 +105,8 @@ def main():
         pl_args.append("--quantize_self_kv")
     if quant_dec:
         pl_args.append("--quantize_decoder")
+    if quant_lm:
+        pl_args.append("--quantize_lm_head")
     if workers:
         pl_args += ["--featurizer_workers", str(workers)]
     pl_main(pl_args)
@@ -116,7 +119,7 @@ def main():
     print(json.dumps({
         "pl_batch": batch, "pl_tokens": tokens, "int8_cross_kv": quant,
         "int8_encoder": quant_enc, "int8_self_kv": quant_self,
-        "int8_decoder": quant_dec,
+        "int8_decoder": quant_dec, "int8_lm_head": quant_lm,
         "featurizer_workers": workers,
         "audio_hours": round(audio_h, 2),
         "wall_seconds_incl_compile": round(wall, 1),

@@ -55,12 +55,14 @@ def main():
                                         use_flash_encoder=True,
                                         quantize_encoder=int8,
                                         quantize_decoder=int8,
+                                        quantize_lm_head=int8,
                                         quantize_self_kv=int8,
                                         quantize_cross_kv=int8)
     d_cfg = PRESETS["distil-large-v3"].replace(fast_bf16_attention=True,
                                                use_flash_encoder=True,
                                                quantize_encoder=int8,
                                                quantize_decoder=int8,
+                                               quantize_lm_head=int8,
                                                quantize_self_kv=int8,
                                                quantize_cross_kv=int8)
     teacher = init_params(t_cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)

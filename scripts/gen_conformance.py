@@ -320,7 +320,7 @@ def main():
     lines += [
         "## Repo flags with no reference counterpart (capability additions)",
         "",
-        "`--quantize_encoder` `--quantize_decoder` `--quantize_cross_kv` "
+        "`--quantize_encoder` `--quantize_decoder` `--quantize_lm_head` `--quantize_cross_kv` "
         "`--quantize_self_kv` "
         "(int8 MXU/HBM paths), `--loss_chunk_size` (never materialise the "
         "[B,S,V] logits pair), `--param_sharding 2d` (FSDP-style), "

@@ -210,6 +210,49 @@ def test_quantized_decoder_generate_parity():
     assert agree >= 0.75, (agree, ex_seq, q_seq)
 
 
+def test_quantized_lm_head_logits_parity():
+    """int8 logits matmul (quantize_lm_head): logits must track the exact
+    tied-embedding projection within W8A8 bounds, the input-embedding
+    lookup must stay EXACT (it keeps the bf16 table), and generate must
+    closely track the exact model."""
+    from distil_whisper_tpu.ops.quant import (quantize_lm_head_params,
+                                              maybe_quantize_encoder)
+    from distil_whisper_tpu.models.whisper import decode, encode
+    from distil_whisper_tpu.generation import (GenerationOptions,
+                                               encode_and_generate)
+
+    cfg = PRESETS["test-tiny"].replace(max_target_positions=64)
+    params = init_params(cfg, jax.random.PRNGKey(4))
+    qdec = quantize_lm_head_params(params["decoder"])
+    assert qdec["tok_emb_q"].dtype == jnp.int8
+    assert qdec["tok_emb"] is params["decoder"]["tok_emb"]  # lookup exact
+    assert quantize_lm_head_params(qdec) is qdec  # idempotent
+
+    rng = np.random.default_rng(11)
+    mel = jnp.asarray(rng.standard_normal((2, cfg.num_mel_bins, 3000)) * 0.5,
+                      jnp.float32)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 7)), jnp.int32)
+    enc = encode(params["encoder"], cfg, mel)
+    exact, _ = decode(params["decoder"], cfg, toks, enc=enc)
+    q, _ = decode(qdec, cfg, toks, enc=enc)
+    ex = np.asarray(exact)
+    qq = np.asarray(q)
+    # per-position argmax must essentially always agree; logit drift is
+    # bounded relative to the logit scale
+    agree = (ex.argmax(-1) == qq.argmax(-1)).mean()
+    assert agree >= 0.9, agree
+    scale = np.abs(ex).max()
+    assert np.abs(qq - ex).max() / scale < 0.05
+
+    qtree = maybe_quantize_encoder(params, cfg.replace(quantize_lm_head=True))
+    prompts = jnp.full((2, 1), cfg.decoder_start_token_id, jnp.int32)
+    opts = GenerationOptions(max_new_tokens=12, min_new_tokens=12)
+    e_out = encode_and_generate(params, cfg, mel, prompts, opts)
+    q_out = encode_and_generate(qtree, cfg, mel, prompts, opts)
+    agree = (np.asarray(e_out.sequences) == np.asarray(q_out.sequences)).mean()
+    assert agree >= 0.75, agree
+
+
 def test_beam_search_with_quantized_self_cache():
     """Beam search reorders the cache along the beam dim every step; the
     quantized cache (int8 values + scale arrays) must reorder coherently —
