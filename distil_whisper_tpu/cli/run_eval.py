@@ -33,7 +33,7 @@ from ..audio.io import load_audio
 from ..audio import compute_mel
 from ..generation import (GenerationOptions, encode_and_generate,
                           SequentialOptions, SequentialTranscriber,
-                          speculative_generate)
+                          speculative_generate_batched)
 from ..models import load_params, param_axes
 from ..models.whisper import encode, cross_kv
 from ..ops.quant import maybe_quantize_encoder
@@ -358,21 +358,35 @@ def main(argv=None):
                      else encode(d_params["encoder"], draft_cfg, mel,
                                  dtype=dtype))
             d_cross = cross_kv(d_params["decoder"], draft_cfg, d_enc)
-            return speculative_generate(
+            return speculative_generate_batched(
                 t_params["decoder"], cfg, d_params["decoder"], draft_cfg,
                 t_cross, d_cross, prompt_ids, opts, gamma=args.gamma,
                 dtype=dtype)
-        prompt_arr = jnp.asarray([prompt], jnp.int32)
+
+        # lanes share weights and diverge in cursors (vmap of the bs-1
+        # loop), so --batch_size amortises the weight-read floor; the
+        # reference's speculative mode is batch-1-only (run_eval.py:578).
+        bs = max(1, args.batch_size)
+        prompt_arr = jnp.tile(jnp.asarray([prompt], jnp.int32), (bs, 1))
         accepted = drafted = 0
-        for a in audios:
-            mel = jnp.asarray(np.asarray(
-                compute_mel(jnp.asarray(a), cfg)), dtype)
+        for start in range(0, len(audios), bs):
+            group = audios[start:start + bs]
+            mels = [np.asarray(compute_mel(jnp.asarray(a), cfg))
+                    for a in group]        # each [1, n_mels, 3000]
+            while len(mels) < bs:          # pad the ragged last group
+                mels.append(mels[-1])
+            mel = jnp.asarray(np.concatenate(mels, axis=0), dtype)
             out = spec(params, draft, mel, prompt_arr)
-            ids = np.asarray(out.sequences)[0][:int(out.seq_len[0])].tolist()
-            n_tokens += max(len(ids) - len(prompt), 0)
-            accepted += int(out.accepted)
-            drafted += int(out.drafted)
-            hyps.append(tok.decode(ids))
+            seqs = np.asarray(out.sequences)
+            lens = np.atleast_1d(np.asarray(out.seq_len))
+            for i in range(len(group)):
+                ids = seqs[i][:int(lens[i])].tolist()
+                n_tokens += max(len(ids) - len(prompt), 0)
+                hyps.append(tok.decode(ids))
+            accepted += int(np.sum(
+                np.atleast_1d(np.asarray(out.accepted))[:len(group)]))
+            drafted += int(np.sum(
+                np.atleast_1d(np.asarray(out.drafted))[:len(group)]))
         if drafted:
             logger.info("speculative acceptance rate: %.1f%%",
                         100 * accepted / drafted)

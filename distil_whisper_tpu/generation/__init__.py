@@ -5,5 +5,6 @@ from .generate import (  # noqa: F401
 from .sequential import (  # noqa: F401
     SequentialOptions, SequentialTranscriber, compression_ratio,
 )
-from .speculative import speculative_generate, SpeculativeOutput  # noqa: F401
+from .speculative import (speculative_generate,  # noqa: F401
+                          speculative_generate_batched, SpeculativeOutput)
 from .beam import beam_search, encode_and_beam_search, BeamOutput  # noqa: F401

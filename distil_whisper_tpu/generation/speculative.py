@@ -213,3 +213,56 @@ def speculative_generate(
     return SpeculativeOutput(sequences=tokens, seq_len=seq_len[None],
                              rounds=state["rounds"], drafted=state["drafted"],
                              accepted=state["accepted"])
+
+
+def speculative_generate_batched(
+        teacher_dec: Dict[str, Any], teacher_cfg: WhisperConfig,
+        draft_dec: Dict[str, Any], draft_cfg: WhisperConfig,
+        teacher_cross: Dict[str, Any], draft_cross: Dict[str, Any],
+        prompt_ids: jnp.ndarray, opts: GenerationOptions,
+        gamma: int = 5, dtype=jnp.float32,
+        synthetic_acceptance: float = None,
+        synthetic_seed: int = 0) -> SpeculativeOutput:
+    """Batched speculative decoding — ``vmap`` of the bs-1 accept/verify
+    loop over the batch (BEYOND the reference surface: HF assisted
+    generation, and therefore the reference's speculative mode, is
+    batch-1-only — /root/reference/training/run_eval.py:578-599).
+
+    Why vmap is the right TPU shape: weights are shared across lanes
+    (in_axes=None), so every per-lane decode inside the loop becomes ONE
+    batched matmul over the active lanes — the weight-read floor that
+    dominates bs-1 decoding amortises across the batch.  Each lane keeps
+    its own cursor/caches; XLA lifts the vmapped ``while_loop`` to a
+    single loop with ``cond = any(lane active)`` whose body is masked for
+    finished lanes, so lanes may accept different numbers of tokens per
+    round and finish at different times.  Per-lane outputs are identical
+    to the bs-1 path (tests/test_speculative.py).
+    """
+    n = prompt_ids.shape[0]
+    if n == 1:
+        return speculative_generate(
+            teacher_dec, teacher_cfg, draft_dec, draft_cfg,
+            teacher_cross, draft_cross, prompt_ids, opts, gamma=gamma,
+            dtype=dtype, synthetic_acceptance=synthetic_acceptance,
+            synthetic_seed=synthetic_seed)
+
+    def one(t_cross, d_cross, prompt):
+        # vmap strips the mapped batch axis — restore the singleton the
+        # bs-1 loop expects ([L, T, D] -> [L, 1, T, D], scales likewise)
+        t_cross = jax.tree.map(lambda x: x[:, None], t_cross)
+        d_cross = jax.tree.map(lambda x: x[:, None], d_cross)
+        return speculative_generate(
+            teacher_dec, teacher_cfg, draft_dec, draft_cfg,
+            t_cross, d_cross, prompt[None], opts, gamma=gamma, dtype=dtype,
+            synthetic_acceptance=synthetic_acceptance,
+            synthetic_seed=synthetic_seed)
+
+    # cross trees are [L, B, T, D] (scales [L, B, ...]): batch is axis 1
+    axes1 = jax.tree.map(lambda _: 1, teacher_cross)
+    axes2 = jax.tree.map(lambda _: 1, draft_cross)
+    out = jax.vmap(one, in_axes=(axes1, axes2, 0))(
+        teacher_cross, draft_cross, prompt_ids)
+    return SpeculativeOutput(
+        sequences=out.sequences[:, 0],          # [N, 1, total] -> [N, total]
+        seq_len=out.seq_len[:, 0],              # [N, 1] -> [N]
+        rounds=out.rounds, drafted=out.drafted, accepted=out.accepted)

@@ -67,6 +67,50 @@ def test_draft_equals_teacher_accepts_everything(setup):
         np.asarray(golden.sequences)[0][:int(golden.seq_len[0])])
 
 
+def test_batched_matches_per_sample_bs1():
+    """speculative_generate_batched: every lane's output must equal the
+    bs-1 loop run on that sample alone (lanes diverge in cursors: distinct
+    mels give distinct acceptance patterns and lengths) AND equal
+    teacher-only greedy."""
+    from distil_whisper_tpu.generation.speculative import (
+        speculative_generate_batched)
+
+    teacher = init_params(TEACHER_CFG, jax.random.PRNGKey(0))
+    draft, d_cfg = init_student_from_teacher(teacher, TEACHER_CFG,
+                                             decoder_layers=2)
+    rng = np.random.default_rng(7)
+    n = 3
+    mel = jnp.asarray(rng.standard_normal((n, 80, 3000)), jnp.float32)
+    enc = encode(teacher["encoder"], TEACHER_CFG, mel)
+    t_cross = cross_kv(teacher["decoder"], TEACHER_CFG, enc)
+    d_cross = cross_kv(draft["decoder"], d_cfg, enc)
+    opts = GenerationOptions(max_new_tokens=24)
+    prompts = jnp.full((n, 1), 3, jnp.int32)
+
+    out = jax.jit(lambda tc, dc, p: speculative_generate_batched(
+        teacher["decoder"], TEACHER_CFG, draft["decoder"], d_cfg,
+        tc, dc, p, opts, gamma=3))(t_cross, d_cross, prompts)
+    assert out.sequences.shape == (n, 1 + 24)
+    lens = np.asarray(out.seq_len)
+
+    def lane(tree, i):
+        return jax.tree.map(lambda x: x[:, i:i + 1], tree)
+
+    for i in range(n):
+        single = speculative_generate(
+            teacher["decoder"], TEACHER_CFG, draft["decoder"], d_cfg,
+            lane(t_cross, i), lane(d_cross, i), prompts[i:i + 1], opts,
+            gamma=3)
+        np.testing.assert_array_equal(
+            np.asarray(out.sequences)[i][:int(lens[i])],
+            np.asarray(single.sequences)[0][:int(single.seq_len[0])])
+        golden = generate(teacher["decoder"], TEACHER_CFG, lane(t_cross, i),
+                          prompts[i:i + 1], opts)
+        np.testing.assert_array_equal(
+            np.asarray(out.sequences)[i][:int(lens[i])],
+            np.asarray(golden.sequences)[0][:int(golden.seq_len[0])])
+
+
 def test_speculative_jits(setup):
     teacher, draft, d_cfg, t_cross, d_cross = setup
     opts = GenerationOptions(max_new_tokens=16)
