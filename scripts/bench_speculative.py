@@ -42,7 +42,8 @@ def main():
     from distil_whisper_tpu.config import PRESETS
     from distil_whisper_tpu.models import init_params
     from distil_whisper_tpu.generation import GenerationOptions, build_generate
-    from distil_whisper_tpu.generation.speculative import speculative_generate
+    from distil_whisper_tpu.generation.speculative import (
+        speculative_generate_batched as speculative_generate)
     from distil_whisper_tpu.models.whisper import encode, cross_kv
 
     B = int(os.environ.get("BENCH_BATCH", "1"))
@@ -131,7 +132,7 @@ def main():
         res[f"speculative_ms_accept{int(k*100)}"] = round(t_k * 1e3, 1)
         res[f"speedup_accept{int(k*100)}"] = round(t_alone / t_k, 2)
         res[f"measured_accept_rate_{int(k*100)}"] = round(
-            float(accepted) / max(float(drafted), 1), 3)
+            float(np.sum(accepted)) / max(float(np.sum(drafted)), 1), 3)
         print(f"acceptance {k:.0%}: {t_k*1e3:.1f} ms, "
               f"speedup {t_alone/t_k:.2f}x "
               f"(measured accept {res[f'measured_accept_rate_{int(k*100)}']})",
