@@ -69,7 +69,9 @@ class WhisperConfig:
     # is used for the [d_model, vocab] output projection (the input
     # embedding lookup stays exact bf16).  The logits matmul re-reads the
     # whole table every decode step — ~1/3 of distil's per-token weight
-    # traffic.  Validate WER before enabling.
+    # traffic.  Engages only at batch >= 8 (XLA's int8 GEMV path LOSES at
+    # bs1: teacher 643 -> 921 ms/256tok measured; bs16 gains ~6%).
+    # Validate WER before enabling.
     quantize_lm_head: bool = False
 
     # --- special tokens (defaults = multilingual v2 layout) ---

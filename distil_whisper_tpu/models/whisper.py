@@ -669,10 +669,14 @@ def decode(params: Params, cfg: WhisperConfig, tokens: jnp.ndarray,
         # caller projects per-chunk (training.losses.chunked_ce_kl) — the
         # full [B, S, V] logits never materialise
         logits = y
-    elif "tok_emb_q" in params:
+    elif "tok_emb_q" in params and b >= 8:
         # int8 logits matmul (cfg.quantize_lm_head): W8A8 against the int8
         # copy of the tied embedding; per-token activation scale, per-vocab-
-        # row weight scale, fp32 rescale epilogue (ops/quant.py)
+        # row weight scale, fp32 rescale epilogue (ops/quant.py).
+        # Gated on batch >= 8: at bs1 XLA's int8 GEMV path LOSES badly
+        # (teacher-alone 643 -> 921 ms/256tok measured) while bs16 gains
+        # ~6%; gating on b (not b*s) keeps prefill and per-step decode on
+        # the same numerics within one generation.
         from ..ops.quant import quantize_acts
         yq, ys = quantize_acts(y)
         logits = jnp.einsum("bsd,vd->bsv", yq, params["tok_emb_q"],

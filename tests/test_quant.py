@@ -229,9 +229,10 @@ def test_quantized_lm_head_logits_parity():
     assert quantize_lm_head_params(qdec) is qdec  # idempotent
 
     rng = np.random.default_rng(11)
-    mel = jnp.asarray(rng.standard_normal((2, cfg.num_mel_bins, 3000)) * 0.5,
+    # batch 8: the int8 lm-head path is gated on b >= 8 (bs1 GEMV loses)
+    mel = jnp.asarray(rng.standard_normal((8, cfg.num_mel_bins, 3000)) * 0.5,
                       jnp.float32)
-    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 7)), jnp.int32)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (8, 7)), jnp.int32)
     enc = encode(params["encoder"], cfg, mel)
     exact, _ = decode(params["decoder"], cfg, toks, enc=enc)
     q, _ = decode(qdec, cfg, toks, enc=enc)
@@ -244,8 +245,13 @@ def test_quantized_lm_head_logits_parity():
     scale = np.abs(ex).max()
     assert np.abs(qq - ex).max() / scale < 0.05
 
+    # below the gate the quantized tree must fall back to the EXACT path
+    small, _ = decode(qdec, cfg, toks[:2], enc=enc[:2])
+    np.testing.assert_allclose(np.asarray(small), ex[:2], rtol=1e-5,
+                               atol=1e-5)
+
     qtree = maybe_quantize_encoder(params, cfg.replace(quantize_lm_head=True))
-    prompts = jnp.full((2, 1), cfg.decoder_start_token_id, jnp.int32)
+    prompts = jnp.full((8, 1), cfg.decoder_start_token_id, jnp.int32)
     opts = GenerationOptions(max_new_tokens=12, min_new_tokens=12)
     e_out = encode_and_generate(params, cfg, mel, prompts, opts)
     q_out = encode_and_generate(qtree, cfg, mel, prompts, opts)
