@@ -144,9 +144,14 @@ def parse_args(argv=None):
                         "policy (default, exact); 'inference' = the validated "
                         "bf16 fast-attention + fused-Pallas-encoder stack; "
                         "'int8' = inference + W8A8 int8 teacher projections "
-                        "(ops/quant.py).  Student numerics are unaffected; "
-                        "distillation targets shift within the same bounds "
-                        "as the int8 inference stack (tests/test_quant.py)")
+                        "(ops/quant.py).  Student GRADIENT numerics are "
+                        "exact, but note: under the default shared frozen "
+                        "encoder the student also trains on the approximate "
+                        "teacher's encoder states — a train/serve feature "
+                        "skew if the student serves with an exact bf16 "
+                        "encoder (its magnitude is the int8 stack's bounded "
+                        "drift, tests/test_quant.py; it vanishes if serving "
+                        "uses --quantize_encoder too)")
     p.add_argument("--loss_chunk_size", type=int, default=0,
                    help="chunked CE+KL: never materialise the [B,S,V] "
                         "student+teacher logits pair (~4 GB at bs16/seq256 "
@@ -228,14 +233,8 @@ def main(argv=None):
             fast_bf16_attention=True,
             use_flash_encoder=(args.precision != "full"))
         if args.teacher_precision == "int8":
-            from ..ops.quant import (quantize_encoder_params,
-                                     quantize_decoder_params)
-            # under jit: eager elementwise ops on a globally-sharded tree
-            # would touch non-addressable shards in multi-process runs
-            teacher = jax.jit(lambda t: {
-                **t,
-                "encoder": quantize_encoder_params(t["encoder"]),
-                "decoder": quantize_decoder_params(t["decoder"])})(teacher)
+            from ..ops.quant import quantize_teacher_params
+            teacher = quantize_teacher_params(teacher)
 
     frozen = []
     if args.freeze_encoder:

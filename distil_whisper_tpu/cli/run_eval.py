@@ -371,22 +371,22 @@ def main(argv=None):
         accepted = drafted = 0
         for start in range(0, len(audios), bs):
             group = audios[start:start + bs]
-            mels = [np.asarray(compute_mel(jnp.asarray(a), cfg))
-                    for a in group]        # each [1, n_mels, 3000]
+            # mels stay ON DEVICE ([1, n_mels, 3000] each): fetching them to
+            # host and re-uploading costs ~35 MB of tunnel traffic per
+            # bs-16 group (the round-1 pitfall, docs/PERFORMANCE.md)
+            mels = [compute_mel(jnp.asarray(a), cfg) for a in group]
             while len(mels) < bs:          # pad the ragged last group
                 mels.append(mels[-1])
-            mel = jnp.asarray(np.concatenate(mels, axis=0), dtype)
+            mel = jnp.concatenate(mels, axis=0).astype(dtype)
             out = spec(params, draft, mel, prompt_arr)
             seqs = np.asarray(out.sequences)
-            lens = np.atleast_1d(np.asarray(out.seq_len))
+            lens = np.asarray(out.seq_len)
             for i in range(len(group)):
                 ids = seqs[i][:int(lens[i])].tolist()
                 n_tokens += max(len(ids) - len(prompt), 0)
                 hyps.append(tok.decode(ids))
-            accepted += int(np.sum(
-                np.atleast_1d(np.asarray(out.accepted))[:len(group)]))
-            drafted += int(np.sum(
-                np.atleast_1d(np.asarray(out.drafted))[:len(group)]))
+            accepted += int(np.sum(np.asarray(out.accepted)[:len(group)]))
+            drafted += int(np.sum(np.asarray(out.drafted)[:len(group)]))
         if drafted:
             logger.info("speculative acceptance rate: %.1f%%",
                         100 * accepted / drafted)

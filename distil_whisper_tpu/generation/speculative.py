@@ -240,13 +240,18 @@ def speculative_generate_batched(
     """
     n = prompt_ids.shape[0]
     if n == 1:
-        return speculative_generate(
+        out = speculative_generate(
             teacher_dec, teacher_cfg, draft_dec, draft_cfg,
             teacher_cross, draft_cross, prompt_ids, opts, gamma=gamma,
             dtype=dtype, synthetic_acceptance=synthetic_acceptance,
             synthetic_seed=synthetic_seed)
+        # normalise to the batched contract: per-lane [N]-shaped counters
+        return SpeculativeOutput(
+            sequences=out.sequences, seq_len=out.seq_len,
+            rounds=out.rounds[None], drafted=out.drafted[None],
+            accepted=out.accepted[None])
 
-    def one(t_cross, d_cross, prompt):
+    def one(t_cross, d_cross, prompt, lane_seed):
         # vmap strips the mapped batch axis — restore the singleton the
         # bs-1 loop expects ([L, T, D] -> [L, 1, T, D], scales likewise)
         t_cross = jax.tree.map(lambda x: x[:, None], t_cross)
@@ -255,13 +260,17 @@ def speculative_generate_batched(
             teacher_dec, teacher_cfg, draft_dec, draft_cfg,
             t_cross, d_cross, prompt[None], opts, gamma=gamma, dtype=dtype,
             synthetic_acceptance=synthetic_acceptance,
-            synthetic_seed=synthetic_seed)
+            synthetic_seed=lane_seed)
 
-    # cross trees are [L, B, T, D] (scales [L, B, ...]): batch is axis 1
+    # cross trees are [L, B, T, D] (scales [L, B, ...]): batch is axis 1.
+    # Per-lane synthetic seeds: lanes must accept/reject INDEPENDENTLY or
+    # the vmapped while_loop (cond = any(active)) never pays the
+    # max-over-lanes round count real workloads pay.
     axes1 = jax.tree.map(lambda _: 1, teacher_cross)
     axes2 = jax.tree.map(lambda _: 1, draft_cross)
-    out = jax.vmap(one, in_axes=(axes1, axes2, 0))(
-        teacher_cross, draft_cross, prompt_ids)
+    lane_seeds = synthetic_seed + jnp.arange(n, dtype=jnp.int32)
+    out = jax.vmap(one, in_axes=(axes1, axes2, 0, 0))(
+        teacher_cross, draft_cross, prompt_ids, lane_seeds)
     return SpeculativeOutput(
         sequences=out.sequences[:, 0],          # [N, 1, total] -> [N, total]
         seq_len=out.seq_len[:, 0],              # [N, 1] -> [N]

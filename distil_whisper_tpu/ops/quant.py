@@ -157,6 +157,21 @@ def quantize_lm_head_params(dec: Params) -> Params:
     return out
 
 
+def quantize_teacher_params(teacher: Params) -> Params:
+    """Full-tree int8 quantization of a TEACHER for ``--teacher_precision
+    int8`` (encoder + decoder projections; the tied embedding / lm head is
+    deliberately left exact — it produces the KL target logits).
+
+    Runs under ``jax.jit`` so it is safe on globally-sharded trees in
+    multi-process runs (eager elementwise ops would touch non-addressable
+    shards).
+    """
+    return jax.jit(lambda t: {
+        **t,
+        "encoder": quantize_encoder_params(t["encoder"]),
+        "decoder": quantize_decoder_params(t["decoder"])})(teacher)
+
+
 def maybe_quantize_encoder(params: Params, cfg) -> Params:
     """Full param tree -> int8 encoder/decoder per the cfg flags.
 

@@ -56,14 +56,17 @@ def main():
                                         use_flash_encoder=True,
                                         quantize_encoder=int8,
                                         quantize_decoder=int8,
-                                        quantize_lm_head=int8,
+                                        # NOT quantize_lm_head: dead inside
+                                        # the spec loop (per-lane b=1 under
+                                        # the b>=8 gate) and would make the
+                                        # teacher-alone arm a different
+                                        # stack at BENCH_BATCH>=8
                                         quantize_self_kv=int8,
                                         quantize_cross_kv=int8)
     d_cfg = PRESETS["distil-large-v3"].replace(fast_bf16_attention=True,
                                                use_flash_encoder=True,
                                                quantize_encoder=int8,
                                                quantize_decoder=int8,
-                                               quantize_lm_head=int8,
                                                quantize_self_kv=int8,
                                                quantize_cross_kv=int8)
     teacher = init_params(t_cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)

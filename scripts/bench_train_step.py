@@ -35,12 +35,8 @@ def time_prec(prec, bs, seq, chunk):
         t_cfg = t_cfg.replace(fast_bf16_attention=True,
                               use_flash_encoder=True)
         if prec == "int8":
-            from distil_whisper_tpu.ops.quant import (
-                quantize_encoder_params, quantize_decoder_params)
-            teacher = {**teacher,
-                       "encoder": quantize_encoder_params(teacher["encoder"]),
-                       "decoder": quantize_decoder_params(teacher["decoder"])}
-            teacher = jax.tree.map(jnp.asarray, teacher)  # materialise once
+            from distil_whisper_tpu.ops.quant import quantize_teacher_params
+            teacher = quantize_teacher_params(teacher)
     opt_cfg = OptimizerConfig(learning_rate=1e-4, warmup_steps=10,
                               total_steps=1000, precision="half_mixed",
                               frozen_prefixes=("encoder",))

@@ -3,8 +3,10 @@
 # of every step (frozen shared encoder + teacher decode) runs on W8A8 int8
 # projections + the bf16 fast-attention stack, measured +60% step
 # throughput (633 -> 1010 audio-s/s per chip at bs16, docs/PERFORMANCE.md).
-# Distillation targets shift within the int8 inference-stack bounds; student
-# numerics are exact.  Validate WER on a real checkpoint before production.
+# Caveats: KL targets shift within the int8-stack bounds, and under the
+# shared frozen encoder the student trains on the int8 teacher's encoder
+# states (train/serve feature skew unless serving also uses
+# --quantize_encoder).  Validate WER on a real checkpoint before production.
 set -euo pipefail
 TEACHER=${TEACHER:-ckpts/whisper-large-v3}
 DATA=${DATA:-pl_out/dataset}

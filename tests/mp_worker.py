@@ -54,24 +54,29 @@ def main():
     elif mode == "train":
         teacher, student, data, out = sys.argv[5:9]
         from distil_whisper_tpu.cli.run_distillation import main as train_main
-        train_main([
+        common = [
             "--teacher_checkpoint", teacher,
             "--student_checkpoint", student,
             "--train_dataset_path", data,
-            "--output_dir", out,
             "--no_pseudo_labels",
-            "--max_steps", "2", "--per_device_train_batch_size", "1",
+            "--per_device_train_batch_size", "1",
             "--learning_rate", "1e-4", "--warmup_steps", "1",
-            "--precision", "full", "--save_steps", "2",
+            "--precision", "full",
             "--eval_steps", "100", "--logging_steps", "1",
             "--language", "en",
-            # int8 teacher over the 2-process global mesh: proves the
-            # jit-wrapped quantization of a globally-sharded tree works
-            # multi-controller (the single-process default path is covered
-            # by tests/test_cli_e2e.py)
-            "--teacher_precision", "int8",
-        ])
+        ]
+        # default (exact-teacher) path: the configuration every production
+        # run uses unless opted in — keep its collective placement covered
+        train_main(["--output_dir", out, "--max_steps", "2",
+                    "--save_steps", "2"] + common)
         print(f"proc {pid}: train OK", flush=True)
+        # int8 teacher over the same 2-process global mesh: proves the
+        # jit-wrapped quantization of a globally-sharded tree works
+        # multi-controller
+        train_main(["--output_dir", out + "-int8", "--max_steps", "1",
+                    "--save_steps", "1", "--teacher_precision", "int8"]
+                   + common)
+        print(f"proc {pid}: train int8 OK", flush=True)
 
     elif mode == "pl":
         # independent local mesh per process + contiguous dataset shard +

@@ -151,6 +151,7 @@ def test_two_process_distillation_training(tmp_path):
     for rc, out in zip(rcs, outs):
         assert rc == 0, out[-3000:]
     assert "train OK" in outs[0] and "train OK" in outs[1]
+    assert "train int8 OK" in outs[0] and "train int8 OK" in outs[1]
     # coordinated orbax save produced one checkpoint; metrics.jsonl written
     # by process 0 only
     assert (out_dir / "checkpoint-2" / "state").exists()
