@@ -152,6 +152,17 @@ def parse_args(argv=None):
                         "encoder (its magnitude is the int8 stack's bounded "
                         "drift, tests/test_quant.py; it vanishes if serving "
                         "uses --quantize_encoder too)")
+    p.add_argument("--quantize_student", default="none",
+                   choices=["none", "weights", "w8a8"],
+                   help="Quantization-aware training for the STUDENT "
+                        "(ops/qat.py): fake-quantize its decoder "
+                        "projections/MLP in the forward with straight-"
+                        "through gradients, so the trained weights serve "
+                        "faithfully under --quantize_decoder int8 "
+                        "inference.  'weights' = weight fake-quant only; "
+                        "'w8a8' = + dynamic per-token activation fake-quant "
+                        "(the full serve-time numerics).  An unfrozen "
+                        "student encoder (--train_encoder) is included too.")
     p.add_argument("--loss_chunk_size", type=int, default=0,
                    help="chunked CE+KL: never materialise the [B,S,V] "
                         "student+teacher logits pair (~4 GB at bs16/seq256 "
@@ -262,7 +273,8 @@ def main(argv=None):
         freeze_encoder=args.freeze_encoder,
         share_encoder=args.freeze_encoder,
         remat=args.gradient_checkpointing,
-        loss_chunk_size=args.loss_chunk_size)
+        loss_chunk_size=args.loss_chunk_size,
+        quantize_student=args.quantize_student)
     train_step, eval_step = build_train_step(student_cfg, teacher_cfg, dcfg,
                                              opt_cfg, tx)
     jit_train = jax.jit(train_step, donate_argnums=(0,))

@@ -69,6 +69,12 @@ def dense(p: Params, x: jnp.ndarray) -> jnp.ndarray:
         # int8-quantized weights (ops.quant.quantize_encoder_params):
         # W8A8 dot on the int8 MXU path, fp32 rescale epilogue
         return dense_int8(p, x)
+    if "act_fq" in p:
+        # QAT w8a8 mode (ops.qat): the kernel values are already fake-
+        # quantized by the tree transform; fake-quant the activation here so
+        # the training forward matches the int8 serving numerics exactly.
+        from ..ops.qat import fake_quant_acts
+        x = fake_quant_acts(x)
     y = jnp.einsum("...i,io->...o", x, p["kernel"].astype(x.dtype),
                    preferred_element_type=jnp.float32).astype(x.dtype)
     if "bias" in p:

@@ -44,6 +44,12 @@ class DistillConfig:
     # the difference between bs8 and bs16+ fitting on a 16 GB chip.
     # Only applies on the shared-encoder path without hidden-state MSE.
     loss_chunk_size: int = 0        # 0 = off (exact same math when on)
+    # Quantization-aware training (ops/qat.py): 'none' | 'weights' | 'w8a8'.
+    # Fake-quantizes the student DECODER's projections/MLP inside the loss
+    # (straight-through gradients), so the trained weights serve faithfully
+    # on the int8 stack (cfg.quantize_decoder).  'w8a8' also simulates the
+    # dynamic per-token activation quantization — the full serving numerics.
+    quantize_student: str = "none"
 
 
 def build_train_step(student_cfg: WhisperConfig, teacher_cfg: WhisperConfig,
@@ -64,6 +70,16 @@ def build_train_step(student_cfg: WhisperConfig, teacher_cfg: WhisperConfig,
 
     def compute_losses(params: Params, teacher_params: Params,
                        batch: Dict[str, jnp.ndarray], dropout_rng=None):
+        if dcfg.quantize_student != "none":
+            # QAT: the student decodes through serve-time int8 numerics with
+            # straight-through gradients to the full-precision masters
+            # (ops/qat.py).  Fresh scales every step — they track the moving
+            # weights.  Scope matches cfg.quantize_decoder; an unfrozen
+            # student encoder joins in (a frozen one is PTQ either way).
+            from ..ops.qat import fake_quant_student_params
+            params = fake_quant_student_params(
+                params, dcfg.quantize_student,
+                encoder_too=not dcfg.freeze_encoder)
         mel = batch["input_features"]
         dec_in = batch["decoder_input_ids"]
         labels = batch["labels"]
