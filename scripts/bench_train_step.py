@@ -3,11 +3,14 @@ distil-large-v3 student (frozen shared encoder, half_mixed, remat).
 
 Reports steps/s and training audio-hours/hour (= bs * 30 s per step).
 Env: TRAIN_BS (default 8), TRAIN_SEQ (default 256),
-TRAIN_TEACHER_PREC: comma-separated subset of {train, inference, int8}
-(default "train") — the --teacher_precision knob of cli/run_distillation.py:
-the teacher side of the step is pure inference, so it can ride the
-bf16-fast / int8 stack.  Multiple precisions are timed in ONE process so
-the comparison cancels run-to-run chip drift (docs/PERFORMANCE.md rule 1).
+TRAIN_TEACHER_PREC: comma-separated variants "prec" or "prec+qat" where
+prec in {train, inference, int8} (the --teacher_precision knob of
+cli/run_distillation.py: the teacher side of the step is pure inference,
+so it can ride the bf16-fast / int8 stack) and qat in {weights, w8a8}
+(the --quantize_student knob: STE fake-quant of the student's decoder,
+ops/qat.py).  e.g. TRAIN_TEACHER_PREC="int8,int8+w8a8".  Multiple variants
+are timed in ONE process so the comparison cancels run-to-run chip drift
+(docs/PERFORMANCE.md rule 1).
 """
 
 import json
@@ -17,7 +20,8 @@ import time
 import numpy as np
 
 
-def time_prec(prec, bs, seq, chunk):
+def time_prec(variant, bs, seq, chunk):
+    prec, _, qat = variant.partition("+")
     import jax
     import jax.numpy as jnp
     from distil_whisper_tpu.config import PRESETS
@@ -44,7 +48,8 @@ def time_prec(prec, bs, seq, chunk):
     state, tx = TrainState.create(student, opt_cfg, tx)
     del student
     dcfg = DistillConfig(freeze_encoder=True, share_encoder=True, remat=True,
-                         loss_chunk_size=chunk)
+                         loss_chunk_size=chunk,
+                         quantize_student=qat or "none")
     train_step, _ = build_train_step(s_cfg, t_cfg, dcfg, opt_cfg, tx)
     jit_step = jax.jit(train_step, donate_argnums=(0,))
 
@@ -63,7 +68,7 @@ def time_prec(prec, bs, seq, chunk):
     state, metrics = jit_step(state, teacher, batch)
     np.asarray(metrics["loss"])
     compile_s = time.perf_counter() - t0
-    print(f"[{prec}] compile+first step: {compile_s:.0f}s loss="
+    print(f"[{variant}] compile+first step: {compile_s:.0f}s loss="
           f"{float(metrics['loss']):.3f}", flush=True)
 
     iters = 5
@@ -72,7 +77,7 @@ def time_prec(prec, bs, seq, chunk):
         state, metrics = jit_step(state, teacher, batch)
         np.asarray(metrics["loss"])
     dt = (time.perf_counter() - t0) / iters
-    print(f"[{prec}] {dt*1e3:.1f} ms/step", flush=True)
+    print(f"[{variant}] {dt*1e3:.1f} ms/step", flush=True)
     return dt
 
 

@@ -329,7 +329,9 @@ def main():
         "`--noise_snr_db` (noise eval in one driver), `--gamma` "
         "(speculative draft length), `--teacher_precision` (serve the "
         "no-grad teacher side of distillation with the inference/int8 "
-        "stack), sweep runner (`run_sweep`), "
+        "stack), `--quantize_student` (quantization-aware training: STE "
+        "fake-quant of the student's decoder against the exact int8 "
+        "serving numerics, ops/qat.py), sweep runner (`run_sweep`), "
         "checkpoint converter (`convert_checkpoint_to_hf`).", "",
     ]
     if errors:

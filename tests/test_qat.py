@@ -163,6 +163,41 @@ def test_qat_weights_mode_and_chunked_loss():
         np.asarray(student["encoder"]["conv1"]["kernel"]))
 
 
+def test_qat_sharded_train_step_matches_single_device():
+    """QAT (w8a8) step over a ('data','model') mesh == single-device: the
+    fake-quant absmax reductions run over model-axis-sharded kernels under
+    GSPMD without changing the math."""
+    from distil_whisper_tpu.models.init import param_axes
+    from distil_whisper_tpu.parallel import (make_mesh, shard_batch,
+                                             shard_params)
+    mesh = make_mesh((4, 2))
+    teacher = init_params(TEACHER_CFG, jax.random.PRNGKey(0))
+    student, s_cfg = init_student_from_teacher(teacher, TEACHER_CFG,
+                                               decoder_layers=2)
+    opt_cfg = OptimizerConfig(learning_rate=1e-3, warmup_steps=1,
+                              total_steps=10, precision="full",
+                              frozen_prefixes=("encoder",))
+    dcfg = DistillConfig(freeze_encoder=True, share_encoder=True,
+                         quantize_student="w8a8")
+    batch = _batch(bsz=8)
+
+    teacher_sh = shard_params(teacher, param_axes(TEACHER_CFG), mesh)
+    student_sh = shard_params(student, param_axes(s_cfg), mesh)
+    tx = make_optimizer(opt_cfg, student_sh)
+    state, tx = TrainState.create(student_sh, opt_cfg, tx)
+    train_step, _ = build_train_step(s_cfg, TEACHER_CFG, dcfg, opt_cfg, tx)
+    _, metrics = jax.jit(train_step)(state, teacher_sh,
+                                     shard_batch(batch, mesh))
+    sharded_loss = float(metrics["loss"])
+
+    tx1 = make_optimizer(opt_cfg, student)
+    state1, tx1 = TrainState.create(student, opt_cfg, tx1)
+    step1, _ = build_train_step(s_cfg, TEACHER_CFG, dcfg, opt_cfg, tx1)
+    _, metrics1 = jax.jit(step1)(state1, teacher, batch)
+    np.testing.assert_allclose(sharded_loss, float(metrics1["loss"]),
+                               rtol=2e-4)
+
+
 def test_fake_quant_tree_preserves_structure():
     """The QAT tree keeps {kernel, bias} names/shapes (plus the act_fq
     marker), so grads map one-to-one onto the master params."""
