@@ -250,6 +250,12 @@ def main(argv=None):
     frozen = []
     if args.freeze_encoder:
         frozen.append("encoder")
+    if args.quantize_student != "none" and args.freeze_decoder:
+        # fake-quantizing a decoder that never updates is just PTQ with
+        # extra steps — the STE gradients have nowhere to go
+        logger.warning("--quantize_student with --freeze_decoder: the frozen "
+                    "decoder cannot adapt to the quantized numerics; this "
+                    "is equivalent to serving-time PTQ (--quantize_decoder)")
     if args.freeze_decoder:
         # everything under decoder EXCEPT tok_emb (tied to the LM head,
         # reference run_distillation.py:1027-1032)

@@ -47,6 +47,14 @@ def main(argv=None):
     p.add_argument("--precision", default="half_mixed",
                    choices=["full", "half_mixed", "full_mixed"])
     p.add_argument("--freeze_encoder", action="store_true")
+    p.add_argument("--quantize_student", default="none",
+                   choices=["none", "weights", "w8a8"],
+                   help="quantization-aware training (ops/qat.py): "
+                        "fake-quantize the model's projections/MLP in the "
+                        "forward (decoder always; encoder too unless "
+                        "--freeze_encoder) with straight-through gradients "
+                        "so the finetuned weights serve faithfully under "
+                        "the int8 inference stack")
     p.add_argument("--gradient_checkpointing", action="store_true")
     p.add_argument("--max_label_length", type=int, default=448)
     p.add_argument("--min_duration_s", type=float, default=0.0)
@@ -97,7 +105,8 @@ def main(argv=None):
 
     train_step, _ = build_finetune_step(
         cfg, opt_cfg, tx, label_smoothing=args.label_smoothing,
-        remat=args.gradient_checkpointing, freeze_encoder=args.freeze_encoder)
+        remat=args.gradient_checkpointing, freeze_encoder=args.freeze_encoder,
+        quantize_student=args.quantize_student)
     jit_train = jax.jit(train_step, donate_argnums=(0,))
 
     ft_args = argparse.Namespace(**{**vars(args), "use_pseudo_labels": False,

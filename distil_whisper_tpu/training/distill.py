@@ -170,11 +170,20 @@ def build_train_step(student_cfg: WhisperConfig, teacher_cfg: WhisperConfig,
 
 def build_finetune_step(cfg: WhisperConfig, opt_cfg: OptimizerConfig, tx,
                         label_smoothing: float = 0.0, remat: bool = False,
-                        freeze_encoder: bool = False):
-    """Plain CE fine-tuning (reference flax/run_finetuning.py:880-933)."""
+                        freeze_encoder: bool = False,
+                        quantize_student: str = "none"):
+    """Plain CE fine-tuning (reference flax/run_finetuning.py:880-933).
+
+    ``quantize_student`` ('none'|'weights'|'w8a8'): QAT via ops/qat.py —
+    the model trains through the int8 serving numerics (encoder included
+    when it is unfrozen, since fine-tuning trains the full model)."""
     dtype = opt_cfg.compute_dtype
 
     def loss_fn(params, batch):
+        if quantize_student != "none":
+            from ..ops.qat import fake_quant_student_params
+            params = fake_quant_student_params(
+                params, quantize_student, encoder_too=not freeze_encoder)
         logits, _ = forward(params, cfg, batch["input_features"],
                             batch["decoder_input_ids"],
                             decoder_attention_mask=batch.get("decoder_attention_mask"),

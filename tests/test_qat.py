@@ -163,6 +163,37 @@ def test_qat_weights_mode_and_chunked_loss():
         np.asarray(student["encoder"]["conv1"]["kernel"]))
 
 
+def test_qat_finetune_step_full_model():
+    """Fine-tuning QAT (w8a8, unfrozen encoder): the ENCODER fake-quant path
+    runs too; loss descends and the encoder's int8-serving forward matches
+    the QAT forward on the trained weights."""
+    from distil_whisper_tpu.models.whisper import encode
+    from distil_whisper_tpu.ops.qat import fake_quant_encoder_params
+    from distil_whisper_tpu.ops.quant import quantize_encoder_params
+    from distil_whisper_tpu.training import build_finetune_step
+    cfg = TEACHER_CFG
+    params = init_params(cfg, jax.random.PRNGKey(1))
+    opt_cfg = OptimizerConfig(learning_rate=1e-3, warmup_steps=0,
+                              total_steps=10, precision="full")
+    tx = make_optimizer(opt_cfg, params)
+    state, tx = TrainState.create(params, opt_cfg, tx)
+    train_step, _ = build_finetune_step(cfg, opt_cfg, tx,
+                                        quantize_student="w8a8")
+    jit_step = jax.jit(train_step)
+    batch = _batch(bsz=2)
+    state, m1 = jit_step(state, batch)
+    for _ in range(5):
+        state, m2 = jit_step(state, batch)
+    assert float(m2["loss"]) < float(m1["loss"])
+
+    enc_qat = encode(fake_quant_encoder_params(state.params["encoder"]),
+                     cfg, batch["input_features"])
+    enc_int8 = encode(quantize_encoder_params(state.params["encoder"]),
+                      cfg, batch["input_features"])
+    np.testing.assert_allclose(np.asarray(enc_qat), np.asarray(enc_int8),
+                               rtol=2e-3, atol=2e-3)
+
+
 def test_qat_sharded_train_step_matches_single_device():
     """QAT (w8a8) step over a ('data','model') mesh == single-device: the
     fake-quant absmax reductions run over model-axis-sharded kernels under
