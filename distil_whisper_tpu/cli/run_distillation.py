@@ -159,10 +159,13 @@ def parse_args(argv=None):
                         "projections/MLP in the forward with straight-"
                         "through gradients, so the trained weights serve "
                         "faithfully under --quantize_decoder int8 "
-                        "inference.  'weights' = weight fake-quant only; "
-                        "'w8a8' = + dynamic per-token activation fake-quant "
-                        "(the full serve-time numerics).  An unfrozen "
-                        "student encoder (--train_encoder) is included too.")
+                        "inference.  'w8a8' (weights + dynamic per-token "
+                        "activation fake-quant) is THE serve-matching mode "
+                        "- the int8 stack always quantizes activations "
+                        "dynamically; 'weights' (weight fake-quant only) "
+                        "is an ablation knob, not a serving target.  An "
+                        "unfrozen student encoder (--train_encoder) is "
+                        "included too.")
     p.add_argument("--loss_chunk_size", type=int, default=0,
                    help="chunked CE+KL: never materialise the [B,S,V] "
                         "student+teacher logits pair (~4 GB at bs16/seq256 "

@@ -157,7 +157,15 @@ def fused_self_attention(p_attn, x_ln: jnp.ndarray, n_heads: int,
     b, t, dm = x_ln.shape
     d = dm // n_heads
     quantized = "kernel_q" in p_attn["q"]
-    fused_qkv = fused_qkv and not quantized  # int8 path projects per-weight
+    act_fq = "act_fq" in p_attn["q"]
+    fused_qkv = fused_qkv and not (quantized or act_fq)
+    if act_fq:
+        # QAT w8a8 tree (ops/qat.py): fake-quant the shared q/k/v input the
+        # way the int8 branch below quantizes it (ONE per-(b,t) scale),
+        # straight-through gradient — keeps the flash-encoder training
+        # forward on the serve-time numerics.
+        from .qat import fake_quant_acts
+        x_ln = fake_quant_acts(x_ln)
     if quantized:
         # W8A8 (ops/quant.py): ONE activation quantization shared by the
         # q/k/v projections; int8 x int8 -> int32 on the MXU, fp32 rescale.
@@ -211,6 +219,14 @@ def fused_self_attention(p_attn, x_ln: jnp.ndarray, n_heads: int,
         y = (y.astype(jnp.float32) * a_scale[:, 0]
              * p_attn["out"]["kernel_scale"])
         return (y + p_attn["out"]["bias"].astype(jnp.float32)).astype(a.dtype)
+    if act_fq:
+        # mirror the int8 out-projection's per-(b,t)-over-(h,k) scale
+        # (same element set as dense()'s per-row over the merged dm), STE
+        a32 = a.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(a32), axis=(1, 3), keepdims=True)
+        a_scale = jnp.maximum(amax, 1e-12) / 127.0
+        dq = jnp.clip(jnp.round(a32 / a_scale), -127, 127) * a_scale
+        a = (a32 + jax.lax.stop_gradient(dq - a32)).astype(a.dtype)
     wo = p_attn["out"]["kernel"].reshape(n_heads, d, dm).astype(a.dtype)
     y = jnp.einsum("bhtk,hkd->btd", a, wo,
                    preferred_element_type=jnp.float32).astype(a.dtype)

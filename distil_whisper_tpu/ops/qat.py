@@ -43,7 +43,8 @@ from typing import Any, Dict
 import jax
 import jax.numpy as jnp
 
-from .quant import quantize_acts, quantize_weight
+from .quant import (map_decoder_dense, map_encoder_dense, quantize_acts,
+                    quantize_weight)
 
 Params = Dict[str, Any]
 
@@ -94,32 +95,31 @@ def fake_quant_dense(p: Params, acts: bool) -> Params:
 def fake_quant_decoder_params(dec: Params, acts: bool = True) -> Params:
     """Decoder subtree -> fake-quant self/cross q/k/v/out + fc1/fc2.
 
-    Mirrors ``ops.quant.quantize_decoder_params`` member-for-member so the
-    QAT forward sees precisely the serve-time quantization boundary.
+    Uses the SAME traversal as ``ops.quant.quantize_decoder_params``
+    (``map_decoder_dense``), so the QAT scope cannot drift from the
+    serve-time quantization boundary.
     """
-    layers = dict(dec["layers"])
-    for attn in ("self_attn", "cross_attn"):
-        layers[attn] = {name: fake_quant_dense(layers[attn][name], acts)
-                        for name in ("q", "k", "v", "out")}
-    for name in ("fc1", "fc2"):
-        layers[name] = fake_quant_dense(layers[name], acts)
     out = dict(dec)
-    out["layers"] = layers
+    out["layers"] = map_decoder_dense(dec["layers"],
+                                      lambda p: fake_quant_dense(p, acts))
     return out
 
 
 def fake_quant_encoder_params(enc: Params, acts: bool = True) -> Params:
     """Encoder subtree -> fake-quant self q/k/v/out + fc1/fc2 (the
-    ``quantize_encoder_params`` scope).  Only useful when the student's
-    encoder is UNFROZEN — a frozen encoder cannot adapt, so serving it int8
-    is plain PTQ either way."""
-    layers = dict(enc["layers"])
-    layers["self_attn"] = {name: fake_quant_dense(layers["self_attn"][name], acts)
-                           for name in ("q", "k", "v", "out")}
-    for name in ("fc1", "fc2"):
-        layers[name] = fake_quant_dense(layers[name], acts)
+    ``quantize_encoder_params`` scope, via the shared ``map_encoder_dense``
+    traversal).  Only useful when the student's encoder is UNFROZEN — a
+    frozen encoder cannot adapt, so serving it int8 is plain PTQ either way.
+
+    Known bounded divergence from the TPU serve path: serving with
+    ``cfg.quantize_encoder`` runs the fused Pallas MLP (``ops/int8_mlp.py``)
+    which requantizes the gelu intermediate per (row, 512-wide chunk);
+    QAT's fc2 activation fake-quant is per full row.  The chunked scales
+    are strictly finer (≥ the per-row accuracy QAT trained against), and
+    the dense fallback path matches exactly."""
     out = dict(enc)
-    out["layers"] = layers
+    out["layers"] = map_encoder_dense(enc["layers"],
+                                      lambda p: fake_quant_dense(p, acts))
     return out
 
 
@@ -127,12 +127,14 @@ def fake_quant_student_params(params: Params, mode: str,
                               encoder_too: bool = False) -> Params:
     """Full student tree -> QAT forward tree.
 
-    mode: ``"weights"`` (weight-only fake-quant) or ``"w8a8"`` (weights +
-    dynamic activation fake-quant — the full serve-time numerics).
+    mode: ``"w8a8"`` (weights + dynamic activation fake-quant — the full
+    serve-time numerics; the int8 stack always quantizes activations
+    dynamically, so this is THE serve-matching mode) or ``"weights"``
+    (weight-only fake-quant — an ablation knob, not a serving target).
     """
     if mode not in ("weights", "w8a8"):
         raise ValueError(f"quantize_student mode {mode!r} not in "
-                         "('none', 'weights', 'w8a8')")
+                         "('weights', 'w8a8')")
     acts = mode == "w8a8"
     out = dict(params)
     out["decoder"] = fake_quant_decoder_params(params["decoder"], acts)

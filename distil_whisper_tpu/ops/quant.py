@@ -88,6 +88,33 @@ def quantize_dense(p: Params) -> Params:
     return out
 
 
+def map_encoder_dense(layers: Params, fn) -> Params:
+    """Apply ``fn`` to every quantizable dense subtree of an encoder layer
+    stack (self-attention q/k/v/out + fc1/fc2) — THE encoder quantization
+    scope.  Shared by serve-time quantization (:func:`quantize_encoder_params`)
+    and QAT (:func:`ops.qat.fake_quant_encoder_params`) so the two scopes
+    cannot drift apart."""
+    out = dict(layers)
+    out["self_attn"] = {name: fn(layers["self_attn"][name])
+                        for name in ("q", "k", "v", "out")}
+    for name in ("fc1", "fc2"):
+        out[name] = fn(layers[name])
+    return out
+
+
+def map_decoder_dense(layers: Params, fn) -> Params:
+    """Apply ``fn`` to every quantizable dense subtree of a decoder layer
+    stack (self/cross-attention q/k/v/out + fc1/fc2) — THE decoder
+    quantization scope, shared by serve-time quantization and QAT."""
+    out = dict(layers)
+    for attn in ("self_attn", "cross_attn"):
+        out[attn] = {name: fn(layers[attn][name])
+                     for name in ("q", "k", "v", "out")}
+    for name in ("fc1", "fc2"):
+        out[name] = fn(layers[name])
+    return out
+
+
 def quantize_encoder_params(enc: Params) -> Params:
     """Encoder subtree -> int8 projection/MLP weights.
 
@@ -102,16 +129,8 @@ def quantize_encoder_params(enc: Params) -> Params:
     """
     if "kernel_q" in enc["layers"]["fc1"]:
         return enc  # already quantized (idempotent)
-    layers = enc["layers"]
-    new_layers = dict(layers)
-    new_layers["self_attn"] = {
-        name: quantize_dense(layers["self_attn"][name])
-        for name in ("q", "k", "v", "out")
-    }
-    for name in ("fc1", "fc2"):
-        new_layers[name] = quantize_dense(layers[name])
     out = dict(enc)
-    out["layers"] = new_layers
+    out["layers"] = map_encoder_dense(enc["layers"], quantize_dense)
     return out
 
 
@@ -127,14 +146,8 @@ def quantize_decoder_params(dec: Params) -> Params:
     """
     if "kernel_q" in dec["layers"]["fc1"]:
         return dec  # already quantized (idempotent)
-    layers = dict(dec["layers"])
-    for attn in ("self_attn", "cross_attn"):
-        layers[attn] = {name: quantize_dense(layers[attn][name])
-                        for name in ("q", "k", "v", "out")}
-    for name in ("fc1", "fc2"):
-        layers[name] = quantize_dense(layers[name])
     out = dict(dec)
-    out["layers"] = layers
+    out["layers"] = map_decoder_dense(dec["layers"], quantize_dense)
     return out
 
 

@@ -7,8 +7,8 @@
 #   run_eval --quantize_decoder   (and the rest of the int8 stack).
 # Combine with --teacher_precision int8 for the fast teacher side: the two
 # are independent (teacher = no-grad inference path, student = QAT loss).
-# 'weights' mode is the cheaper variant (weight-only fake-quant) when only
-# weight quantization will be used at serve time.
+# w8a8 is the serve-matching mode (the int8 stack always quantizes
+# activations dynamically); 'weights' is an ablation knob only.
 set -euo pipefail
 TEACHER=${TEACHER:-ckpts/whisper-large-v3}
 DATA=${DATA:-pl_out/dataset}

@@ -163,6 +163,37 @@ def test_qat_weights_mode_and_chunked_loss():
         np.asarray(student["encoder"]["conv1"]["kernel"]))
 
 
+def test_flash_encoder_qat_matches_int8_fused_path():
+    """fused_self_attention on a QAT (w8a8) tree == the int8 fused serve
+    path to fp rounding, and gradients flow (STE) — the flash-encoder
+    training forward stays on the serve numerics."""
+    from distil_whisper_tpu.ops.encoder_attention import fused_self_attention
+    from distil_whisper_tpu.ops.quant import quantize_dense
+    rng = np.random.default_rng(3)
+    dm, h, t, b = 64, 4, 128, 2
+
+    def mk(bias=True):
+        p = {"kernel": jnp.asarray(rng.standard_normal((dm, dm)) * 0.1,
+                                   jnp.float32)}
+        if bias:
+            p["bias"] = jnp.asarray(rng.standard_normal((dm,)) * 0.01,
+                                    jnp.float32)
+        return p
+
+    attn = {"q": mk(), "k": mk(bias=False), "v": mk(), "out": mk()}
+    x = jnp.asarray(rng.standard_normal((b, t, dm)), jnp.float32)
+    qat_tree = {n: fake_quant_dense(p, acts=True) for n, p in attn.items()}
+    int8_tree = {n: quantize_dense(p) for n, p in attn.items()}
+    y_qat = fused_self_attention(qat_tree, x, h, t, interpret=True)
+    y_int8 = fused_self_attention(int8_tree, x, h, t, interpret=True)
+    np.testing.assert_allclose(np.asarray(y_qat), np.asarray(y_int8),
+                               rtol=2e-3, atol=2e-3)
+    g = jax.grad(lambda xx: jnp.sum(
+        fused_self_attention(qat_tree, xx, h, t, interpret=True)))(x)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.max(jnp.abs(g))) > 0
+
+
 def test_qat_finetune_step_full_model():
     """Fine-tuning QAT (w8a8, unfrozen encoder): the ENCODER fake-quant path
     runs too; loss descends and the encoder's int8-serving forward matches
