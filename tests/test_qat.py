@@ -260,6 +260,32 @@ def test_qat_sharded_train_step_matches_single_device():
                                rtol=2e-4)
 
 
+def test_qat_composes_with_int8_teacher():
+    """--quantize_student w8a8 + --teacher_precision int8 in ONE step (the
+    launcher's recommended combination): runs, finite, descends."""
+    from distil_whisper_tpu.ops.quant import quantize_teacher_params
+    teacher = init_params(TEACHER_CFG, jax.random.PRNGKey(0))
+    student, s_cfg = init_student_from_teacher(teacher, TEACHER_CFG,
+                                               decoder_layers=2)
+    teacher8 = quantize_teacher_params(teacher)
+    opt_cfg = OptimizerConfig(learning_rate=3e-3, warmup_steps=1,
+                              total_steps=20, precision="full",
+                              frozen_prefixes=("encoder",))
+    tx = make_optimizer(opt_cfg, student)
+    state, tx = TrainState.create(student, opt_cfg, tx)
+    dcfg = DistillConfig(freeze_encoder=True, share_encoder=True,
+                         quantize_student="w8a8")
+    train_step, _ = build_train_step(s_cfg, TEACHER_CFG, dcfg, opt_cfg, tx)
+    jit_step = jax.jit(train_step)
+    batch = _batch(bsz=2)
+    losses = []
+    for _ in range(6):
+        state, metrics = jit_step(state, teacher8, batch)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses)), losses
+    assert losses[-1] < losses[0], losses
+
+
 def test_fake_quant_tree_preserves_structure():
     """The QAT tree keeps {kernel, bias} names/shapes (plus the act_fq
     marker), so grads map one-to-one onto the master params."""
