@@ -71,6 +71,9 @@ def parse_args(argv=None):
     p.add_argument("--warmup_steps", type=int, default=50)
     p.add_argument("--lr_scheduler_type", default="constant_with_warmup")
     p.add_argument("--weight_decay", type=float, default=0.0)
+    p.add_argument("--adam_beta1", type=float, default=0.9)
+    p.add_argument("--adam_beta2", type=float, default=0.999)
+    p.add_argument("--adam_epsilon", type=float, default=1e-8)
     p.add_argument("--max_grad_norm", type=float, default=1.0)
     p.add_argument("--precision", default="half_mixed",
                    choices=["full", "half_mixed", "full_mixed"])
@@ -269,6 +272,7 @@ def main(argv=None):
         learning_rate=args.learning_rate, warmup_steps=args.warmup_steps,
         total_steps=args.max_steps, schedule=args.lr_scheduler_type,
         weight_decay=args.weight_decay, max_grad_norm=args.max_grad_norm,
+        b1=args.adam_beta1, b2=args.adam_beta2, eps=args.adam_epsilon,
         gradient_accumulation_steps=args.gradient_accumulation_steps,
         precision=args.precision, frozen_prefixes=tuple(frozen))
     tx = make_optimizer(opt_cfg, to_fp32(student))

@@ -44,6 +44,9 @@ def main(argv=None):
     p.add_argument("--warmup_steps", type=int, default=50)
     p.add_argument("--label_smoothing", type=float, default=0.0)
     p.add_argument("--weight_decay", type=float, default=0.0)
+    p.add_argument("--adam_beta1", type=float, default=0.9)
+    p.add_argument("--adam_beta2", type=float, default=0.999)
+    p.add_argument("--adam_epsilon", type=float, default=1e-8)
     p.add_argument("--precision", default="half_mixed",
                    choices=["full", "half_mixed", "full_mixed"])
     p.add_argument("--freeze_encoder", action="store_true")
@@ -96,6 +99,7 @@ def main(argv=None):
     opt_cfg = OptimizerConfig(
         learning_rate=args.learning_rate, warmup_steps=args.warmup_steps,
         total_steps=args.max_steps, weight_decay=args.weight_decay,
+        b1=args.adam_beta1, b2=args.adam_beta2, eps=args.adam_epsilon,
         precision=args.precision,
         frozen_prefixes=("encoder",) if args.freeze_encoder else ())
     tx = make_optimizer(opt_cfg, to_fp32(params))

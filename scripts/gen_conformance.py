@@ -100,9 +100,9 @@ MAPPING = {
         "kl_weight": "`--kl_weight`",
         "dtype": "`--precision` (full / half_mixed / full_mixed)",
         "save_best_total_limit": "`--save_best_total_limit`",
-        "adam_beta1": "n/a — fixed at the reference default (0.9)",
-        "adam_beta2": "n/a — fixed at the reference default (0.999)",
-        "adam_epsilon": "n/a — fixed at the reference default (1e-8)",
+        "adam_beta1": "`--adam_beta1`",
+        "adam_beta2": "`--adam_beta2`",
+        "adam_epsilon": "`--adam_epsilon`",
         "dataloader_num_workers": TORCH_DL,
         "dataloader_pin_memory": TORCH_DL,
         "dataloader_prefetch_factor": TORCH_DL,

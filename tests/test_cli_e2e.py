@@ -136,6 +136,44 @@ def test_stage3_distillation(workspace):
     assert (Path(out_dir) / "checkpoint-4").exists()
 
 
+def test_stage3b_qat_distillation_then_int8_eval(workspace):
+    """The QAT recipe end-to-end through the CLIs: distill with
+    --quantize_student w8a8 (student decoder trains through the int8
+    serve-time numerics, ops/qat.py), then run_eval --quantize_decoder
+    on the exported artifact — the operating point QAT trained for."""
+    from distil_whisper_tpu.cli.run_distillation import main
+    out_dir = str(workspace["root"] / "distilled-qat")
+    final = main([
+        "--teacher_checkpoint", workspace["teacher"],
+        "--student_checkpoint", workspace["student"],
+        "--train_dataset_path", workspace["pl_dataset"],
+        "--output_dir", out_dir,
+        "--max_steps", "3",
+        "--per_device_train_batch_size", "1",
+        "--warmup_steps", "1",
+        "--wer_threshold", "100000",
+        "--save_steps", "3",
+        "--logging_steps", "1",
+        "--language", "en",
+        "--precision", "full",
+        "--quantize_student", "w8a8",
+    ])
+    assert (Path(final) / "model.safetensors").exists()
+
+    from distil_whisper_tpu.cli.run_eval import main as eval_main
+    res = eval_main([
+        "--model_checkpoint", final,
+        "--dataset_path", workspace["data"],
+        "--mode", "short",
+        "--language", "en",
+        "--batch_size", "2",
+        "--max_new_tokens", "8",
+        "--dtype", "float32",
+        "--quantize_decoder",
+    ])
+    assert res["rtfx"] > 0 and "wer" in res
+
+
 def test_stage4_eval_all_modes(workspace):
     from distil_whisper_tpu.cli.run_eval import main
     common = [
