@@ -1,12 +1,24 @@
 """Fused single-token decode attention against int8 K/V — Pallas TPU kernel.
 
+**Documented NEGATIVE result — kept unit-tested, NOT wired into decode().**
+Measured at the teacher cross-KV shape (L32, bs16, T1500->1536, D1280) on
+v5e: this kernel runs the 32-layer per-token attention at **5.3 ms/token
+vs 4.3 for the XLA dequant + merged-layout path** it was meant to replace
+(scripts/ablate_int8_decode_kernel.py).  The miss disproved the premise:
+the production stream (3.28 ms/token in-model, scripts/ablate_cross_len.py)
+moves its 2 GB of int8 bytes at ~610 GB/s — ~75% of spec HBM bandwidth —
+so the XLA path is already bandwidth-optimal and the "~0.9 ms of unfused
+overhead" inferred from the 820 GB/s paper roofline was headroom that does
+not exist at sustainable bandwidth.  Lesson recorded in
+docs/PERFORMANCE.md; the kernel remains as the reference int8-MXU decode
+formulation (and the only one that makes int8 decode matmuls viable at
+all — see below).
+
 Why: the teacher's cached decode re-reads its whole quantized cross-KV
 (32 x 2 x [B, 1500, 1280] int8, ~2 GB at bs16) every token.  The XLA path
-dequantizes K/V to bf16 before the attention matmuls and spends ~3.3 ms/token
-on a stream whose int8 bytes cost only ~2.4 ms at HBM roofline
-(scripts/ablate_cross_len.py) — the dequantized operands and the fp32
-probs-x-V reduce don't all stay in registers.  This kernel keeps the int8
-bytes as the ONLY HBM traffic and does both matmuls on the int8 MXU path.
+dequantizes K/V to bf16 before the attention matmuls; this kernel keeps the
+int8 bytes as the ONLY HBM traffic and does both matmuls on the int8 MXU
+path.
 
 The trick that makes int8 matmuls work here: XLA's int8 decode matmuls lose
 badly at low M (scripts/ablate_decode_attn2.py: 16.7 ms vs 6.3 dequant), so
@@ -63,8 +75,9 @@ def _kernel(qblk_ref, kq_ref, vq_ref, sfac_ref, vfac_ref, krow_ref,
     s32 = jax.lax.dot_general(
         qblk_ref[0], kq_ref[0], (((0,), (1,)), ((), ())),
         preferred_element_type=jnp.int32)
-    s = s32.astype(jnp.float32) * sfac_ref[0] * krow_ref[0]
-    s = jnp.where(mask_ref[0] > 0, s, NEG_INF)
+    # mask is an ADDITIVE fp32 bias (0 = attend, -1e30 = masked): Mosaic has
+    # no int8 vector compare, and an add needs no compare at all
+    s = s32.astype(jnp.float32) * sfac_ref[0] * krow_ref[0] + mask_ref[0]
     m = jnp.max(s, axis=1, keepdims=True)
     p = jnp.exp(s - m)
     denom = jnp.sum(p, axis=1, keepdims=True)
@@ -74,13 +87,15 @@ def _kernel(qblk_ref, kq_ref, vq_ref, sfac_ref, vfac_ref, krow_ref,
     o32 = jax.lax.dot_general(p8, vq_ref[0], (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
     o = o32.astype(jnp.float32) * (ps * vfac_ref[0])    # [H, D]
-    o = jnp.sum(o * expand_ref[...].astype(jnp.float32), axis=0)
-    o_ref[0, :] = o.astype(o_ref.dtype)
+    o = jnp.sum(o * expand_ref[...].astype(jnp.float32), axis=0,
+                keepdims=True)
+    o_ref[0, :, :] = o.astype(o_ref.dtype)
 
 
 def _expand_eye(n_heads: int, d: int) -> jnp.ndarray:
-    """0/1 [H, D] head-block selector (expand[h, h*hd:(h+1)*hd] = 1)."""
-    return jnp.repeat(jnp.eye(n_heads, dtype=jnp.int8),
+    """0/1 [H, D] head-block selector (expand[h, h*hd:(h+1)*hd] = 1).
+    bf16 (not int8): Mosaic lacks some int8 vector ops (e.g. compares)."""
+    return jnp.repeat(jnp.eye(n_heads, dtype=jnp.bfloat16),
                       d // n_heads, axis=1)
 
 
@@ -123,10 +138,11 @@ def int8_decode_attention(q, kq, k_scale, vq, v_scale, n_heads: int,
     vfac = v_head[..., None]                            # [B, H, 1]
 
     if mask is None:
-        mask8 = jnp.ones((1, 1, t), jnp.int8)
+        bias = jnp.zeros((1, 1, t), jnp.float32)
     else:
-        mask8 = (mask != 0).astype(jnp.int8)[:, None, :]
-    bm = mask8.shape[0]
+        bias = jnp.where(mask != 0, 0.0, -1e30
+                         ).astype(jnp.float32)[:, None, :]
+    bm = bias.shape[0]
     expand = _expand_eye(n_heads, d)
 
     out = pl.pallas_call(
@@ -154,13 +170,13 @@ def int8_decode_attention(q, kq, k_scale, vq, v_scale, n_heads: int,
             pl.BlockSpec((n_heads, d), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, d), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, 1, d), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * n_heads * t * d,
             transcendentals=b * n_heads * t,
             bytes_accessed=2 * b * t * d),
         interpret=interpret,
-    )(qblk, kq, vq, sfac, vfac, k_row, v_row, mask8, expand)
-    return out
+    )(qblk, kq, vq, sfac, vfac, k_row, v_row, bias, expand)
+    return out[:, 0, :]
