@@ -222,11 +222,8 @@ def fused_self_attention(p_attn, x_ln: jnp.ndarray, n_heads: int,
     if act_fq:
         # mirror the int8 out-projection's per-(b,t)-over-(h,k) scale
         # (same element set as dense()'s per-row over the merged dm), STE
-        a32 = a.astype(jnp.float32)
-        amax = jnp.max(jnp.abs(a32), axis=(1, 3), keepdims=True)
-        a_scale = jnp.maximum(amax, 1e-12) / 127.0
-        dq = jnp.clip(jnp.round(a32 / a_scale), -127, 127) * a_scale
-        a = (a32 + jax.lax.stop_gradient(dq - a32)).astype(a.dtype)
+        from .qat import fake_quant_acts_axes
+        a = fake_quant_acts_axes(a, (1, 3))
     wo = p_attn["out"]["kernel"].reshape(n_heads, d, dm).astype(a.dtype)
     y = jnp.einsum("bhtk,hkd->btd", a, wo,
                    preferred_element_type=jnp.float32).astype(a.dtype)

@@ -66,8 +66,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG_INF = float("-inf")
-
 
 def _kernel(qblk_ref, kq_ref, vq_ref, sfac_ref, vfac_ref, krow_ref,
             vrow_ref, mask_ref, expand_ref, o_ref):
@@ -123,12 +121,23 @@ def int8_decode_attention(q, kq, k_scale, vq, v_scale, n_heads: int,
     """
     b, t, d = kq.shape
     hd = d // n_heads
+    if t % 32:
+        raise ValueError(f"key length {t} must be a multiple of 32 (int8 "
+                         "sublane tile) — pad the K/V buffers and mask the "
+                         "tail rows")
+    if t == n_heads:
+        raise ValueError(f"key length == n_heads ({t}): the per-head [B, H] "
+                         "vs per-token [B, T] scale formats are ambiguous "
+                         "at this shape")
     qblk, qs = _quantize_q(q, n_heads)
 
     def head_row(scale):
         if scale.shape[-1] == n_heads:                  # per-head [B, H]
             return scale.astype(jnp.float32), jnp.ones((b, 1, t), jnp.float32)
-        # per-token [B, T]
+        if scale.shape[-1] != t:
+            raise ValueError(f"scale shape {scale.shape} matches neither "
+                             f"per-head [B, {n_heads}] nor per-token "
+                             f"[B, {t}]")
         return (jnp.ones((b, n_heads), jnp.float32),
                 scale.astype(jnp.float32)[:, None, :])
 

@@ -78,6 +78,22 @@ def fake_quant_acts(x: jnp.ndarray) -> jnp.ndarray:
     return _ste(x.astype(jnp.float32), dq).astype(x.dtype)
 
 
+def fake_quant_acts_axes(x: jnp.ndarray, axes) -> jnp.ndarray:
+    """Symmetric int8 fake-quant with absmax over ``axes`` (keepdims), STE.
+
+    The one shared home for non-last-dim activation fake-quant (e.g. the
+    flash-encoder out-projection's per-(b, t)-over-(h, k) scale in
+    ``ops.encoder_attention.fused_self_attention``) — same recipe constants
+    as :func:`ops.quant.quantize_acts` so QAT scales cannot drift from the
+    serve-time quantizer.
+    """
+    x32 = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=axes, keepdims=True)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    dq = jnp.clip(jnp.round(x32 / scale), -127, 127) * scale
+    return _ste(x32, dq).astype(x.dtype)
+
+
 def fake_quant_dense(p: Params, acts: bool) -> Params:
     """{kernel, bias?} -> same-shape tree with fake-quant kernel values
     (+ the ``act_fq`` marker in w8a8 mode)."""
@@ -98,6 +114,14 @@ def fake_quant_decoder_params(dec: Params, acts: bool = True) -> Params:
     Uses the SAME traversal as ``ops.quant.quantize_decoder_params``
     (``map_decoder_dense``), so the QAT scope cannot drift from the
     serve-time quantization boundary.
+
+    Known bounded divergence (same as the encoder note below): TPU serving
+    routes decoder MLP passes with >= 256 rows (teacher-forced scoring /
+    large-batch prefill — NOT single-token generation, whose B rows stay
+    under the ``mlp_supported`` gate) through the fused Pallas MLP, whose
+    gelu intermediate is requantized per (row, 512-chunk) — strictly finer
+    than QAT's per-row fc2 input fake-quant.  The exact train==serve
+    equality tests pin is on the ``dense_int8`` composition.
     """
     out = dict(dec)
     out["layers"] = map_decoder_dense(dec["layers"],

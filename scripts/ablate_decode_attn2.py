@@ -67,7 +67,8 @@ def main():
     kq, ks = build(k0)
     vq, vs = build(k1)
     for p in (kq, ks, vq, vs):
-        p.block_until_ready()
+        # block_until_ready() does not wait on the tunneled platform
+        fetch(p[(slice(0, 1),) * p.ndim])
     print("built", flush=True)
 
     def attend(kind, q, layer):

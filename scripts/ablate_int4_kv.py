@@ -95,7 +95,8 @@ def main():
             print(kind, "building...", flush=True)
             k_parts, v_parts = make_kv(kind)
             for p in k_parts + v_parts:
-                p.block_until_ready()
+                # block_until_ready() does not wait on the tunneled platform
+                fetch(p[(slice(0, 1),) * p.ndim])
             print(kind, "built; compiling+running...", flush=True)
         except Exception as e:  # noqa: BLE001
             res[kind] = f"build failed: {str(e)[:120]}"

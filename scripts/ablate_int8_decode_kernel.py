@@ -66,7 +66,9 @@ def main():
     kqp, ksp = build(jax.random.PRNGKey(0), TP)
     vqp, vsp = build(jax.random.PRNGKey(1), TP)
     for p in (kq, ks, vq, vs, kqp, ksp, vqp, vsp):
-        p.block_until_ready()
+        # NB: block_until_ready() does not wait on the tunneled platform —
+        # a tiny corner fetch is the only reliable completion barrier
+        fetch(p[(slice(0, 1),) * p.ndim])
     print("built", flush=True)
 
     mask = (jnp.arange(TP) < T)[None]                               # [1, TP]

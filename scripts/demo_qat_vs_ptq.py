@@ -72,6 +72,7 @@ def main():
                              quantize_student=qat_mode)
         step, _ = build_train_step(s_cfg, t_cfg, dcfg, opt_cfg, tx)
         jit_step = jax.jit(step, donate_argnums=(0,))
+        metrics = {"loss": float("nan")}
         for _ in range(steps):
             state, metrics = jit_step(state, teacher, batch)
         return state.params, s_cfg, float(metrics["loss"])
