@@ -97,6 +97,26 @@ def test_number_fsm_fuzz():
         assert ours(text) == theirs(text), f"mismatch on {text!r}"
 
 
+def test_full_normalizer_fuzz(hf_english, hf_basic):
+    """Random mixed-text soup through the FULL English + Basic normalizers
+    (contractions, currency, punctuation, fillers, abbreviations, numbers)
+    — must agree with HF everywhere, not just on the number FSM."""
+    import random
+    ours_en = EnglishTextNormalizer({})
+    ours_basic = BasicTextNormalizer()
+    words = ("I won't can't it's they're we've you'll she'd y'all gonna "
+             "Mr. Mrs. Dr. St. o'clock $5 £3.50 €20 1,234.56 20% per cent "
+             "umm uh hmm mm [noise] (laughs) twenty one hundred and seven "
+             "point five first 3rd o seven double cat dog JUMPED Over… "
+             "café-naïve; didn't CHAPTER: \"quote\" it'd who's won't-go "
+             "a half million o'five 'tis ain't shan't ma'am").split()
+    rng = random.Random(42)
+    for _ in range(400):
+        text = " ".join(rng.choices(words, k=rng.randint(1, 16)))
+        assert ours_en(text) == hf_english(text), f"EN mismatch on {text!r}"
+        assert ours_basic(text) == hf_basic(text), f"basic mismatch {text!r}"
+
+
 def test_number_normalizer_direct(hf_english):
     """Number FSM edge cases straight through EnglishNumberNormalizer."""
     from transformers.models.whisper.english_normalizer import EnglishNumberNormalizer as HF
