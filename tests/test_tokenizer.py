@@ -147,6 +147,55 @@ def test_decode_asr_parity(tokenizers, return_timestamps):
         assert got == want
 
 
+@pytest.mark.parametrize("return_timestamps", [False, True])
+def test_decode_asr_fuzz(tokenizers, return_timestamps):
+    """Randomized chunk streams through decode_asr vs HF: random word
+    tokens, random (monotone) timestamp placements, random strides, eos or
+    not — the stateful merge must agree everywhere."""
+    import random
+    hf, ours = tokenizers
+    rng = random.Random(7)
+    t = ours.timestamp_token
+    words = [ours.encode(w) for w in
+             (" the", " world", " and", " cat", " sat", " on", " a",
+              " mat", " hello", " more")]
+
+    for case in range(60):
+        n_chunks = rng.randint(1, 4)
+        outputs = []
+        for ci in range(n_chunks):
+            toks = [ours.sot]
+            ts = 0.0
+            toks.append(t(ts))
+            for _ in range(rng.randint(0, 3)):          # segments
+                for _ in range(rng.randint(1, 4)):      # words per segment
+                    toks += rng.choice(words)
+                ts = min(ts + rng.choice([0.5, 1.0, 2.0, 5.0]), 29.98)
+                toks.append(t(ts))
+                if rng.random() < 0.7:                  # segment boundary pair
+                    toks.append(t(ts))
+            for _ in range(rng.randint(1, 3)):
+                toks += rng.choice(words)
+            if rng.random() < 0.8:                      # closing timestamp
+                toks.append(t(min(ts + 1.0, 29.98)))
+            if rng.random() < 0.5:
+                toks.append(ours.eos)
+            left = 5.0 if ci > 0 else 0.0
+            right = 5.0 if ci < n_chunks - 1 else 0.0
+            outputs.append({"tokens": toks, "stride": (30.0, left, right)})
+
+        golden_text, golden_opt = _hf_decode_asr(
+            hf, outputs, return_timestamps=return_timestamps,
+            return_language=False)
+        text, opt = ours.decode_asr(outputs,
+                                    return_timestamps=return_timestamps)
+        assert text == golden_text, f"case {case}: {text!r} != {golden_text!r}"
+        if return_timestamps:
+            got = [(c["text"], c["timestamp"]) for c in opt["chunks"]]
+            want = [(c["text"], c["timestamp"]) for c in golden_opt["chunks"]]
+            assert got == want, f"case {case}"
+
+
 def test_decode_asr_no_timestamp_merge(tokenizers):
     """Chunks without timestamps merge through the LCS overlap resolution."""
     hf, ours = tokenizers
