@@ -168,6 +168,69 @@ def test_timestamp_processor_parity_exhaustive(setup):
                                    atol=1e-6)
 
 
+def test_timestamp_processor_parity_fuzz(setup):
+    """Random FSM-reachable histories (random text/timestamp mixes with
+    monotone timestamps) through our vectorised timestamp rules vs HF's
+    torch processor — the masks must agree on every case.  (On
+    non-monotone histories — unreachable, the FSM masks decreasing
+    timestamps — the two state summaries legitimately differ: HF keys on
+    the LAST timestamp occurrence, ours on the max.)"""
+    import random
+    import torch
+    from transformers import GenerationConfig
+    from transformers.generation.logits_process import (
+        WhisperTimeStampLogitsProcessor)
+    from distil_whisper_tpu.generation.logits import (
+        timestamp_rules, TimestampState)
+
+    gc = GenerationConfig(eos_token_id=EOS, bos_token_id=1)
+    gc.no_timestamps_token_id = 400
+    gc.max_initial_timestamp_index = 50
+    proc = WhisperTimeStampLogitsProcessor(gc, begin_index=1)
+
+    nprng = np.random.default_rng(11)
+    pyrng = random.Random(11)
+    ts_begin = 401
+    pool = [3, 12, 17, 99, 250, 399,
+            401, 402, 410, 433, 450, 900, 1500, 1900, 1901]
+    for case in range(150):
+        # histories with MONOTONE timestamps — the only ones the FSM can
+        # reach (it masks decreasing timestamps), and the set on which the
+        # state summary (prev/prevprev/last_ts) is lossless.  HF keys its
+        # increase rule on the LAST timestamp occurrence; with monotone
+        # histories last == max, so both summaries agree.
+        hist = [3]
+        ts_floor = ts_begin
+        for _ in range(pyrng.randint(0, 11)):
+            tok = pyrng.choice(pool)
+            if tok >= ts_begin:
+                tok = max(tok, min(ts_floor, 1901))
+                ts_floor = tok
+            hist.append(tok)
+        scores = nprng.standard_normal((1, VOCAB)).astype(np.float32)
+        golden = proc(torch.tensor([hist]),
+                      torch.from_numpy(scores.copy())).numpy()
+
+        gen = hist[1:]
+        state = TimestampState(
+            prev=jnp.asarray([gen[-1] if len(gen) >= 1 else -1], jnp.int32),
+            prevprev=jnp.asarray([gen[-2] if len(gen) >= 2 else -1],
+                                 jnp.int32),
+            last_ts=jnp.asarray(
+                [max([t for t in gen if t >= ts_begin], default=0)],
+                jnp.int32),
+        )
+        ours = np.asarray(timestamp_rules(jnp.asarray(scores), len(gen),
+                                          state, CFG, 50))
+        golden_inf = np.isneginf(golden)
+        ours_inf = np.isneginf(ours)
+        np.testing.assert_array_equal(
+            ours_inf, golden_inf, err_msg=f"case {case}: mask mismatch "
+                                          f"for history {hist}")
+        np.testing.assert_allclose(ours[~ours_inf], golden[~golden_inf],
+                                   atol=1e-6)
+
+
 def test_forced_and_suppress(setup):
     _, params, mel = setup
     opts = GenerationOptions(
