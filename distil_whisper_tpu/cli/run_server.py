@@ -1,0 +1,94 @@
+"""Dynamic-batching transcription server.
+
+Beyond the reference's surface (its user API stops at the Python
+``FlaxWhisperPipeline``): serves ``POST /v1/transcribe`` over HTTP with
+micro-batching — concurrent single requests are drained into one device
+call of up to ``--batch_size`` 30 s windows (``serving.py``), which is how
+a TPU wants to be fed.  Long files fall back to the chunked pipeline.
+
+    python -m distil_whisper_tpu.cli.run_server \
+        --model_checkpoint ./distil-large-v3 --port 8000 \
+        --quantize_encoder --quantize_decoder \
+        --quantize_self_kv --quantize_cross_kv
+
+    curl -s -X POST --data-binary @audio.wav \
+        'localhost:8000/v1/transcribe?language=en&timestamps=1'
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+import jax.numpy as jnp
+
+from ..pipeline import WhisperPipeline
+from ..serving import BatchingTranscriber, make_http_server
+from .common import setup_logging
+
+logger = logging.getLogger("distil_whisper_tpu")
+
+
+def build_server(argv=None):
+    """Parse args, build (http_server, transcriber) — separated from main()
+    so tests can bind port 0 and drive the server in-process."""
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model_checkpoint", required=True)
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--batch_size", type=int, default=8,
+                   help="max requests per micro-batch (one device call)")
+    p.add_argument("--max_wait_ms", type=float, default=50.0,
+                   help="batching window: how long the worker waits to fill "
+                        "a batch after the first request arrives")
+    p.add_argument("--max_new_tokens", type=int, default=128)
+    p.add_argument("--language", default=None,
+                   help="default language (else per-request/auto-detect)")
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--quantize_encoder", action="store_true")
+    p.add_argument("--quantize_decoder", action="store_true")
+    p.add_argument("--quantize_self_kv", action="store_true")
+    p.add_argument("--quantize_cross_kv", action="store_true")
+    p.add_argument("--quantize_lm_head", action="store_true")
+    args = p.parse_args(argv)
+    setup_logging()
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    from ..models import load_params
+    params, cfg = load_params(args.model_checkpoint, dtype=dtype)
+    cfg = cfg.replace(
+        quantize_encoder=args.quantize_encoder,
+        quantize_decoder=args.quantize_decoder,
+        quantize_self_kv=args.quantize_self_kv,
+        quantize_cross_kv=args.quantize_cross_kv,
+        quantize_lm_head=args.quantize_lm_head)
+    pipe = WhisperPipeline(args.model_checkpoint, dtype=dtype,
+                           batch_size=args.batch_size,
+                           max_new_tokens=args.max_new_tokens,
+                           params=params, cfg=cfg)
+    transcriber = BatchingTranscriber(
+        pipe, batch_size=args.batch_size, max_wait_ms=args.max_wait_ms,
+        default_language=args.language,
+        max_new_tokens=args.max_new_tokens).start()
+    httpd = make_http_server(transcriber, args.host, args.port)
+    return httpd, transcriber
+
+
+def main(argv=None) -> None:
+    httpd, transcriber = build_server(argv)
+    host, port = httpd.server_address[:2]
+    logger.info("serving on http://%s:%d (POST /v1/transcribe, "
+                "GET /healthz); batch_size=%d wait=%.0f ms", host, port,
+                transcriber.batch_size, transcriber.max_wait_s * 1e3)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.shutdown()
+        transcriber.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,258 @@
+"""Dynamic-batching transcription serving (TPU front-end).
+
+The reference ships no serving layer (its user surface stops at
+``FlaxWhisperPipeline``, /root/reference/training/flax/distil_whisper/
+pipeline.py) — but a TPU earns its keep at batch size, not request-at-a-
+time: one 30 s window and sixteen cost nearly the same device call (the
+encoder is one matmul-bound pass, the decode loop is weight/KV-read bound
+and amortises over the batch — docs/PERFORMANCE.md).  This module is the
+piece that turns concurrent single requests into those batches:
+
+* :class:`BatchingTranscriber` — a worker thread that drains a request
+  queue into micro-batches (up to ``batch_size`` requests or
+  ``max_wait_ms``, whichever first), groups them by generation options,
+  and runs each group as ONE device call through the pipeline's jitted
+  generate (same compiled program every batch: fixed shapes, ragged tails
+  padded).  Audio longer than one 30 s window falls back to the full
+  chunked pipeline (still batched across its own windows).
+* :func:`make_http_server` — a stdlib ``ThreadingHTTPServer`` exposing
+  ``POST /v1/transcribe`` (WAV bytes in, JSON out) and ``GET /healthz``.
+  Each HTTP thread blocks on its request's completion event; the batching
+  worker owns the device.
+
+Zero new dependencies (stdlib http.server + the in-tree WAV reader).
+CLI: ``python -m distil_whisper_tpu.cli.run_server``.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+logger = logging.getLogger("distil_whisper_tpu")
+
+
+@dataclass
+class _Request:
+    audio: np.ndarray                       # float32 mono @ cfg.sampling_rate
+    language: Optional[str]
+    task: str
+    return_timestamps: bool
+    done: threading.Event = field(default_factory=threading.Event)
+    result: Optional[Dict[str, Any]] = None
+    error: Optional[str] = None
+
+
+class BatchingTranscriber:
+    """Micro-batching front-end over a :class:`pipeline.WhisperPipeline`.
+
+    ``submit()`` blocks the calling (HTTP) thread until its request's batch
+    has run; the single worker thread owns all device calls, so there is
+    never device contention between concurrent requests.
+    """
+
+    def __init__(self, pipe, batch_size: Optional[int] = None,
+                 max_wait_ms: float = 50.0, default_language=None,
+                 max_new_tokens: Optional[int] = None):
+        self.pipe = pipe
+        self.batch_size = batch_size or pipe.batch_size
+        self.max_wait_s = max_wait_ms / 1e3
+        self.default_language = default_language
+        self.max_new_tokens = max_new_tokens or pipe.max_new_tokens
+        self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        self._worker: Optional[threading.Thread] = None
+        self.stats = {"requests": 0, "batches": 0, "max_batch": 0,
+                      "long_form": 0}
+
+    # ------------------------------------------------------------- lifecycle
+    def start(self) -> "BatchingTranscriber":
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="batching-transcriber")
+        self._worker.start()
+        return self
+
+    def stop(self) -> None:
+        if self._worker is not None:
+            self._q.put(None)
+            self._worker.join(timeout=30)
+            self._worker = None
+
+    # --------------------------------------------------------------- client
+    def submit(self, audio, language: Optional[str] = None,
+               task: str = "transcribe", return_timestamps: bool = False,
+               timeout: Optional[float] = None) -> Dict[str, Any]:
+        """Blocking transcription of one audio (any load_audio source)."""
+        from .audio.io import load_audio
+        wav = load_audio(audio, self.pipe.cfg.sampling_rate)
+        req = _Request(wav, language or self.default_language, task,
+                       bool(return_timestamps))
+        self._q.put(req)
+        if not req.done.wait(timeout):
+            raise TimeoutError("transcription timed out")
+        if req.error is not None:
+            raise RuntimeError(req.error)
+        return req.result
+
+    # --------------------------------------------------------------- worker
+    def _run(self) -> None:
+        while True:
+            req = self._q.get()
+            if req is None:
+                return
+            batch = [req]
+            deadline = time.monotonic() + self.max_wait_s
+            while len(batch) < self.batch_size:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._dispatch(batch)
+                    return
+                batch.append(nxt)
+            self._dispatch(batch)
+
+    def _dispatch(self, batch: List[_Request]) -> None:
+        self.stats["requests"] += len(batch)
+        n_samples = self.pipe.cfg.n_samples
+        groups: Dict[Any, List[_Request]] = {}
+        for r in batch:
+            if len(r.audio) > n_samples:
+                # long-form: the chunked pipeline already batches this
+                # file's own windows; rare in interactive serving
+                self.stats["long_form"] += 1
+                self._run_one_long(r)
+                continue
+            groups.setdefault((r.language, r.task, r.return_timestamps),
+                              []).append(r)
+        for (lang, task, ts), reqs in groups.items():
+            self._run_short_group(reqs, lang, task, ts)
+
+    def _run_one_long(self, r: _Request) -> None:
+        try:
+            r.result = self.pipe(r.audio, language=r.language, task=r.task,
+                                 return_timestamps=r.return_timestamps,
+                                 max_new_tokens=self.max_new_tokens)
+        except Exception as e:  # noqa: BLE001
+            logger.exception("long-form request failed")
+            r.error = f"{type(e).__name__}: {e}"
+        finally:
+            r.done.set()
+
+    def _run_short_group(self, reqs: List[_Request], language, task: str,
+                         return_timestamps: bool) -> None:
+        """ONE device call for up to batch_size single-window requests."""
+        import jax
+        import jax.numpy as jnp
+        from .audio import compute_mel
+        from .generation import GenerationOptions
+
+        pipe, cfg, tok = self.pipe, self.pipe.cfg, self.pipe.tokenizer
+        try:
+            bsz = -(-len(reqs) // pipe.n_data) * pipe.n_data
+            bsz = max(bsz, pipe.n_data)
+            wavs = np.zeros((bsz, cfg.n_samples), np.float32)
+            for j, r in enumerate(reqs):
+                wavs[j, :len(r.audio)] = r.audio
+            mels = compute_mel(jnp.asarray(wavs), cfg).astype(pipe.dtype)
+
+            if language is None and len(tok.lang_to_id) > 1:
+                language = pipe.detect_language(mels[:1])[0]
+            prompt = tok.prompt_ids(language=language, task=task,
+                                    no_timestamps=not return_timestamps)
+            opts = GenerationOptions.from_config(
+                cfg, max_new_tokens=self.max_new_tokens,
+                return_timestamps=return_timestamps,
+                no_speech_token_id=tok.no_speech)
+            fn = pipe._jitted_generate(opts, len(prompt))
+            prompts = jnp.asarray([prompt] * bsz, jnp.int32)
+            out = fn(pipe.params, pipe._put_batch(mels), prompts, 0.0,
+                     jax.random.PRNGKey(0))
+            seqs = np.asarray(out.sequences)
+            lens = np.asarray(out.seq_len)
+
+            self.stats["batches"] += 1
+            self.stats["max_batch"] = max(self.stats["max_batch"], len(reqs))
+            for j, r in enumerate(reqs):
+                ids = seqs[j][:lens[j]].tolist()
+                result = {"text": tok.decode(ids, skip_special_tokens=True)}
+                if return_timestamps:
+                    _, opt = tok.decode_asr([{"tokens": ids}],
+                                            return_timestamps=True)
+                    result.update(opt)
+                r.result = result
+        except Exception as e:  # noqa: BLE001
+            logger.exception("batched request group failed")
+            for r in reqs:
+                r.error = f"{type(e).__name__}: {e}"
+        finally:
+            for r in reqs:
+                r.done.set()
+
+
+# ---------------------------------------------------------------- HTTP layer
+def make_http_server(transcriber: BatchingTranscriber, host: str = "0.0.0.0",
+                     port: int = 8000):
+    """ThreadingHTTPServer: POST /v1/transcribe (WAV body; query params
+    ``language``, ``task``, ``timestamps=1``) and GET /healthz."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    class Handler(BaseHTTPRequestHandler):
+        def _json(self, code: int, payload: Dict[str, Any]) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802
+            if urlparse(self.path).path == "/healthz":
+                self._json(200, {
+                    "status": "ok",
+                    "checkpoint": getattr(transcriber.pipe, "_checkpoint",
+                                          None),
+                    "batch_size": transcriber.batch_size,
+                    "stats": dict(transcriber.stats)})
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):  # noqa: N802
+            url = urlparse(self.path)
+            if url.path not in ("/v1/transcribe", "/transcribe"):
+                self._json(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                body = self.rfile.read(length)
+                q = parse_qs(url.query)
+                t0 = time.monotonic()
+                result = transcriber.submit(
+                    body,
+                    language=(q.get("language") or [None])[0],
+                    task=(q.get("task") or ["transcribe"])[0],
+                    return_timestamps=(q.get("timestamps") or ["0"])[0]
+                    in ("1", "true", "word"))
+                result = dict(result)
+                result["latency_ms"] = round(
+                    (time.monotonic() - t0) * 1e3, 1)
+                self._json(200, result)
+            except Exception as e:  # noqa: BLE001
+                logger.exception("request failed")
+                self._json(400, {"error": f"{type(e).__name__}: {e}"})
+
+        def log_message(self, fmt, *args):  # quiet; logging owns output
+            logger.debug("http: " + fmt, *args)
+
+    return ThreadingHTTPServer((host, port), Handler)

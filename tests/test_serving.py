@@ -1,0 +1,147 @@
+"""Dynamic-batching serving layer: batching semantics + the HTTP surface.
+
+Tiny random checkpoint, CPU, real ThreadingHTTPServer on an ephemeral port,
+real concurrent clients — the full production wiring minus the TPU.
+"""
+
+import io
+import json
+import struct
+import threading
+import urllib.request
+import wave
+
+import numpy as np
+import pytest
+
+from helpers import make_tiny_checkpoint
+
+
+def _wav_bytes(seconds=1.0, rate=16000, freq=220.0):
+    t = np.arange(int(seconds * rate)) / rate
+    pcm = (0.2 * np.sin(2 * np.pi * freq * t) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    ck = make_tiny_checkpoint(tmp_path_factory.mktemp("serve") / "ck")
+    from distil_whisper_tpu.cli.run_server import build_server
+    httpd, transcriber = build_server([
+        "--model_checkpoint", ck,
+        "--host", "127.0.0.1", "--port", "0",
+        "--batch_size", "4", "--max_wait_ms", "400",
+        "--max_new_tokens", "6", "--dtype", "float32",
+        "--language", "en",
+    ])
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    port = httpd.server_address[1]
+    yield f"http://127.0.0.1:{port}", transcriber
+    httpd.shutdown()
+    transcriber.stop()
+
+
+def _post(url, body, timeout=300):
+    req = urllib.request.Request(url, data=body, method="POST")
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_healthz(server):
+    base, _ = server
+    with urllib.request.urlopen(base + "/healthz", timeout=60) as r:
+        assert r.status == 200
+        info = json.loads(r.read())
+    assert info["status"] == "ok"
+    assert info["batch_size"] == 4
+
+
+def test_single_request(server):
+    base, _ = server
+    status, out = _post(base + "/v1/transcribe?language=en", _wav_bytes())
+    assert status == 200
+    assert "text" in out and isinstance(out["text"], str)
+    assert out["latency_ms"] > 0
+
+
+def test_concurrent_requests_are_batched(server):
+    """4 concurrent posts within the 400 ms window must share device calls:
+    every response is correct AND the worker saw a multi-request batch."""
+    base, transcriber = server
+    before = transcriber.stats["batches"]
+    results = [None] * 4
+    errors = []
+
+    def post(i):
+        try:
+            results[i] = _post(base + "/v1/transcribe",
+                               _wav_bytes(freq=200.0 + 30 * i))
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=post, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors
+    for status, out in results:
+        assert status == 200 and "text" in out
+    assert transcriber.stats["max_batch"] >= 2, transcriber.stats
+    assert transcriber.stats["batches"] - before <= 3
+    # identical model + deterministic decode: same tone batched or not
+    # would require goldens; here we only pin transport + batching.
+
+
+def test_timestamps_and_long_form(server):
+    base, transcriber = server
+    status, out = _post(base + "/v1/transcribe?timestamps=1", _wav_bytes())
+    assert status == 200 and "chunks" in out
+    # >30 s input takes the chunked-pipeline fallback
+    long_before = transcriber.stats["long_form"]
+    status, out = _post(base + "/v1/transcribe", _wav_bytes(seconds=31.0))
+    assert status == 200 and "text" in out
+    assert transcriber.stats["long_form"] == long_before + 1
+
+
+def test_bad_request(server):
+    base, _ = server
+    status = None
+    try:
+        req = urllib.request.Request(base + "/v1/transcribe",
+                                     data=b"not a wav", method="POST")
+        urllib.request.urlopen(req, timeout=60)
+    except urllib.error.HTTPError as e:
+        status = e.code
+        body = json.loads(e.read())
+        assert "error" in body
+    assert status == 400
+
+
+def test_batched_equals_individual(server):
+    """A request served in a multi-request batch must decode exactly the
+    same tokens as the same audio served alone (greedy, same program)."""
+    base, transcriber = server
+    wav = _wav_bytes(freq=330.0)
+    _, solo = _post(base + "/v1/transcribe?language=en", wav)
+
+    results = [None] * 3
+
+    def post(i):
+        results[i] = _post(base + "/v1/transcribe?language=en", wav)
+
+    threads = [threading.Thread(target=post, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    for status, out in results:
+        assert status == 200
+        assert out["text"] == solo["text"]
