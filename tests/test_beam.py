@@ -60,6 +60,47 @@ def test_beam_parity_vs_hf(setup, num_beams):  # noqa: F811
         assert abs(len(ours) - len(hf_row)) <= 0
 
 
+@pytest.mark.parametrize("seed", [11, 23, 57])
+def test_beam_parity_multi_seed(tmp_path, seed):
+    """Beam parity vs HF across fresh random models + mel seeds (the single
+    fixture model exercises one score landscape; tie-breaks and beam swaps
+    depend on the weights)."""
+    import torch
+    from transformers import WhisperConfig as HFConfig
+    from transformers import WhisperForConditionalGeneration
+
+    torch.manual_seed(seed)
+    hf_cfg = HFConfig(
+        vocab_size=VOCAB, num_mel_bins=80, d_model=64,
+        encoder_layers=2, decoder_layers=2,
+        encoder_attention_heads=4, decoder_attention_heads=4,
+        encoder_ffn_dim=96, decoder_ffn_dim=96,
+        dropout=0.0, pad_token_id=0, bos_token_id=1, eos_token_id=EOS,
+        decoder_start_token_id=3, suppress_tokens=None,
+        begin_suppress_tokens=None, forced_decoder_ids=None)
+    model = WhisperForConditionalGeneration(hf_cfg).eval()
+    model.save_pretrained(str(tmp_path / "m"))
+    params, _ = load_params(str(tmp_path / "m"), CFG)
+    mel = (np.random.default_rng(seed).standard_normal((2, 80, 3000))
+           .astype(np.float32) * 0.5)
+
+    hf = _hf_beam(model, mel, 12, 3)
+    opts = GenerationOptions(max_new_tokens=12)
+    out = encode_and_beam_search(params, CFG, jnp.asarray(mel),
+                                 jnp.asarray([[3, 400]] * 2, jnp.int32),
+                                 opts, num_beams=3)
+    seqs, lens = np.asarray(out.sequences), np.asarray(out.seq_len)
+    for b in range(2):
+        ours = list(seqs[b][2:lens[b]])
+        hf_row = list(hf[b])
+        while len(hf_row) > 1 and hf_row[-1] == 0:
+            hf_row.pop()
+        if hf_row[:2] == [3, 400]:
+            hf_row = hf_row[2:]
+        np.testing.assert_array_equal(ours, hf_row,
+                                      err_msg=f"seed {seed} sample {b}")
+
+
 def test_beam1_equals_greedy(setup):  # noqa: F811
     from distil_whisper_tpu.generation import encode_and_generate
     _, params, mel = setup
