@@ -99,6 +99,78 @@ def test_sequential_segments_match_hf():
         assert ot == ht, (ot, ht)
 
 
+@pytest.mark.parametrize("model_seed,audio_seed,dur_s",
+                         [(8, 13, 50.0), (21, 2, 84.0)])
+def test_sequential_segments_match_hf_multi_seed(model_seed, audio_seed,
+                                                 dur_s):
+    """Same token-identity check across fresh random models, audio seeds and
+    durations — the window-advance/segment-split state machine is weight-
+    dependent (where timestamps land decides every cursor move)."""
+    import torch
+    from transformers import (WhisperConfig as HFConfig,
+                              WhisperFeatureExtractor,
+                              WhisperForConditionalGeneration)
+    torch.manual_seed(model_seed)
+    hf_cfg = HFConfig(
+        vocab_size=VOCAB, num_mel_bins=80, d_model=64,
+        encoder_layers=2, decoder_layers=2,
+        encoder_attention_heads=4, decoder_attention_heads=4,
+        encoder_ffn_dim=96, decoder_ffn_dim=96,
+        dropout=0.0, pad_token_id=0, bos_token_id=1, eos_token_id=EOS,
+        decoder_start_token_id=3, suppress_tokens=None,
+        begin_suppress_tokens=None, forced_decoder_ids=None)
+    model = WhisperForConditionalGeneration(hf_cfg).eval()
+    gc = model.generation_config
+    gc.no_timestamps_token_id = 400
+    gc.max_initial_timestamp_index = 50
+    gc.pad_token_id = 0
+    gc.begin_suppress_tokens = None
+    gc.suppress_tokens = None
+    gc.forced_decoder_ids = None
+    gc.is_multilingual = False
+
+    rng = np.random.default_rng(audio_seed)
+    audio = (0.1 * rng.standard_normal(int(dur_s * 16000))
+             ).astype(np.float32)
+    ext = WhisperFeatureExtractor(feature_size=80)
+    feats = ext(audio, sampling_rate=16000, return_tensors="pt",
+                padding="longest", truncation=False,
+                return_attention_mask=True)
+    with torch.no_grad():
+        out = model.generate(
+            input_features=feats.input_features,
+            attention_mask=feats.attention_mask,
+            return_timestamps=True, temperature=(0.0,),
+            logprob_threshold=None, no_speech_threshold=None,
+            compression_ratio_threshold=None,
+            condition_on_prev_tokens=False, max_new_tokens=40,
+            return_dict_in_generate=True, return_segments=True)
+    hf_segments = [(round(float(s["start"]), 2), round(float(s["end"]), 2),
+                    s["tokens"].tolist()) for s in out["segments"][0]]
+
+    import tempfile
+    d = tempfile.mkdtemp()
+    model.save_pretrained(d)
+    params, _ = load_params(d, CFG)
+    tr = SequentialTranscriber(
+        params, CFG, _layout_tokenizer(),
+        SequentialOptions(temperatures=(0.0,), logprob_threshold=None,
+                          no_speech_threshold=None,
+                          compression_ratio_threshold=None,
+                          condition_on_prev_tokens=False,
+                          max_new_tokens=40),
+        language=None, batch_size=1)
+    results = tr.transcribe([feats.input_features.numpy()[0]])
+    ours = [(round(s["start"], 2), round(s["end"], 2),
+             list(map(int, s["tokens"]))) for s in results[0]["segments"]]
+
+    assert len(ours) == len(hf_segments), (ours, hf_segments)
+    for (os_, oe, ot), (hs, he, ht) in zip(ours, hf_segments):
+        assert abs(os_ - hs) < 1e-6 and abs(oe - he) < 1e-6, \
+            (ours, hf_segments)
+        assert ot == ht, (ot, ht)
+
+
 def test_sequential_beam_matches_hf():
     """Beam search at the t=0 rung inside sequential long-form (the
     combination the reference supports by passing num_beams into HF
