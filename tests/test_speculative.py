@@ -51,6 +51,30 @@ def test_identical_to_teacher_greedy(setup, gamma):
     np.testing.assert_array_equal(s_seq, g_seq)
 
 
+@pytest.mark.parametrize("seed", [17, 41])
+def test_identical_to_teacher_greedy_multi_seed(seed):
+    """Same identity guarantee across fresh random teacher/draft/mel seeds —
+    the accept/reject path taken depends entirely on the weights."""
+    teacher = init_params(TEACHER_CFG, jax.random.PRNGKey(seed))
+    draft, d_cfg = init_student_from_teacher(teacher, TEACHER_CFG,
+                                             decoder_layers=2)
+    rng = np.random.default_rng(seed)
+    mel = jnp.asarray(rng.standard_normal((1, 80, 3000)), jnp.float32)
+    enc = encode(teacher["encoder"], TEACHER_CFG, mel)
+    t_cross = cross_kv(teacher["decoder"], TEACHER_CFG, enc)
+    d_cross = cross_kv(draft["decoder"], d_cfg, enc)
+    opts = GenerationOptions(max_new_tokens=24)
+    prompt = jnp.asarray([[3]], jnp.int32)
+
+    golden = generate(teacher["decoder"], TEACHER_CFG, t_cross, prompt, opts)
+    out = speculative_generate(
+        teacher["decoder"], TEACHER_CFG, draft["decoder"], d_cfg,
+        t_cross, d_cross, prompt, opts, gamma=4)
+    np.testing.assert_array_equal(
+        np.asarray(out.sequences)[0][:int(out.seq_len[0])],
+        np.asarray(golden.sequences)[0][:int(golden.seq_len[0])])
+
+
 def test_draft_equals_teacher_accepts_everything(setup):
     """Draft == teacher -> every proposal accepted, minimal rounds."""
     teacher, _, _, t_cross, _ = setup
