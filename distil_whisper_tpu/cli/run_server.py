@@ -42,6 +42,8 @@ def build_server(argv=None):
                    help="batching window: how long the worker waits to fill "
                         "a batch after the first request arrives")
     p.add_argument("--max_new_tokens", type=int, default=128)
+    p.add_argument("--max_body_mb", type=float, default=100.0,
+                   help="reject request bodies larger than this (413)")
     p.add_argument("--language", default=None,
                    help="default language (else per-request/auto-detect)")
     p.add_argument("--dtype", default="bfloat16",
@@ -71,7 +73,8 @@ def build_server(argv=None):
         pipe, batch_size=args.batch_size, max_wait_ms=args.max_wait_ms,
         default_language=args.language,
         max_new_tokens=args.max_new_tokens).start()
-    httpd = make_http_server(transcriber, args.host, args.port)
+    httpd = make_http_server(transcriber, args.host, args.port,
+                             max_body_mb=args.max_body_mb)
     return httpd, transcriber
 
 

@@ -202,11 +202,14 @@ class BatchingTranscriber:
 
 # ---------------------------------------------------------------- HTTP layer
 def make_http_server(transcriber: BatchingTranscriber, host: str = "0.0.0.0",
-                     port: int = 8000):
+                     port: int = 8000, max_body_mb: float = 100.0):
     """ThreadingHTTPServer: POST /v1/transcribe (WAV body; query params
-    ``language``, ``task``, ``timestamps=1``) and GET /healthz."""
+    ``language``, ``task``, ``timestamps=1``) and GET /healthz.
+    Bodies over ``max_body_mb`` are rejected with 413 before being read."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
     from urllib.parse import parse_qs, urlparse
+
+    max_body = int(max_body_mb * 1e6)
 
     class Handler(BaseHTTPRequestHandler):
         def _json(self, code: int, payload: Dict[str, Any]) -> None:
@@ -235,6 +238,19 @@ def make_http_server(transcriber: BatchingTranscriber, host: str = "0.0.0.0",
                 return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
+                if length > max_body:
+                    # drain in bounded chunks (never buffered) before
+                    # responding — answering mid-upload resets the client's
+                    # send and it sees a broken pipe instead of the 413
+                    remaining = length
+                    while remaining > 0:
+                        chunk = self.rfile.read(min(remaining, 1 << 16))
+                        if not chunk:
+                            break
+                        remaining -= len(chunk)
+                    self._json(413, {"error": f"body {length} bytes exceeds "
+                                              f"limit {max_body}"})
+                    return
                 body = self.rfile.read(length)
                 q = parse_qs(url.query)
                 t0 = time.monotonic()

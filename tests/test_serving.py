@@ -38,7 +38,7 @@ def server(tmp_path_factory):
         "--host", "127.0.0.1", "--port", "0",
         "--batch_size", "4", "--max_wait_ms", "400",
         "--max_new_tokens", "6", "--dtype", "float32",
-        "--language", "en",
+        "--language", "en", "--max_body_mb", "2",
     ])
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
@@ -123,6 +123,21 @@ def test_bad_request(server):
         body = json.loads(e.read())
         assert "error" in body
     assert status == 400
+
+
+def test_oversized_body_rejected(server):
+    """Bodies over --max_body_mb get 413 (drained in bounded chunks, never
+    buffered into memory)."""
+    base, _ = server
+    status = None
+    try:
+        req = urllib.request.Request(base + "/v1/transcribe",
+                                     data=b"\0" * (3 * 1000 * 1000),
+                                     method="POST")
+        urllib.request.urlopen(req, timeout=60)
+    except urllib.error.HTTPError as e:
+        status = e.code
+    assert status == 413
 
 
 def test_batched_equals_individual(server):
