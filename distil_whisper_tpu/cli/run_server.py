@@ -1,18 +1,28 @@
 """Dynamic-batching transcription server.
 
 Beyond the reference's surface (its user API stops at the Python
-``FlaxWhisperPipeline``): serves ``POST /v1/transcribe`` over HTTP with
-micro-batching — concurrent single requests are drained into one device
-call of up to ``--batch_size`` 30 s windows (``serving.py``), which is how
-a TPU wants to be fed.  Long files fall back to the chunked pipeline.
+``FlaxWhisperPipeline``): serves ``POST /v1/transcribe`` over HTTP with two
+schedulers —
+
+* ``--scheduler microbatch`` (default): concurrent single requests are
+  drained into one device call of up to ``--batch_size`` 30 s windows
+  (``serving.py``), which is how a TPU wants to be fed;
+* ``--scheduler continuous``: in-flight batching (``serving_engine.py``) —
+  ``--batch_size`` decode lanes run continuously at per-lane cursors, and
+  finished lanes are refilled between compiled step-blocks instead of
+  waiting for the whole batch (lower latency + higher throughput under
+  mixed-length load).
+
+Long files fall back to the chunked pipeline in both modes.
 
     python -m distil_whisper_tpu.cli.run_server \
         --model_checkpoint ./distil-large-v3 --port 8000 \
+        --scheduler continuous \
         --quantize_encoder --quantize_decoder \
         --quantize_self_kv --quantize_cross_kv
 
     curl -s -X POST --data-binary @audio.wav \
-        'localhost:8000/v1/transcribe?language=en&timestamps=1'
+        'localhost:8000/v1/transcribe?language=en&timestamps=1&max_tokens=64'
 """
 
 from __future__ import annotations
@@ -40,7 +50,18 @@ def build_server(argv=None):
                    help="max requests per micro-batch (one device call)")
     p.add_argument("--max_wait_ms", type=float, default=50.0,
                    help="batching window: how long the worker waits to fill "
-                        "a batch after the first request arrives")
+                        "a batch after the first request arrives "
+                        "(microbatch scheduler only)")
+    p.add_argument("--scheduler", default="microbatch",
+                   choices=["microbatch", "continuous"],
+                   help="'microbatch' drains concurrent requests into "
+                        "whole-batch generate calls; 'continuous' keeps "
+                        "--batch_size decode lanes running and refills "
+                        "finished lanes between step-blocks (in-flight "
+                        "batching — lower latency under mixed-length load)")
+    p.add_argument("--block_steps", type=int, default=16,
+                   help="decode steps per compiled engine block "
+                        "(continuous scheduler)")
     p.add_argument("--max_new_tokens", type=int, default=128)
     p.add_argument("--max_body_mb", type=float, default=100.0,
                    help="reject request bodies larger than this (413)")
@@ -69,10 +90,18 @@ def build_server(argv=None):
                            batch_size=args.batch_size,
                            max_new_tokens=args.max_new_tokens,
                            params=params, cfg=cfg)
-    transcriber = BatchingTranscriber(
-        pipe, batch_size=args.batch_size, max_wait_ms=args.max_wait_ms,
-        default_language=args.language,
-        max_new_tokens=args.max_new_tokens).start()
+    if args.scheduler == "continuous":
+        from ..serving_engine import ContinuousTranscriber
+        transcriber = ContinuousTranscriber(
+            pipe, batch_size=args.batch_size,
+            default_language=args.language,
+            max_new_tokens=args.max_new_tokens,
+            block_steps=args.block_steps).start()
+    else:
+        transcriber = BatchingTranscriber(
+            pipe, batch_size=args.batch_size, max_wait_ms=args.max_wait_ms,
+            default_language=args.language,
+            max_new_tokens=args.max_new_tokens).start()
     httpd = make_http_server(transcriber, args.host, args.port,
                              max_body_mb=args.max_body_mb)
     return httpd, transcriber
@@ -82,8 +111,8 @@ def main(argv=None) -> None:
     httpd, transcriber = build_server(argv)
     host, port = httpd.server_address[:2]
     logger.info("serving on http://%s:%d (POST /v1/transcribe, "
-                "GET /healthz); batch_size=%d wait=%.0f ms", host, port,
-                transcriber.batch_size, transcriber.max_wait_s * 1e3)
+                "GET /healthz); scheduler=%s batch_size=%d", host, port,
+                type(transcriber).__name__, transcriber.batch_size)
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:

@@ -28,6 +28,14 @@ def _vocab_iota(v: int) -> jnp.ndarray:
     return jax.lax.broadcasted_iota(jnp.int32, (1, v), 1)
 
 
+def _cols(idx):
+    """Normalise a scalar or per-lane [B] index so it broadcasts against
+    [B, V] score tensors (the continuous-batching engine steps every lane at
+    its own generation index; the classic loops pass one scalar)."""
+    g = jnp.asarray(idx)
+    return g[:, None] if g.ndim == 1 else g
+
+
 def suppress_tokens(scores: jnp.ndarray,
                     token_ids: Sequence[int]) -> jnp.ndarray:
     """Unconditionally set the given token ids to -inf (HF SuppressTokens)."""
@@ -43,7 +51,8 @@ def suppress_tokens_at_begin(scores: jnp.ndarray, gen_idx,
     if not token_ids:
         return scores
     mask = jnp.zeros((scores.shape[-1],), bool).at[jnp.asarray(token_ids)].set(True)
-    return jnp.where(jnp.logical_and(gen_idx == 0, mask[None, :]), NEG_INF, scores)
+    return jnp.where(jnp.logical_and(_cols(gen_idx) == 0, mask[None, :]),
+                     NEG_INF, scores)
 
 
 def force_tokens(scores: jnp.ndarray, gen_idx,
@@ -64,8 +73,9 @@ def force_tokens(scores: jnp.ndarray, gen_idx,
     for p, t in forced:
         table[p] = t
     table_arr = jnp.asarray(table, jnp.int32)
-    # absolute position of the token being generated now:
-    pos = gen_idx + prompt_len
+    # absolute position of the token being generated now (both terms may be
+    # scalars or per-lane [B] arrays):
+    pos = _cols(jnp.asarray(gen_idx) + jnp.asarray(prompt_len))
     tok = jnp.where(pos <= max_pos, table_arr[jnp.clip(pos, 0, max_pos)], -1)
     iota = _vocab_iota(scores.shape[-1])
     forced_scores = jnp.where(iota == tok, 0.0, NEG_INF)
@@ -77,7 +87,7 @@ def min_new_tokens(scores: jnp.ndarray, gen_idx, min_tokens: int,
     if min_tokens <= 0:
         return scores
     iota = _vocab_iota(scores.shape[-1])
-    mask = jnp.logical_and(gen_idx < min_tokens, iota == eos_token_id)
+    mask = jnp.logical_and(_cols(gen_idx) < min_tokens, iota == eos_token_id)
     return jnp.where(mask, NEG_INF, scores)
 
 
@@ -111,9 +121,11 @@ def timestamp_rules(scores: jnp.ndarray, gen_idx, state: TimestampState,
                     detect_from_logprob: bool = True) -> jnp.ndarray:
     """WhisperTimeStampLogitsProcessor, vectorised.
 
-    gen_idx: index within the generated region (0 = first sampled token).
+    gen_idx: index within the generated region (0 = first sampled token);
+    a scalar, or a per-lane [B] array when lanes sit at different indices.
     """
     b, v = scores.shape
+    gen_idx = jnp.asarray(gen_idx)
     ts_begin = cfg.timestamp_begin
     eos = cfg.eos_token_id
     iota = jax.lax.broadcasted_iota(jnp.int32, (b, v), 1)
@@ -141,7 +153,7 @@ def timestamp_rules(scores: jnp.ndarray, gen_idx, state: TimestampState,
                        NEG_INF, scores)
 
     # 4. first generated token must be an (early) timestamp
-    at_begin = gen_idx == 0
+    at_begin = _cols(gen_idx) == 0
     scores = jnp.where(jnp.logical_and(at_begin, iota < ts_begin), NEG_INF, scores)
     if max_initial_timestamp_index is not None:
         last_allowed = ts_begin + max_initial_timestamp_index

@@ -308,15 +308,30 @@ def _cache_from_parts(k_parts, v_parts) -> Params:
     return {"k": k_parts[0], "v": v_parts[0]}
 
 
+def _per_lane_pos(pos) -> bool:
+    """True when ``pos`` is a per-sample [B] cursor array (each batch lane
+    writes/attends at its own position — the continuous-batching decode)."""
+    return getattr(pos, "ndim", 0) == 1
+
+
+def _row_update(buf: jnp.ndarray, upd: jnp.ndarray, pos) -> jnp.ndarray:
+    """``dynamic_update_slice_in_dim(buf, upd, pos, axis=1)`` where ``pos``
+    may be a scalar or a per-lane [B] array (buf/upd lead with B)."""
+    if _per_lane_pos(pos):
+        return jax.vmap(lambda b, u, p:
+                        jax.lax.dynamic_update_slice_in_dim(b, u, p, axis=0)
+                        )(buf, upd, pos)
+    return jax.lax.dynamic_update_slice_in_dim(buf, upd, pos, axis=1)
+
+
 def _kv_parts_write(parts, kv: jnp.ndarray, pos) -> tuple:
     """Write new-token K or V [B, S, d] at ``pos`` into a PER-LAYER parts
     tuple (arrays without the leading L axis)."""
     if len(parts) == 1:
-        return (jax.lax.dynamic_update_slice_in_dim(
-            parts[0], kv.astype(parts[0].dtype), pos, axis=1),)
+        return (_row_update(parts[0], kv.astype(parts[0].dtype), pos),)
     q, s = _self_kv_quantize(kv)
-    return (jax.lax.dynamic_update_slice_in_dim(parts[0], q, pos, axis=1),
-            jax.lax.dynamic_update_slice_in_dim(parts[1], s, pos, axis=1))
+    return (_row_update(parts[0], q, pos),
+            _row_update(parts[1], s, pos))
 
 
 def _kv_parts_read(parts, dtype) -> jnp.ndarray:
@@ -326,17 +341,33 @@ def _kv_parts_read(parts, dtype) -> jnp.ndarray:
     return parts[0].astype(dtype) * parts[1][..., None].astype(dtype)
 
 
+def _layer_row_update(buf: jnp.ndarray, upd: jnp.ndarray, layer_i,
+                      pos) -> jnp.ndarray:
+    """Write ``upd`` [B, S, ...] at (``layer_i``, :, ``pos``) into ``buf``
+    [L, B, T, ...]; ``pos`` scalar or per-lane [B]."""
+    if _per_lane_pos(pos):
+        if upd.ndim == 3:  # [B, S, d] into [L, B, T, d]
+            return jax.vmap(
+                lambda b, u, p: jax.lax.dynamic_update_slice(
+                    b, u[None], (layer_i, p, 0)),
+                in_axes=(1, 0, 0), out_axes=1)(buf, upd, pos)
+        return jax.vmap(  # scale: [B, S] into [L, B, T]
+            lambda b, u, p: jax.lax.dynamic_update_slice(
+                b, u[None], (layer_i, p)),
+            in_axes=(1, 0, 0), out_axes=1)(buf, upd, pos)
+    start = (layer_i, 0, pos, 0)[:buf.ndim]
+    return jax.lax.dynamic_update_slice(buf, upd[None], start)
+
+
 def _kv_parts_write_layer(parts, kv: jnp.ndarray, layer_i, pos) -> tuple:
     """Write K or V [B, S, d] at (``layer_i``, ``pos``) into FULL-cache parts
     (arrays carrying the leading L axis — the deep-decoder carry layout)."""
     if len(parts) == 1:
-        return (jax.lax.dynamic_update_slice(
-            parts[0], kv[None].astype(parts[0].dtype), (layer_i, 0, pos, 0)),)
+        return (_layer_row_update(parts[0], kv.astype(parts[0].dtype),
+                                  layer_i, pos),)
     q, s = _self_kv_quantize(kv)
-    return (jax.lax.dynamic_update_slice(parts[0], q[None],
-                                         (layer_i, 0, pos, 0)),
-            jax.lax.dynamic_update_slice(parts[1], s[None],
-                                         (layer_i, 0, pos)))
+    return (_layer_row_update(parts[0], q, layer_i, pos),
+            _layer_row_update(parts[1], s, layer_i, pos))
 
 
 def _kv_parts_read_layer(parts, layer_i, dtype) -> jnp.ndarray:
@@ -480,6 +511,12 @@ def decode(params: Params, cfg: WhisperConfig, tokens: jnp.ndarray,
     Exactly one of ``enc`` (encoder states, K/V projected on the fly) or
     ``cross`` (precomputed K/V from :func:`cross_kv`) must be given.
 
+    ``pos_offset`` may be a per-lane [B] int32 array: each batch lane then
+    writes its K/V, reads its positions and masks its attention at its OWN
+    cursor (continuous-batching serving, where lanes are admitted and retired
+    independently — :mod:`...serving_engine`).  Per-lane offsets require
+    ``pad_len is None`` (each lane starts at slot 0 with its own prompt).
+
     Without ``cache``: full self-attention over S (training / scoring path).
     With ``cache``: keys/values are written into the static cache at
     ``pos_offset`` and attention spans the whole cache (generation path).
@@ -495,10 +532,20 @@ def decode(params: Params, cfg: WhisperConfig, tokens: jnp.ndarray,
     """
     b, s = tokens.shape
     n_heads = cfg.decoder_attention_heads
+    assert not (_per_lane_pos(pos_offset) and pad_len is not None), \
+        "per-lane pos_offset and pad_len are mutually exclusive"
 
     tok_emb = params["tok_emb"]
     x = tok_emb.astype(dtype)[tokens]
-    if pad_len is None:
+    if pad_len is None and _per_lane_pos(pos_offset):
+        # Per-lane cursors (continuous-batching decode): lane b's tokens sit
+        # at positions pos_offset[b] .. pos_offset[b]+S-1.
+        positions = jnp.clip(
+            pos_offset[:, None].astype(jnp.int32)
+            + jax.lax.broadcasted_iota(jnp.int32, (b, s), 1),
+            0, cfg.max_target_positions - 1)
+        pos = params["pos_emb"].astype(dtype)[positions]
+    elif pad_len is None:
         # Learned positions, sliced at the (possibly dynamic) offset.
         pos = jax.lax.dynamic_slice_in_dim(params["pos_emb"].astype(dtype),
                                            pos_offset, s, axis=0)

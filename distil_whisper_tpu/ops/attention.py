@@ -167,8 +167,15 @@ def decode_attention_multi(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 
 def causal_mask(tq: int, tk: int, offset) -> jnp.ndarray:
-    """[1, 1, tq, tk] causal mask where query position i (global ``offset + i``)
-    may attend to key positions <= offset + i."""
-    qpos = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0) + offset
+    """Causal mask where query position i (global ``offset + i``) may attend
+    to key positions <= offset + i.
+
+    ``offset`` may be a scalar ([1, 1, tq, tk] result) or a per-sample [B]
+    array ([B, 1, tq, tk] result) — the latter serves decode paths where each
+    batch lane sits at its own cursor (continuous-batching serving)."""
+    qpos = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
     kpos = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
-    return (kpos <= qpos)[None, None]
+    off = jnp.asarray(offset)
+    if off.ndim == 1:
+        return (kpos[None] <= qpos[None] + off[:, None, None])[:, None]
+    return (kpos <= qpos + off)[None, None]

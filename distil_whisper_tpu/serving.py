@@ -45,6 +45,7 @@ class _Request:
     language: Optional[str]
     task: str
     return_timestamps: bool
+    max_new_tokens: Optional[int] = None    # per-request cap (<= server max)
     done: threading.Event = field(default_factory=threading.Event)
     result: Optional[Dict[str, Any]] = None
     error: Optional[str] = None
@@ -87,12 +88,18 @@ class BatchingTranscriber:
     # --------------------------------------------------------------- client
     def submit(self, audio, language: Optional[str] = None,
                task: str = "transcribe", return_timestamps: bool = False,
-               timeout: Optional[float] = None) -> Dict[str, Any]:
-        """Blocking transcription of one audio (any load_audio source)."""
+               timeout: Optional[float] = None,
+               max_new_tokens: Optional[int] = None) -> Dict[str, Any]:
+        """Blocking transcription of one audio (any load_audio source).
+
+        ``max_new_tokens`` caps this request's output (clamped to the server
+        budget).  Greedy decoding has the prefix property — the first N
+        tokens of a longer run equal an N-budget run — so short-form serves
+        it by truncation (same compiled program for every request)."""
         from .audio.io import load_audio
         wav = load_audio(audio, self.pipe.cfg.sampling_rate)
         req = _Request(wav, language or self.default_language, task,
-                       bool(return_timestamps))
+                       bool(return_timestamps), max_new_tokens)
         self._q.put(req)
         if not req.done.wait(timeout):
             raise TimeoutError("transcription timed out")
@@ -184,7 +191,10 @@ class BatchingTranscriber:
             self.stats["batches"] += 1
             self.stats["max_batch"] = max(self.stats["max_batch"], len(reqs))
             for j, r in enumerate(reqs):
-                ids = seqs[j][:lens[j]].tolist()
+                cut = lens[j]
+                if r.max_new_tokens is not None:
+                    cut = min(cut, len(prompt) + max(int(r.max_new_tokens), 0))
+                ids = seqs[j][:cut].tolist()
                 result = {"text": tok.decode(ids, skip_special_tokens=True)}
                 if return_timestamps:
                     _, opt = tok.decode_asr([{"tokens": ids}],
@@ -204,8 +214,10 @@ class BatchingTranscriber:
 def make_http_server(transcriber: BatchingTranscriber, host: str = "0.0.0.0",
                      port: int = 8000, max_body_mb: float = 100.0):
     """ThreadingHTTPServer: POST /v1/transcribe (WAV body; query params
-    ``language``, ``task``, ``timestamps=1``) and GET /healthz.
-    Bodies over ``max_body_mb`` are rejected with 413 before being read."""
+    ``language``, ``task``, ``timestamps=1``, ``max_tokens=N``) and
+    GET /healthz.  Works over any transcriber with the ``submit()``
+    contract (micro-batching or continuous-batching).  Bodies over
+    ``max_body_mb`` are rejected with 413 before being read."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
     from urllib.parse import parse_qs, urlparse
 
@@ -253,13 +265,15 @@ def make_http_server(transcriber: BatchingTranscriber, host: str = "0.0.0.0",
                     return
                 body = self.rfile.read(length)
                 q = parse_qs(url.query)
+                max_tok = (q.get("max_tokens") or [None])[0]
                 t0 = time.monotonic()
                 result = transcriber.submit(
                     body,
                     language=(q.get("language") or [None])[0],
                     task=(q.get("task") or ["transcribe"])[0],
                     return_timestamps=(q.get("timestamps") or ["0"])[0]
-                    in ("1", "true", "word"))
+                    in ("1", "true", "word"),
+                    max_new_tokens=int(max_tok) if max_tok else None)
                 result = dict(result)
                 result["latency_ms"] = round(
                     (time.monotonic() - t0) * 1e3, 1)

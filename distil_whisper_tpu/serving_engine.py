@@ -1,0 +1,527 @@
+"""Continuous-batching decode engine (in-flight batching for serving).
+
+:class:`~distil_whisper_tpu.serving.BatchingTranscriber` batches concurrent
+requests into whole-batch ``generate`` calls: every lane in a batch runs
+until the LAST lane finishes, and requests that arrive mid-batch wait for
+the full decode (up to ``max_new_tokens`` steps).  On a weight/KV-read-bound
+decode that is pure waste — a finished lane's slot costs the same HBM
+traffic as an active one.  This module keeps a fixed set of ``lanes``
+decoding continuously and swaps completed requests out / queued requests in
+*between jitted step-blocks*, so the device never waits for stragglers:
+
+* every lane carries its OWN cursor — the decoder stack supports per-lane
+  positions end-to-end (``models.whisper.decode(pos_offset=[B])`` writes
+  K/V, reads position embeddings and masks attention per lane; the logits
+  rules take per-lane ``gen_idx``) — so lanes at different depths share one
+  compiled single-token step;
+* admission runs encoder + prompt prefill for JUST the new requests (an
+  ``A``-sized compiled bucket) and row-scatters their cross-KV / cache /
+  FSM state into the engine lanes;
+* the host pipelines two step-blocks deep: block ``k+1`` is dispatched
+  before block ``k``'s (small) outputs are fetched, so the ~30-50 ms fetch
+  round-trip of the remote-TPU tunnel hides behind device compute.
+
+Per-lane options: language / task (prompt content), ``return_timestamps``
+(per-lane FSM gate), and ``max_new_tokens`` (per-lane budget) — one engine
+serves mixed traffic.  Greedy decode only (temperature 0, the serving
+default); sampling callers use the whole-batch path.
+
+The reference has no serving layer at all (its user surface stops at
+``FlaxWhisperPipeline``, /root/reference/training/flax/distil_whisper/
+pipeline.py); in-flight batching is the TPU-native design a serving
+deployment actually needs.  Outputs are token-identical to the whole-batch
+``generate`` path (tests/test_serving_engine.py).
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+logger = logging.getLogger("distil_whisper_tpu")
+
+
+def _zero_cross(cfg, batch: int, dtype):
+    """Zero-filled cross-KV buffer matching :func:`models.whisper.cross_kv`'s
+    output structure for ``batch`` lanes."""
+    import jax.numpy as jnp
+    L = cfg.decoder_layers
+    t = cfg.max_source_positions
+    d = cfg.decoder_attention_heads * cfg.decoder_head_dim
+    if cfg.quantize_cross_kv:
+        return {"k_q": jnp.zeros((L, batch, t, d), jnp.int8),
+                "k_scale": jnp.zeros((L, batch, 1, d), jnp.float32),
+                "v_q": jnp.zeros((L, batch, t, d), jnp.int8),
+                "v_scale": jnp.zeros((L, batch, 1, d), jnp.float32)}
+    return {"k": jnp.zeros((L, batch, t, d), dtype),
+            "v": jnp.zeros((L, batch, t, d), dtype)}
+
+
+class ContinuousBatchingEngine:
+    """Device-side state + compiled step/admit programs.
+
+    One instance owns ``lanes`` decode slots over a single
+    :class:`...pipeline.WhisperPipeline`'s params/config.  Thread-safety is
+    the caller's job (the :class:`ContinuousTranscriber` worker is the only
+    thread that touches the device).
+    """
+
+    def __init__(self, pipe, lanes: int = 8, block_steps: int = 16,
+                 max_new_tokens: Optional[int] = None):
+        import jax.numpy as jnp
+        from .generation import GenerationOptions
+
+        self.pipe = pipe
+        self.cfg = pipe.cfg
+        self.tok = pipe.tokenizer
+        self.dtype = pipe.dtype
+        self.lanes = lanes
+        self.block_steps = block_steps
+        self.max_new = int(max_new_tokens or pipe.max_new_tokens)
+        # longest possible prompt: [sot, lang?, task?, notimestamps]
+        langs = sorted(self.tok.lang_to_id) or [None]
+        self.p_max = len(self.tok.prompt_ids(
+            language=langs[0], task="transcribe", no_timestamps=True))
+        self.t_store = self.p_max + self.max_new
+        assert self.t_store <= self.cfg.max_target_positions, (
+            f"p_max({self.p_max}) + max_new({self.max_new}) exceeds "
+            f"{self.cfg.max_target_positions}")
+        # +1 scratch slot: frozen lanes keep writing (token, K/V) at their
+        # frozen cursor == their final length, which may equal t_store
+        self.t_buf = self.t_store + 1
+        self.opts = GenerationOptions.from_config(
+            self.cfg, max_new_tokens=self.max_new, return_timestamps=True,
+            no_speech_token_id=self.tok.no_speech)
+        self._jit_cache: Dict[Any, Any] = {}
+        self._state = None
+        self._jnp = jnp
+
+    # ------------------------------------------------------------- state
+    def init_state(self):
+        import jax.numpy as jnp
+        from .generation.logits import TimestampState
+        from .models.whisper import init_cache
+        b = self.lanes
+        cfg = self.cfg
+        self._state = dict(
+            cache=init_cache(cfg, b, dtype=self.dtype, max_len=self.t_buf),
+            cross=_zero_cross(cfg, b, self.dtype),
+            tokens=jnp.full((b, self.t_buf), cfg.pad_token_id, jnp.int32),
+            last_logits=jnp.zeros((b, cfg.vocab_size), jnp.float32),
+            ts=TimestampState.init(b),
+            use_ts=jnp.zeros((b,), bool),
+            prompt_len=jnp.ones((b,), jnp.int32),
+            budget=jnp.zeros((b,), jnp.int32),
+            pos=jnp.ones((b,), jnp.int32),
+            finished=jnp.ones((b,), bool),
+            sum_logprobs=jnp.zeros((b,), jnp.float32),
+            no_speech_prob=jnp.zeros((b,), jnp.float32),
+        )
+        return self._state
+
+    # ------------------------------------------------------------- step
+    def _step_block(self):
+        """jit (params, state) -> (state', packed) where ``packed`` is ONE
+        fresh int32 vector ``[finished | pos | tokens.ravel()]`` — a
+        concatenate output can never alias the state buffers, so the host
+        may dispatch the NEXT (state-donating) block before fetching it
+        (the depth-2 pipelining in :class:`ContinuousTranscriber`)."""
+        if "step" in self._jit_cache:
+            return self._jit_cache["step"]
+        import jax
+        import jax.numpy as jnp
+        from .generation import logits as L
+        from .models.whisper import decode
+
+        cfg, opts = self.cfg, self.opts
+        n_steps = self.block_steps
+        dtype = self.dtype
+
+        def block(params, state):
+            dec_params = params["decoder"]
+
+            def one_step(_, s):
+                gen_idx = s["pos"] - s["prompt_len"]                  # [B]
+                scores = s["last_logits"]
+                scores = L.force_tokens(scores, gen_idx,
+                                        opts.forced_decoder_ids,
+                                        s["prompt_len"])
+                scores = L.suppress_tokens_at_begin(
+                    scores, gen_idx, opts.begin_suppress_tokens)
+                scores = L.suppress_tokens(scores, opts.suppress_tokens)
+                scores = L.min_new_tokens(scores, gen_idx,
+                                          opts.min_new_tokens,
+                                          cfg.eos_token_id)
+                ts_scores = L.timestamp_rules(
+                    scores, gen_idx, s["ts"], cfg,
+                    opts.max_initial_timestamp_index)
+                scores = jnp.where(s["use_ts"][:, None], ts_scores, scores)
+
+                nxt = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+                logp = jax.nn.log_softmax(scores, axis=-1)
+                tok_logp = jnp.take_along_axis(logp, nxt[:, None],
+                                               axis=-1)[:, 0]
+
+                frozen = s["finished"]
+                nxt = jnp.where(frozen, cfg.pad_token_id, nxt)
+                sum_logprobs = s["sum_logprobs"] + jnp.where(frozen, 0.0,
+                                                             tok_logp)
+                budget_hit = gen_idx + 1 >= s["budget"]
+                finished = jnp.logical_or(
+                    frozen,
+                    jnp.logical_or(nxt == cfg.eos_token_id, budget_hit))
+
+                # frozen lanes write at their frozen cursor (== their final
+                # length — a slot holding no real content; t_buf carries a
+                # scratch column for lanes that ended exactly at t_store)
+                tokens = jax.vmap(
+                    lambda row, t, p: jax.lax.dynamic_update_slice(
+                        row, t[None], (p,)))(s["tokens"], nxt, s["pos"])
+                ts2 = s["ts"].update(nxt, cfg.timestamp_begin)
+                ts = L.TimestampState(
+                    prev=jnp.where(frozen, s["ts"].prev, ts2.prev),
+                    prevprev=jnp.where(frozen, s["ts"].prevprev,
+                                       ts2.prevprev),
+                    last_ts=jnp.where(frozen, s["ts"].last_ts, ts2.last_ts))
+                pos = jnp.where(frozen, s["pos"], s["pos"] + 1)
+
+                # decode the token just written, at its own lane cursor
+                # (frozen lanes decode garbage at their scratch slot —
+                # masked by the per-lane causal mask, never read)
+                lg, cache = decode(dec_params, cfg, nxt[:, None],
+                                   cross=s["cross"], cache=s["cache"],
+                                   pos_offset=s["pos"], dtype=dtype)
+                last_logits = jnp.where(frozen[:, None], s["last_logits"],
+                                        lg[:, -1].astype(jnp.float32))
+                return dict(s, tokens=tokens, cache=cache,
+                            last_logits=last_logits, ts=ts,
+                            finished=finished, sum_logprobs=sum_logprobs,
+                            pos=pos)
+
+            out = jax.lax.fori_loop(0, n_steps, one_step, state)
+            packed = jnp.concatenate([out["finished"].astype(jnp.int32),
+                                      out["pos"].astype(jnp.int32),
+                                      out["tokens"].reshape(-1)])
+            return out, packed
+
+        self._jit_cache["step"] = jax.jit(block, donate_argnums=(1,))
+        return self._jit_cache["step"]
+
+    # ------------------------------------------------------------- admit
+    def _admit_fn(self, a: int):
+        """jit (params, state, mels[A], prompts[A,Pmax], plens[A],
+        budgets[A], use_ts[A], lanes[A]) -> state'."""
+        key = ("admit", a)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        import jax
+        import jax.numpy as jnp
+        from .generation.logits import TimestampState
+        from .models.whisper import cross_kv, decode, encode, init_cache
+
+        cfg, dtype = self.cfg, self.dtype
+        t_buf, t_store = self.t_buf, self.t_store
+        ns_id = self.opts.no_speech_token_id
+
+        def admit(params, state, mels, prompts, plens, budgets, use_ts,
+                  lanes):
+            enc = encode(params["encoder"], cfg, mels, dtype=dtype)
+            cross_new = cross_kv(params["decoder"], cfg, enc)
+            cache_new = init_cache(cfg, a, dtype=dtype, max_len=t_buf)
+            lg, cache_new = decode(params["decoder"], cfg, prompts,
+                                   cross=cross_new, cache=cache_new,
+                                   pos_offset=0, dtype=dtype)
+            last = jnp.take_along_axis(
+                lg, (plens - 1)[:, None, None], axis=1)[:, 0]
+            last = last.astype(jnp.float32)
+            if ns_id is not None:
+                probs0 = jax.nn.softmax(lg[:, 0].astype(jnp.float32), -1)
+                no_speech = probs0[:, ns_id]
+            else:
+                no_speech = jnp.zeros((a,), jnp.float32)
+
+            def scatter_rows(full, new):
+                return full.at[:, lanes].set(new.astype(full.dtype))
+
+            rows = jnp.full((a, t_buf), cfg.pad_token_id, jnp.int32)
+            rows = jax.lax.dynamic_update_slice(rows, prompts, (0, 0))
+            return dict(
+                cache=jax.tree.map(scatter_rows, state["cache"], cache_new),
+                cross=jax.tree.map(scatter_rows, state["cross"], cross_new),
+                tokens=state["tokens"].at[lanes].set(rows),
+                last_logits=state["last_logits"].at[lanes].set(last),
+                ts=TimestampState(
+                    prev=state["ts"].prev.at[lanes].set(-1),
+                    prevprev=state["ts"].prevprev.at[lanes].set(-1),
+                    last_ts=state["ts"].last_ts.at[lanes].set(0)),
+                use_ts=state["use_ts"].at[lanes].set(use_ts),
+                prompt_len=state["prompt_len"].at[lanes].set(plens),
+                budget=state["budget"].at[lanes].set(
+                    jnp.minimum(budgets, t_store - plens)),
+                pos=state["pos"].at[lanes].set(plens),
+                finished=state["finished"].at[lanes].set(False),
+                sum_logprobs=state["sum_logprobs"].at[lanes].set(0.0),
+                no_speech_prob=state["no_speech_prob"].at[lanes].set(
+                    no_speech),
+            )
+
+        self._jit_cache[key] = jax.jit(admit, donate_argnums=(1,))
+        return self._jit_cache[key]
+
+    # ------------------------------------------------------------ driver
+    def step(self):
+        """Dispatch one compiled block.  Returns the packed small-output
+        device vector (fetch with :meth:`unpack`); safe to fetch AFTER
+        further ``step``/``admit`` dispatches (it aliases no state)."""
+        assert self._state is not None, "call init_state() first"
+        self._state, packed = self._step_block()(self.pipe.params,
+                                                 self._state)
+        return packed
+
+    def unpack(self, packed):
+        """packed device vector -> (finished [B] bool, pos [B], tokens
+        [B, t_buf]) as numpy (this fetch is the device sync point)."""
+        b = self.lanes
+        flat = np.asarray(packed)
+        return (flat[:b].astype(bool), flat[b:2 * b],
+                flat[2 * b:].reshape(b, self.t_buf))
+
+    def admit(self, mels, prompts: List[List[int]],
+              budgets: List[int], use_ts: List[bool],
+              lanes: List[int]) -> None:
+        """Admit ``len(lanes)`` requests (30 s mel windows + prompts) into
+        the given free lanes.  One compiled program per admission size —
+        callers should bucket sizes.  ``mels`` may live on device already
+        (keep them there: fetching mels to host costs ~2 MB/window of
+        tunnel traffic)."""
+        import jax.numpy as jnp
+        a = len(lanes)
+        assert a == len(prompts) == len(budgets) == len(use_ts) == len(mels)
+        pad = self.cfg.pad_token_id
+        prom = np.full((a, self.p_max), pad, np.int32)
+        plens = np.zeros((a,), np.int32)
+        for i, p in enumerate(prompts):
+            prom[i, :len(p)] = p
+            plens[i] = len(p)
+        self._state = self._admit_fn(a)(
+            self.pipe.params, self._state,
+            jnp.asarray(mels).astype(self.dtype),
+            jnp.asarray(prom), jnp.asarray(plens),
+            jnp.asarray(budgets, np.int32), jnp.asarray(use_ts, bool),
+            jnp.asarray(lanes, np.int32))
+
+
+@dataclass
+class _EngineRequest:
+    audio: np.ndarray
+    language: Optional[str]
+    task: str
+    return_timestamps: bool
+    max_new_tokens: Optional[int]
+    done: threading.Event
+    result: Optional[Dict[str, Any]] = None
+    error: Optional[str] = None
+
+
+class ContinuousTranscriber:
+    """Drop-in alternative to :class:`...serving.BatchingTranscriber` backed
+    by the continuous-batching engine: same ``submit()`` contract (so
+    :func:`...serving.make_http_server` serves either), but finished lanes
+    are refilled from the queue between step-blocks instead of waiting for
+    the whole batch.
+    """
+
+    def __init__(self, pipe, batch_size: Optional[int] = None,
+                 max_wait_ms: float = 0.0, default_language=None,
+                 max_new_tokens: Optional[int] = None,
+                 block_steps: int = 16):
+        del max_wait_ms  # admission happens every block; no batching window
+        self.pipe = pipe
+        self.default_language = default_language
+        self.max_new_tokens = int(max_new_tokens or pipe.max_new_tokens)
+        self.engine = ContinuousBatchingEngine(
+            pipe, lanes=batch_size or pipe.batch_size,
+            block_steps=block_steps, max_new_tokens=self.max_new_tokens)
+        self.batch_size = self.engine.lanes
+        self._q: "queue.Queue[Optional[_EngineRequest]]" = queue.Queue()
+        self._worker: Optional[threading.Thread] = None
+        self._pending: List[_EngineRequest] = []
+        self._pending_long: List[_EngineRequest] = []
+        self._inflight: Dict[int, _EngineRequest] = {}
+        self._free: List[int] = list(range(self.engine.lanes))
+        self.stats = {"requests": 0, "blocks": 0, "admitted": 0,
+                      "long_form": 0, "max_inflight": 0}
+
+    # ------------------------------------------------------------- client
+    def start(self) -> "ContinuousTranscriber":
+        self.engine.init_state()
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="continuous-transcriber")
+        self._worker.start()
+        return self
+
+    def stop(self) -> None:
+        if self._worker is not None:
+            self._q.put(None)
+            self._worker.join(timeout=60)
+            self._worker = None
+
+    def submit(self, audio, language: Optional[str] = None,
+               task: str = "transcribe", return_timestamps: bool = False,
+               timeout: Optional[float] = None,
+               max_new_tokens: Optional[int] = None) -> Dict[str, Any]:
+        from .audio.io import load_audio
+        wav = load_audio(audio, self.pipe.cfg.sampling_rate)
+        req = _EngineRequest(wav, language or self.default_language, task,
+                             bool(return_timestamps), max_new_tokens,
+                             threading.Event())
+        self._q.put(req)
+        if not req.done.wait(timeout):
+            raise TimeoutError("transcription timed out")
+        if req.error is not None:
+            raise RuntimeError(req.error)
+        return req.result
+
+    # --------------------------------------------------------------- worker
+    def _drain_queue(self, block: bool) -> bool:
+        """Move queued requests into pending lists.  Returns False when the
+        shutdown sentinel was seen.  ``block`` waits for the first request
+        (the engine is idle — nothing to step)."""
+        first = block
+        while True:
+            try:
+                req = self._q.get() if first else self._q.get_nowait()
+            except queue.Empty:
+                return True
+            first = False
+            if req is None:
+                return False
+            self.stats["requests"] += 1
+            if len(req.audio) > self.pipe.cfg.n_samples:
+                self._pending_long.append(req)
+            else:
+                self._pending.append(req)
+
+    def _admit_pending(self) -> None:
+        """Admit queued requests into free lanes, in power-of-two chunks so
+        only log2(lanes)+1 admission programs ever compile."""
+        from .audio import compute_mel
+        import jax.numpy as jnp
+        eng, tok = self.engine, self.pipe.tokenizer
+        while self._pending and self._free:
+            n = min(len(self._pending), len(self._free))
+            a = 1 << (n.bit_length() - 1)      # largest power of two <= n
+            reqs = [self._pending.pop(0) for _ in range(a)]
+            lanes = [self._free.pop(0) for _ in range(a)]
+            wavs = np.zeros((a, self.pipe.cfg.n_samples), np.float32)
+            for i, r in enumerate(reqs):
+                wavs[i, :len(r.audio)] = r.audio
+            mels = compute_mel(jnp.asarray(wavs), self.pipe.cfg)
+            langs = [r.language for r in reqs]
+            if any(l is None for l in langs) and len(tok.lang_to_id) > 1:
+                detected = self.pipe.detect_language(
+                    mels.astype(self.pipe.dtype))
+                langs = [l if l is not None else detected[i]
+                         for i, l in enumerate(langs)]
+            prompts = [tok.prompt_ids(language=langs[i], task=r.task,
+                                      no_timestamps=not r.return_timestamps)
+                       for i, r in enumerate(reqs)]
+            budgets = [max(1, min(int(r.max_new_tokens
+                                      or self.max_new_tokens),
+                                  self.max_new_tokens)) for r in reqs]
+            eng.admit(mels, prompts, budgets,
+                      [r.return_timestamps for r in reqs], lanes)
+            for lane, r in zip(lanes, reqs):
+                self._inflight[lane] = r
+            self.stats["admitted"] += a
+            self.stats["max_inflight"] = max(self.stats["max_inflight"],
+                                             len(self._inflight))
+
+    def _complete(self, block_out) -> None:
+        """Fetch a step-block's outputs and finish any completed lanes.
+
+        ``block_out`` is ``(packed, snapshot)`` where snapshot is the
+        inflight map AT DISPATCH TIME: a lane freed and re-admitted after
+        this block was dispatched still carries the old occupant's stale
+        ``finished`` flag — the snapshot identity check skips it (the new
+        request completes from a later block)."""
+        tok = self.pipe.tokenizer
+        packed, snap = block_out
+        finished, pos, tokens = self.engine.unpack(packed)
+        for lane in [l for l in self._inflight
+                     if finished[l] and self._inflight[l] is snap.get(l)]:
+            r = self._inflight.pop(lane)
+            self._free.append(lane)
+            try:
+                ids = tokens[lane][:pos[lane]].tolist()
+                result = {"text": tok.decode(ids, skip_special_tokens=True)}
+                if r.return_timestamps:
+                    _, opt = tok.decode_asr([{"tokens": ids}],
+                                            return_timestamps=True)
+                    result.update(opt)
+                r.result = result
+            except Exception as e:  # noqa: BLE001
+                logger.exception("engine request postprocessing failed")
+                r.error = f"{type(e).__name__}: {e}"
+            finally:
+                r.done.set()
+
+    def _run_one_long(self, r: _EngineRequest) -> None:
+        self.stats["long_form"] += 1
+        try:
+            # per-request max_new is honoured on the engine path only (it is
+            # lane DATA there); the chunked fallback keeps the server-wide
+            # budget so arbitrary client values can't force fresh compiles
+            r.result = self.pipe(r.audio, language=r.language, task=r.task,
+                                 return_timestamps=r.return_timestamps,
+                                 max_new_tokens=self.max_new_tokens)
+        except Exception as e:  # noqa: BLE001
+            logger.exception("long-form request failed")
+            r.error = f"{type(e).__name__}: {e}"
+        finally:
+            r.done.set()
+
+    def _run(self) -> None:
+        try:
+            self._run_inner()
+        except Exception as e:  # noqa: BLE001 — never leave submitters hanging
+            logger.exception("continuous-batching worker crashed")
+            for r in (self._pending + self._pending_long
+                      + list(self._inflight.values())):
+                r.error = f"worker crashed: {type(e).__name__}: {e}"
+                r.done.set()
+
+    def _run_inner(self) -> None:
+        prev_packed = None
+        shutting_down = False
+        while True:
+            if not shutting_down:
+                idle = (not self._inflight and not self._pending
+                        and not self._pending_long and prev_packed is None)
+                if not self._drain_queue(block=idle):
+                    shutting_down = True
+            for r in self._pending_long:
+                self._run_one_long(r)
+            self._pending_long.clear()
+            self._admit_pending()
+            if self._inflight:
+                # pipeline two blocks deep: dispatch block k+1 before
+                # fetching block k's outputs, hiding the ~30-50 ms remote
+                # fetch round-trip behind device compute (completion and
+                # admission then lag one block — a few ms of decode)
+                block_out = (self.engine.step(), dict(self._inflight))
+                self.stats["blocks"] += 1
+                if prev_packed is not None:
+                    self._complete(prev_packed)
+                prev_packed = block_out if self._inflight else None
+            elif prev_packed is not None:
+                self._complete(prev_packed)
+                prev_packed = None
+            if shutting_down and not self._inflight and not self._pending \
+                    and prev_packed is None:
+                return

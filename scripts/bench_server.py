@@ -1,10 +1,22 @@
-"""Serving throughput: the dynamic-batching engine on one chip.
+"""Serving throughput: micro-batching vs continuous batching on one chip.
 
-N client threads submit single-window (30 s) requests concurrently into
-``serving.BatchingTranscriber`` (the engine behind dwt-serve, HTTP layer
-bypassed — it adds no device work); measures served audio-seconds per
-wall-second and the batching behaviour.  BENCH_INT8=1 turns on the full
-int8 serving stack.
+N client threads submit single-window (30 s) requests into the serving
+engine behind dwt-serve (HTTP layer bypassed — it adds no device work);
+measures served audio-seconds per wall-second and request latency
+percentiles.  Env knobs:
+
+  BENCH_SCHEDULER   microbatch | continuous | both (default both)
+  BENCH_PRESET      model preset (default distil-large-v3)
+  BENCH_BATCH       lanes / max micro-batch (default 16)
+  BENCH_CLIENTS     concurrent client threads (default 32)
+  BENCH_REQS        requests per client (default 2)
+  BENCH_TOKENS      server max_new_tokens budget (default 96)
+  BENCH_TOKENS_MIN  per-request random budget floor (default 24) — mixed
+                    output lengths are where in-flight batching wins
+  BENCH_RPS         mean Poisson arrival rate per client thread, req/s
+                    (default 0 = submit immediately)
+  BENCH_INT8        1 = full int8 serving stack
+  BENCH_BLOCK       continuous-engine steps per block (default 16)
 
   PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_server.py
 """
@@ -17,12 +29,46 @@ import time
 import numpy as np
 
 
+def run_load(ts, wav, clients, per_client, budgets, rps, seed=1):
+    """Drive the transcriber with `clients` threads; returns latencies."""
+    errors, lat = [], []
+    lock = threading.Lock()
+    rng = np.random.default_rng(seed)
+
+    def client(ci):
+        waits = (rng.exponential(1.0 / rps, per_client) if rps > 0
+                 else np.zeros(per_client))
+        for k in range(per_client):
+            time.sleep(waits[k])
+            t0 = time.perf_counter()
+            try:
+                ts.submit(wav, timeout=600,
+                          max_new_tokens=int(budgets[ci * per_client + k]))
+                dt = time.perf_counter() - t0
+                with lock:
+                    lat.append(dt)
+            except Exception as e:  # noqa: BLE001
+                with lock:
+                    errors.append(str(e)[:100])
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return time.perf_counter() - t0, lat, errors
+
+
 def main():
+    import jax
     import jax.numpy as jnp
     from distil_whisper_tpu.config import PRESETS
     from distil_whisper_tpu.models import init_params
     from distil_whisper_tpu.pipeline import WhisperPipeline
     from distil_whisper_tpu.serving import BatchingTranscriber
+    from distil_whisper_tpu.serving_engine import ContinuousTranscriber
     from distil_whisper_tpu.tokenizer import WhisperTokenizer
 
     preset = os.environ.get("BENCH_PRESET", "distil-large-v3")
@@ -30,9 +76,12 @@ def main():
     clients = int(os.environ.get("BENCH_CLIENTS", "32"))
     per_client = int(os.environ.get("BENCH_REQS", "2"))
     max_new = int(os.environ.get("BENCH_TOKENS", "96"))
+    tok_min = int(os.environ.get("BENCH_TOKENS_MIN", "24"))
+    rps = float(os.environ.get("BENCH_RPS", "0"))
     int8 = os.environ.get("BENCH_INT8") == "1"
+    block = int(os.environ.get("BENCH_BLOCK", "16"))
+    which = os.environ.get("BENCH_SCHEDULER", "both")
 
-    import jax
     cfg = PRESETS[preset].replace(
         fast_bf16_attention=True, use_flash_encoder=True,
         quantize_encoder=int8, quantize_decoder=int8,
@@ -50,50 +99,61 @@ def main():
     pipe = WhisperPipeline(ck, dtype=jnp.bfloat16, batch_size=batch,
                            max_new_tokens=max_new, params=params, cfg=cfg,
                            tokenizer=tok)
-    ts = BatchingTranscriber(pipe, batch_size=batch, max_wait_ms=100,
-                             default_language="en",
-                             max_new_tokens=max_new).start()
 
-    rng = np.random.default_rng(0)
+    # per-request budgets: mixed output lengths (random weights never emit
+    # EOS, so the budget IS the output length — a realistic length mix)
+    rng = np.random.default_rng(7)
+    n_total = clients * per_client
+    budgets = rng.integers(tok_min, max_new + 1, n_total)
     wav = (0.05 * rng.standard_normal(cfg.n_samples)).astype(np.float32)
 
-    # warmup: one full batch (compile)
-    warm = [threading.Thread(target=ts.submit, args=(wav,))
-            for _ in range(batch)]
-    for t in warm:
-        t.start()
-    for t in warm:
-        t.join()
-    print("warm", flush=True)
+    results = {}
+    for name in (["microbatch", "continuous"] if which == "both"
+                 else [which]):
+        if name == "continuous":
+            ts = ContinuousTranscriber(pipe, batch_size=batch,
+                                       default_language="en",
+                                       max_new_tokens=max_new,
+                                       block_steps=block).start()
+        else:
+            ts = BatchingTranscriber(pipe, batch_size=batch,
+                                     max_wait_ms=100,
+                                     default_language="en",
+                                     max_new_tokens=max_new).start()
+        # warmup: compile (full batch for microbatch; admit buckets + step
+        # for continuous)
+        warm = [threading.Thread(target=ts.submit, args=(wav,),
+                                 kwargs={"timeout": 900})
+                for _ in range(batch)]
+        for t in warm:
+            t.start()
+        for t in warm:
+            t.join()
+        print(f"warm {name}", flush=True)
 
-    errors = []
+        wall, lat, errors = run_load(ts, wav, clients, per_client, budgets,
+                                     rps)
+        ts.stop()
+        n = n_total - len(errors)
+        lat = np.asarray(sorted(lat))
+        results[name] = {
+            "wall_s": round(wall, 2), "requests": n, "errors": len(errors),
+            "served_audio_s_per_s": round(n * 30.0 / wall, 1),
+            "latency_p50_s": round(float(np.percentile(lat, 50)), 3),
+            "latency_p95_s": round(float(np.percentile(lat, 95)), 3),
+            "stats": dict(ts.stats),
+        }
+        print(json.dumps({name: results[name]}), flush=True)
 
-    def client():
-        for _ in range(per_client):
-            try:
-                ts.submit(wav, timeout=600)
-            except Exception as e:  # noqa: BLE001
-                errors.append(str(e)[:100])
-
-    t0 = time.perf_counter()
-    threads = [threading.Thread(target=client) for _ in range(clients)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    wall = time.perf_counter() - t0
-    ts.stop()
-
-    n = clients * per_client - len(errors)
-    audio_s = n * 30.0
-    print(json.dumps({
-        "preset": preset, "int8": int8, "batch_size": batch,
-        "clients": clients, "requests": n, "errors": len(errors),
-        "wall_s": round(wall, 2),
-        "served_audio_s_per_s": round(audio_s / wall, 1),
-        "rtfx_served": round(audio_s / wall, 1),
-        "stats": dict(ts.stats),
-    }))
+    out = {"preset": preset, "int8": int8, "batch_size": batch,
+           "clients": clients, "per_client": per_client,
+           "tokens": [tok_min, max_new], "rps_per_client": rps,
+           **results}
+    if len(results) == 2:
+        out["continuous_vs_microbatch"] = round(
+            results["continuous"]["served_audio_s_per_s"]
+            / max(results["microbatch"]["served_audio_s_per_s"], 1e-9), 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

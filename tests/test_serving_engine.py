@@ -1,0 +1,274 @@
+"""Continuous-batching serving engine: per-lane decode correctness +
+token-identity of the engine against the whole-batch generate path.
+
+The engine's claim is strong — lanes admitted and retired at different
+times must decode EXACTLY the tokens the plain batch path produces — so the
+tests drive real staggered traffic through the real worker thread.
+"""
+
+import threading
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from helpers import make_tiny_checkpoint
+
+from distil_whisper_tpu.config import WhisperConfig
+from distil_whisper_tpu.generation import logits as L
+
+
+# ----------------------------------------------------------------------
+# per-lane gen_idx in the logits rules == row-wise scalar application
+# ----------------------------------------------------------------------
+
+
+def test_logits_rules_per_lane_match_scalar():
+    rng = np.random.default_rng(0)
+    v = 1902  # timestamp_begin = 401, <|notimestamps|> = 400
+    cfg = WhisperConfig(vocab_size=v, eos_token_id=300, d_model=8,
+                        pad_token_id=0, bos_token_id=1,
+                        decoder_start_token_id=3)
+    scores = jnp.asarray(rng.standard_normal((4, v)).astype(np.float32))
+    gen_idx = jnp.asarray([0, 1, 2, 7], jnp.int32)
+    prompt_len = jnp.asarray([3, 4, 3, 2], jnp.int32)
+    state = L.TimestampState(
+        prev=jnp.asarray([-1, 405, 410, 55], jnp.int32),
+        prevprev=jnp.asarray([-1, -1, 407, 402], jnp.int32),
+        last_ts=jnp.asarray([0, 405, 410, 402], jnp.int32))
+
+    forced = ((3, 17), (4, 23))
+    begin = (9, 11)
+    sup = (40, 41)
+
+    def scalar_row(i):
+        s = scores[i:i + 1]
+        g = int(gen_idx[i])
+        s = L.force_tokens(s, g, forced, int(prompt_len[i]))
+        s = L.suppress_tokens_at_begin(s, g, begin)
+        s = L.suppress_tokens(s, sup)
+        s = L.min_new_tokens(s, g, 2, cfg.eos_token_id)
+        st = L.TimestampState(prev=state.prev[i:i + 1],
+                              prevprev=state.prevprev[i:i + 1],
+                              last_ts=state.last_ts[i:i + 1])
+        return L.timestamp_rules(s, g, st, cfg, 50)
+
+    s = L.force_tokens(scores, gen_idx, forced, prompt_len)
+    s = L.suppress_tokens_at_begin(s, gen_idx, begin)
+    s = L.suppress_tokens(s, sup)
+    s = L.min_new_tokens(s, gen_idx, 2, cfg.eos_token_id)
+    batched = L.timestamp_rules(s, gen_idx, state, cfg, 50)
+
+    ref = jnp.concatenate([scalar_row(i) for i in range(4)])
+    np.testing.assert_allclose(np.asarray(batched), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+# ----------------------------------------------------------------------
+# per-lane decode == scalar decode (uniform and staggered cursors)
+# ----------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tiny(tmp_path_factory):
+    ck = make_tiny_checkpoint(tmp_path_factory.mktemp("engine") / "ck")
+    from distil_whisper_tpu.models import load_params
+    params, cfg = load_params(ck)
+    rng = np.random.default_rng(1)
+    mel = jnp.asarray(rng.standard_normal((3, 80, 3000)).astype(np.float32)
+                      * 0.5)
+    return ck, params, cfg, mel
+
+
+@pytest.mark.parametrize("quantize_self_kv", [False, True])
+def test_per_lane_decode_matches_scalar(tiny, quantize_self_kv):
+    from distil_whisper_tpu.models.whisper import (cross_kv, decode, encode,
+                                                   init_cache)
+    ck, params, cfg, mel = tiny
+    cfg = cfg.replace(quantize_self_kv=quantize_self_kv)
+    enc = encode(params["encoder"], cfg, mel)
+    cross = cross_kv(params["decoder"], cfg, enc)
+    prompt = jnp.asarray([[50258, 50259, 50359]] * 3, jnp.int32)
+
+    # uniform per-lane cursor must equal the scalar path bit-for-bit
+    tok = jnp.asarray([[5], [7], [9]], jnp.int32)
+    outs = {}
+    for name, pos in (("scalar", 3),
+                      ("lanes", jnp.asarray([3, 3, 3], jnp.int32))):
+        cache = init_cache(cfg, 3, max_len=16)
+        _, cache = decode(params["decoder"], cfg, prompt, cross=cross,
+                          cache=cache, pos_offset=0)
+        lg, _ = decode(params["decoder"], cfg, tok, cross=cross, cache=cache,
+                       pos_offset=pos)
+        outs[name] = np.asarray(lg)
+    np.testing.assert_array_equal(outs["scalar"], outs["lanes"])
+
+    # staggered: drive 3 lanes to different depths (frozen lanes keep
+    # re-decoding a pad at their cursor, engine-style), then compare each
+    # lane's final logits against a solo batch-1 scalar-cursor run
+    streams = [[5, 9, 11, 2], [7, 1], [4, 4, 4]]
+    cache = init_cache(cfg, 3, max_len=16)
+    _, cache = decode(params["decoder"], cfg, prompt, cross=cross,
+                      cache=cache, pos_offset=0)
+    pos = np.asarray([3, 3, 3], np.int32)
+    finals = [None] * 3
+    for step in range(max(len(s) for s in streams)):
+        toks = [s[step] if step < len(s) else 0 for s in streams]
+        lg, cache = decode(params["decoder"], cfg,
+                           jnp.asarray(toks, jnp.int32)[:, None],
+                           cross=cross, cache=cache,
+                           pos_offset=jnp.asarray(pos))
+        for b, s in enumerate(streams):
+            if step < len(s):
+                pos[b] += 1
+                if step == len(s) - 1:
+                    finals[b] = np.asarray(lg[b, -1])
+
+    for b, s in enumerate(streams):
+        sub = jax.tree.map(lambda x: x[:, b:b + 1], cross)
+        cache1 = init_cache(cfg, 1, max_len=16)
+        _, cache1 = decode(params["decoder"], cfg, prompt[b:b + 1],
+                           cross=sub, cache=cache1, pos_offset=0)
+        p = 3
+        for t in s:
+            lg1, cache1 = decode(params["decoder"], cfg,
+                                 jnp.asarray([[t]], jnp.int32), cross=sub,
+                                 cache=cache1, pos_offset=p)
+            p += 1
+        np.testing.assert_allclose(finals[b], np.asarray(lg1[0, -1]),
+                                   rtol=2e-5, atol=2e-5)
+
+
+# ----------------------------------------------------------------------
+# engine vs whole-batch generate: token identity under staggered admission
+# ----------------------------------------------------------------------
+
+
+def _expected_text(pipe, wav, language, return_timestamps, max_new):
+    out = pipe(wav, language=language, return_timestamps=return_timestamps,
+               max_new_tokens=max_new)
+    return out["text"]
+
+
+@pytest.fixture(scope="module")
+def engine_pipe(tiny):
+    ck, params, cfg, mel = tiny
+    from distil_whisper_tpu.pipeline import WhisperPipeline
+    return WhisperPipeline(ck, dtype=jnp.float32, batch_size=2,
+                           max_new_tokens=10, params=params, cfg=cfg)
+
+
+def _tone(seconds, freq, seed):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(seconds * 16000)) / 16000.0
+    return (0.2 * np.sin(2 * np.pi * freq * t)
+            + 0.01 * rng.standard_normal(t.shape)).astype(np.float32)
+
+
+def test_engine_matches_batch_path_staggered(engine_pipe):
+    """8 requests through 2 lanes, staggered arrivals, mixed languages /
+    timestamps / budgets: every text must equal the whole-batch pipeline's
+    output for the same audio + options."""
+    from distil_whisper_tpu.serving_engine import ContinuousTranscriber
+    pipe = engine_pipe
+    tr = ContinuousTranscriber(pipe, batch_size=2, max_new_tokens=10,
+                               block_steps=3).start()
+    try:
+        cases = []
+        for i in range(8):
+            cases.append(dict(
+                wav=_tone(1.0 + 0.3 * (i % 3), 200.0 + 35 * i, seed=i),
+                language=["en", "fr"][i % 2],
+                return_timestamps=(i % 3 == 0),
+                max_new=[10, 7, 5][i % 3]))
+
+        results = [None] * len(cases)
+        errors = []
+
+        def post(i, c):
+            try:
+                results[i] = tr.submit(
+                    c["wav"], language=c["language"],
+                    return_timestamps=c["return_timestamps"],
+                    max_new_tokens=c["max_new"], timeout=600)
+            except Exception as e:  # noqa: BLE001
+                errors.append((i, e))
+
+        threads = []
+        for i, c in enumerate(cases):
+            th = threading.Thread(target=post, args=(i, c))
+            th.start()
+            threads.append(th)
+            time.sleep(0.05 * (i % 4))  # staggered arrivals
+        for th in threads:
+            th.join(timeout=600)
+        assert not errors, errors
+
+        for i, c in enumerate(cases):
+            expect = _expected_text(pipe, c["wav"], c["language"],
+                                    c["return_timestamps"], c["max_new"])
+            assert results[i]["text"] == expect, (
+                f"case {i}: {results[i]['text']!r} != {expect!r}")
+        # lanes were actually reused (8 requests through 2 lanes)
+        assert tr.stats["admitted"] == 8
+        assert tr.stats["max_inflight"] <= 2
+    finally:
+        tr.stop()
+
+
+def test_engine_long_form_fallback(engine_pipe):
+    from distil_whisper_tpu.serving_engine import ContinuousTranscriber
+    pipe = engine_pipe
+    tr = ContinuousTranscriber(pipe, batch_size=2, max_new_tokens=10,
+                               block_steps=3).start()
+    try:
+        wav = _tone(31.0, 220.0, seed=42)
+        out = tr.submit(wav, language="en", timeout=600)
+        assert out["text"] == _expected_text(pipe, wav, "en", False, 10)
+        assert tr.stats["long_form"] == 1
+    finally:
+        tr.stop()
+
+
+def test_engine_http_server(tmp_path_factory, tiny):
+    """--scheduler continuous serves the same HTTP surface."""
+    import io
+    import json
+    import urllib.request
+    import wave
+
+    ck, *_ = tiny
+    from distil_whisper_tpu.cli.run_server import build_server
+    httpd, tr = build_server([
+        "--model_checkpoint", ck, "--host", "127.0.0.1", "--port", "0",
+        "--batch_size", "2", "--max_new_tokens", "6", "--dtype", "float32",
+        "--language", "en", "--scheduler", "continuous",
+        "--block_steps", "3"])
+    th = threading.Thread(target=httpd.serve_forever, daemon=True)
+    th.start()
+    try:
+        port = httpd.server_address[1]
+        t = np.arange(16000) / 16000.0
+        pcm = (0.2 * np.sin(2 * np.pi * 220.0 * t) * 32767).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(pcm.tobytes())
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/transcribe?language=en",
+            data=buf.getvalue(), method="POST")
+        with urllib.request.urlopen(req, timeout=600) as r:
+            assert r.status == 200
+            out = json.loads(r.read())
+        assert "text" in out and isinstance(out["text"], str)
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=60) as r:
+            info = json.loads(r.read())
+        assert info["status"] == "ok"
+    finally:
+        httpd.shutdown()
+        tr.stop()
