@@ -107,6 +107,13 @@ class BatchingTranscriber:
             raise RuntimeError(req.error)
         return req.result
 
+    def submit_stream(self, audio, **kw):
+        """Streaming facade for API parity with the continuous-batching
+        transcriber (which emits true incremental partials): whole-batch
+        generate produces no intermediate state to stream, so this yields
+        one final result."""
+        yield {**self.submit(audio, **kw), "final": True}
+
     # --------------------------------------------------------------- worker
     def _run(self) -> None:
         while True:
@@ -266,15 +273,40 @@ def make_http_server(transcriber: BatchingTranscriber, host: str = "0.0.0.0",
                 body = self.rfile.read(length)
                 q = parse_qs(url.query)
                 max_tok = (q.get("max_tokens") or [None])[0]
-                t0 = time.monotonic()
-                result = transcriber.submit(
-                    body,
+                kw = dict(
                     language=(q.get("language") or [None])[0],
                     task=(q.get("task") or ["transcribe"])[0],
                     return_timestamps=(q.get("timestamps") or ["0"])[0]
                     in ("1", "true", "word"),
                     max_new_tokens=int(max_tok) if max_tok else None)
-                result = dict(result)
+                t0 = time.monotonic()
+                if (q.get("stream") or ["0"])[0] in ("1", "true"):
+                    # newline-delimited JSON, close-delimited (HTTP/1.0):
+                    # one partial line per decode block (continuous
+                    # scheduler), then the final result with final=true
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "application/x-ndjson")
+                    self.send_header("Cache-Control", "no-cache")
+                    self.end_headers()
+                    try:
+                        for item in transcriber.submit_stream(body, **kw):
+                            if item.get("final"):
+                                item = dict(item)
+                                item["latency_ms"] = round(
+                                    (time.monotonic() - t0) * 1e3, 1)
+                            self.wfile.write(json.dumps(item).encode()
+                                             + b"\n")
+                            self.wfile.flush()
+                    except Exception:  # noqa: BLE001 — headers already sent:
+                        # emit an error line and close (no second status line)
+                        logger.exception("streaming request failed")
+                        try:
+                            self.wfile.write(b'{"error": "stream aborted"}\n')
+                        except OSError:
+                            pass  # client already gone
+                    return
+                result = dict(transcriber.submit(body, **kw))
                 result["latency_ms"] = round(
                     (time.monotonic() - t0) * 1e3, 1)
                 self._json(200, result)

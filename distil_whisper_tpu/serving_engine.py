@@ -326,6 +326,10 @@ class _EngineRequest:
     done: threading.Event
     result: Optional[Dict[str, Any]] = None
     error: Optional[str] = None
+    # streaming: partial results are pushed here once per step-block;
+    # a ``{"final": True}`` entry (or an ``error`` + done) terminates
+    stream: Optional["queue.Queue"] = None
+    _last_partial: str = ""
 
 
 class ContinuousTranscriber:
@@ -387,6 +391,36 @@ class ContinuousTranscriber:
             raise RuntimeError(req.error)
         return req.result
 
+    def submit_stream(self, audio, language: Optional[str] = None,
+                      task: str = "transcribe",
+                      return_timestamps: bool = False,
+                      timeout: Optional[float] = None,
+                      max_new_tokens: Optional[int] = None):
+        """Streaming transcription: yields ``{"text": ..., "final": False}``
+        partials as the lane decodes (once per step-block when the text
+        grew), then the full result dict with ``final: True``.
+
+        In-flight batching makes this nearly free: every step-block fetch
+        already carries every lane's token buffer, so partial decoding is
+        host-side work only.  Long-form (>30 s) inputs fall back to the
+        chunked pipeline and yield a single final result."""
+        from .audio.io import load_audio
+        wav = load_audio(audio, self.pipe.cfg.sampling_rate)
+        req = _EngineRequest(wav, language or self.default_language, task,
+                             bool(return_timestamps), max_new_tokens,
+                             threading.Event(), stream=queue.Queue())
+        self._q.put(req)
+        while True:
+            try:
+                item = req.stream.get(timeout=timeout)
+            except queue.Empty:
+                raise TimeoutError("transcription timed out") from None
+            if item is None:  # terminated by error
+                raise RuntimeError(req.error or "stream aborted")
+            yield item
+            if item.get("final"):
+                return
+
     # --------------------------------------------------------------- worker
     def _drain_queue(self, block: bool) -> bool:
         """Move queued requests into pending lists.  Returns False when the
@@ -442,8 +476,24 @@ class ContinuousTranscriber:
             self.stats["max_inflight"] = max(self.stats["max_inflight"],
                                              len(self._inflight))
 
+    @staticmethod
+    def _finish_req(r: _EngineRequest, result: Optional[Dict[str, Any]] = None,
+                    error: Optional[str] = None) -> None:
+        """Deliver a request's terminal state to both waiting styles
+        (blocking ``submit`` and the ``submit_stream`` queue)."""
+        if error is not None:
+            r.error = error
+            if r.stream is not None:
+                r.stream.put(None)
+        else:
+            r.result = result
+            if r.stream is not None:
+                r.stream.put({**result, "final": True})
+        r.done.set()
+
     def _complete(self, block_out) -> None:
-        """Fetch a step-block's outputs and finish any completed lanes.
+        """Fetch a step-block's outputs: finish completed lanes and emit
+        streaming partials for lanes still running.
 
         ``block_out`` is ``(packed, snapshot)`` where snapshot is the
         inflight map AT DISPATCH TIME: a lane freed and re-admitted after
@@ -453,23 +503,29 @@ class ContinuousTranscriber:
         tok = self.pipe.tokenizer
         packed, snap = block_out
         finished, pos, tokens = self.engine.unpack(packed)
-        for lane in [l for l in self._inflight
-                     if finished[l] and self._inflight[l] is snap.get(l)]:
-            r = self._inflight.pop(lane)
+        for lane, r in list(self._inflight.items()):
+            if snap.get(lane) is not r:
+                continue  # admitted after this block was dispatched
+            ids = tokens[lane][:pos[lane]].tolist()
+            if not finished[lane]:
+                if r.stream is not None:
+                    text = tok.decode(ids, skip_special_tokens=True)
+                    if text != r._last_partial:
+                        r._last_partial = text
+                        r.stream.put({"text": text, "final": False})
+                continue
+            self._inflight.pop(lane)
             self._free.append(lane)
             try:
-                ids = tokens[lane][:pos[lane]].tolist()
                 result = {"text": tok.decode(ids, skip_special_tokens=True)}
                 if r.return_timestamps:
                     _, opt = tok.decode_asr([{"tokens": ids}],
                                             return_timestamps=True)
                     result.update(opt)
-                r.result = result
+                self._finish_req(r, result)
             except Exception as e:  # noqa: BLE001
                 logger.exception("engine request postprocessing failed")
-                r.error = f"{type(e).__name__}: {e}"
-            finally:
-                r.done.set()
+                self._finish_req(r, error=f"{type(e).__name__}: {e}")
 
     def _run_one_long(self, r: _EngineRequest) -> None:
         self.stats["long_form"] += 1
@@ -477,14 +533,13 @@ class ContinuousTranscriber:
             # per-request max_new is honoured on the engine path only (it is
             # lane DATA there); the chunked fallback keeps the server-wide
             # budget so arbitrary client values can't force fresh compiles
-            r.result = self.pipe(r.audio, language=r.language, task=r.task,
-                                 return_timestamps=r.return_timestamps,
-                                 max_new_tokens=self.max_new_tokens)
+            result = self.pipe(r.audio, language=r.language, task=r.task,
+                               return_timestamps=r.return_timestamps,
+                               max_new_tokens=self.max_new_tokens)
+            self._finish_req(r, result)
         except Exception as e:  # noqa: BLE001
             logger.exception("long-form request failed")
-            r.error = f"{type(e).__name__}: {e}"
-        finally:
-            r.done.set()
+            self._finish_req(r, error=f"{type(e).__name__}: {e}")
 
     def _run(self) -> None:
         try:
@@ -493,8 +548,9 @@ class ContinuousTranscriber:
             logger.exception("continuous-batching worker crashed")
             for r in (self._pending + self._pending_long
                       + list(self._inflight.values())):
-                r.error = f"worker crashed: {type(e).__name__}: {e}"
-                r.done.set()
+                self._finish_req(r,
+                                 error=f"worker crashed: "
+                                       f"{type(e).__name__}: {e}")
 
     def _run_inner(self) -> None:
         prev_packed = None

@@ -218,6 +218,25 @@ def test_engine_matches_batch_path_staggered(engine_pipe):
         tr.stop()
 
 
+def test_engine_streaming_partials(engine_pipe):
+    """submit_stream yields growing partials, then a final result equal to
+    the non-streamed output."""
+    from distil_whisper_tpu.serving_engine import ContinuousTranscriber
+    pipe = engine_pipe
+    tr = ContinuousTranscriber(pipe, batch_size=2, max_new_tokens=10,
+                               block_steps=2).start()
+    try:
+        wav = _tone(1.2, 260.0, seed=5)
+        items = list(tr.submit_stream(wav, language="en", timeout=600))
+        assert items[-1]["final"] is True
+        assert all(not it["final"] for it in items[:-1])
+        assert len(items) >= 2, "expected at least one partial"
+        solo = tr.submit(wav, language="en", timeout=600)
+        assert items[-1]["text"] == solo["text"]
+    finally:
+        tr.stop()
+
+
 def test_engine_long_form_fallback(engine_pipe):
     from distil_whisper_tpu.serving_engine import ContinuousTranscriber
     pipe = engine_pipe
@@ -269,6 +288,18 @@ def test_engine_http_server(tmp_path_factory, tiny):
                 f"http://127.0.0.1:{port}/healthz", timeout=60) as r:
             info = json.loads(r.read())
         assert info["status"] == "ok"
+
+        # streaming: newline-delimited JSON partials, final line matches
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/transcribe?language=en&stream=1",
+            data=buf.getvalue(), method="POST")
+        with urllib.request.urlopen(req, timeout=600) as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"] == "application/x-ndjson"
+            lines = [json.loads(x) for x in r.read().splitlines() if x]
+        assert lines[-1]["final"] is True
+        assert lines[-1]["text"] == out["text"]
+        assert all(not x["final"] for x in lines[:-1])
     finally:
         httpd.shutdown()
         tr.stop()
