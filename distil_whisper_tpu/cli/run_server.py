@@ -13,7 +13,9 @@ schedulers —
   waiting for the whole batch (lower latency + higher throughput under
   mixed-length load).
 
-Long files fall back to the chunked pipeline in both modes.
+Long files: the microbatch scheduler falls back to the whole-file chunked
+pipeline; the continuous scheduler splits them into strided windows that
+share lanes with short requests (no head-of-line blocking).
 
     python -m distil_whisper_tpu.cli.run_server \
         --model_checkpoint ./distil-large-v3 --port 8000 \

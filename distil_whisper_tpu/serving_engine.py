@@ -23,8 +23,12 @@ decoding continuously and swaps completed requests out / queued requests in
 
 Per-lane options: language / task (prompt content), ``return_timestamps``
 (per-lane FSM gate), and ``max_new_tokens`` (per-lane budget) — one engine
-serves mixed traffic.  Greedy decode only (temperature 0, the serving
-default); sampling callers use the whole-batch path.
+serves mixed traffic.  Long files (>30 s) are split into the pipeline's
+strided windows and the windows ride lanes like any short request (chunked
+long-form is independent across windows) — a long file transcribes in
+parallel and never stalls concurrent short requests.  Greedy decode only
+(temperature 0, the serving default); sampling callers use the whole-batch
+path.
 
 The reference has no serving layer at all (its user surface stops at
 ``FlaxWhisperPipeline``, /root/reference/training/flax/distil_whisper/
@@ -330,6 +334,16 @@ class _EngineRequest:
     # a ``{"final": True}`` entry (or an ``error`` + done) terminates
     stream: Optional["queue.Queue"] = None
     _last_partial: str = ""
+    # long-form: a >30 s request is split into strided 30 s windows that
+    # ride lanes like any short request (chunked long-form is independent
+    # across windows; the merge happens at completion).  Children carry
+    # ``parent``/``chunk_index``; the parent holds the assembly state.
+    parent: Optional["_EngineRequest"] = None
+    chunk_index: int = -1
+    _chunk_tokens: Optional[List[Optional[list]]] = None
+    _chunk_strides: Optional[List[tuple]] = None
+    _chunks_left: int = 0
+    _stream_upto: int = 0
 
 
 class ContinuousTranscriber:
@@ -355,7 +369,6 @@ class ContinuousTranscriber:
         self._q: "queue.Queue[Optional[_EngineRequest]]" = queue.Queue()
         self._worker: Optional[threading.Thread] = None
         self._pending: List[_EngineRequest] = []
-        self._pending_long: List[_EngineRequest] = []
         self._inflight: Dict[int, _EngineRequest] = {}
         self._free: List[int] = list(range(self.engine.lanes))
         self.stats = {"requests": 0, "blocks": 0, "admitted": 0,
@@ -423,9 +436,10 @@ class ContinuousTranscriber:
 
     # --------------------------------------------------------------- worker
     def _drain_queue(self, block: bool) -> bool:
-        """Move queued requests into pending lists.  Returns False when the
-        shutdown sentinel was seen.  ``block`` waits for the first request
-        (the engine is idle — nothing to step)."""
+        """Move queued requests into the pending list (long files split into
+        per-window children).  Returns False when the shutdown sentinel was
+        seen.  ``block`` waits for the first request (the engine is idle —
+        nothing to step)."""
         first = block
         while True:
             try:
@@ -437,9 +451,37 @@ class ContinuousTranscriber:
                 return False
             self.stats["requests"] += 1
             if len(req.audio) > self.pipe.cfg.n_samples:
-                self._pending_long.append(req)
+                self._split_long(req)
             else:
                 self._pending.append(req)
+
+    def _split_long(self, r: _EngineRequest) -> None:
+        """Split a >30 s request into strided windows admitted as ordinary
+        lane requests (same chunk math as the pipeline, pipeline._chunk) —
+        the file transcribes in parallel across free lanes instead of
+        blocking the engine behind a whole-file pipeline call."""
+        from .audio import compute_mel
+        import jax.numpy as jnp
+        self.stats["long_form"] += 1
+        tok = self.pipe.tokenizer
+        chunks = self.pipe._chunk(r.audio, 30.0, None)
+        if r.language is None and len(tok.lang_to_id) > 1:
+            # one language for the whole file, detected from the first
+            # window (pipeline semantics)
+            wav0 = np.zeros((1, self.pipe.cfg.n_samples), np.float32)
+            w = chunks[0]["audio"][:self.pipe.cfg.n_samples]
+            wav0[0, :len(w)] = w
+            mel0 = compute_mel(jnp.asarray(wav0), self.pipe.cfg)
+            r.language = self.pipe.detect_language(
+                mel0.astype(self.pipe.dtype))[0]
+        r._chunk_tokens = [None] * len(chunks)
+        r._chunk_strides = [c["stride"] for c in chunks]
+        r._chunks_left = len(chunks)
+        for i, c in enumerate(chunks):
+            self._pending.append(_EngineRequest(
+                c["audio"], r.language, r.task, r.return_timestamps,
+                r.max_new_tokens, threading.Event(), parent=r,
+                chunk_index=i))
 
     def _admit_pending(self) -> None:
         """Admit queued requests into free lanes, in power-of-two chunks so
@@ -517,6 +559,9 @@ class ContinuousTranscriber:
             self._inflight.pop(lane)
             self._free.append(lane)
             try:
+                if r.parent is not None:
+                    self._finish_chunk(r, ids)
+                    continue
                 result = {"text": tok.decode(ids, skip_special_tokens=True)}
                 if r.return_timestamps:
                     _, opt = tok.decode_asr([{"tokens": ids}],
@@ -525,32 +570,60 @@ class ContinuousTranscriber:
                 self._finish_req(r, result)
             except Exception as e:  # noqa: BLE001
                 logger.exception("engine request postprocessing failed")
-                self._finish_req(r, error=f"{type(e).__name__}: {e}")
+                self._finish_req(r.parent or r,
+                                 error=f"{type(e).__name__}: {e}")
 
-    def _run_one_long(self, r: _EngineRequest) -> None:
-        self.stats["long_form"] += 1
-        try:
-            # per-request max_new is honoured on the engine path only (it is
-            # lane DATA there); the chunked fallback keeps the server-wide
-            # budget so arbitrary client values can't force fresh compiles
-            result = self.pipe(r.audio, language=r.language, task=r.task,
-                               return_timestamps=r.return_timestamps,
-                               max_new_tokens=self.max_new_tokens)
-            self._finish_req(r, result)
-        except Exception as e:  # noqa: BLE001
-            logger.exception("long-form request failed")
-            self._finish_req(r, error=f"{type(e).__name__}: {e}")
+    def _finish_chunk(self, r: _EngineRequest, ids: list) -> None:
+        """A long-form window completed: record it on the parent; when every
+        window is in, merge with the strided decode_asr algorithm (exactly
+        the pipeline's multi-chunk branch).  A streaming parent gets a
+        partial merge whenever the completed prefix grows."""
+        tok = self.pipe.tokenizer
+        p = r.parent
+        p._chunk_tokens[r.chunk_index] = ids
+        p._chunks_left -= 1
+        r.done.set()
+        if p.error is not None or p.result is not None:
+            return  # parent already terminated (a sibling failed)
+        if p._chunks_left == 0:
+            outputs = [{"tokens": t, "stride": s}
+                       for t, s in zip(p._chunk_tokens, p._chunk_strides)]
+            text, optional = tok.decode_asr(
+                outputs, return_timestamps=p.return_timestamps)
+            self._finish_req(p, {"text": text, **optional})
+            return
+        if p.stream is not None:
+            k = 0
+            while (k < len(p._chunk_tokens)
+                   and p._chunk_tokens[k] is not None):
+                k += 1
+            if k > p._stream_upto:
+                p._stream_upto = k
+                outputs = [{"tokens": t, "stride": s}
+                           for t, s in zip(p._chunk_tokens[:k],
+                                           p._chunk_strides[:k])]
+                text, _ = tok.decode_asr(
+                    outputs, return_timestamps=p.return_timestamps)
+                p.stream.put({"text": text, "final": False})
 
     def _run(self) -> None:
         try:
             self._run_inner()
         except Exception as e:  # noqa: BLE001 — never leave submitters hanging
             logger.exception("continuous-batching worker crashed")
-            for r in (self._pending + self._pending_long
-                      + list(self._inflight.values())):
-                self._finish_req(r,
-                                 error=f"worker crashed: "
-                                       f"{type(e).__name__}: {e}")
+            self._abort_all(f"worker crashed: {type(e).__name__}: {e}")
+
+    def _abort_all(self, msg: str) -> None:
+        """Error out every waiting submitter (long-form children resolve to
+        their parent, which is finished once)."""
+        seen = set()
+        for r in self._pending + list(self._inflight.values()):
+            target = r.parent or r
+            if id(target) in seen:
+                continue
+            seen.add(id(target))
+            if target.result is None and target.error is None:
+                self._finish_req(target, error=msg)
 
     def _run_inner(self) -> None:
         prev_packed = None
@@ -558,12 +631,9 @@ class ContinuousTranscriber:
         while True:
             if not shutting_down:
                 idle = (not self._inflight and not self._pending
-                        and not self._pending_long and prev_packed is None)
+                        and prev_packed is None)
                 if not self._drain_queue(block=idle):
                     shutting_down = True
-            for r in self._pending_long:
-                self._run_one_long(r)
-            self._pending_long.clear()
             self._admit_pending()
             if self._inflight:
                 # pipeline two blocks deep: dispatch block k+1 before

@@ -237,16 +237,60 @@ def test_engine_streaming_partials(engine_pipe):
         tr.stop()
 
 
-def test_engine_long_form_fallback(engine_pipe):
+def test_engine_long_form_in_lanes(engine_pipe):
+    """A >30 s file is split into strided windows that ride the lanes; the
+    merged result must equal the whole-file chunked pipeline, and a short
+    request submitted while the long file decodes is not blocked by it."""
     from distil_whisper_tpu.serving_engine import ContinuousTranscriber
     pipe = engine_pipe
     tr = ContinuousTranscriber(pipe, batch_size=2, max_new_tokens=10,
                                block_steps=3).start()
     try:
-        wav = _tone(31.0, 220.0, seed=42)
-        out = tr.submit(wav, language="en", timeout=600)
-        assert out["text"] == _expected_text(pipe, wav, "en", False, 10)
+        wav = _tone(55.0, 220.0, seed=42)
+        short = _tone(1.0, 300.0, seed=43)
+        results = {}
+
+        def run_long():
+            results["long"] = tr.submit(wav, language="en",
+                                        return_timestamps=True, timeout=600)
+
+        def run_short():
+            results["short"] = tr.submit(short, language="en", timeout=600)
+
+        t1 = threading.Thread(target=run_long)
+        t2 = threading.Thread(target=run_short)
+        t1.start()
+        time.sleep(0.2)
+        t2.start()
+        t1.join(timeout=600)
+        t2.join(timeout=600)
+
+        expect = pipe(wav, language="en", return_timestamps=True,
+                      max_new_tokens=10)
+        assert results["long"]["text"] == expect["text"]
+        assert results["long"].get("chunks") == expect.get("chunks")
+        assert results["short"]["text"] == _expected_text(
+            pipe, short, "en", False, 10)
         assert tr.stats["long_form"] == 1
+        assert tr.stats["admitted"] >= 3  # >=2 windows + 1 short request
+    finally:
+        tr.stop()
+
+
+def test_engine_long_form_streaming(engine_pipe):
+    """Streaming a long file yields chunk-prefix partials then the merged
+    final result."""
+    from distil_whisper_tpu.serving_engine import ContinuousTranscriber
+    pipe = engine_pipe
+    tr = ContinuousTranscriber(pipe, batch_size=2, max_new_tokens=10,
+                               block_steps=3).start()
+    try:
+        wav = _tone(55.0, 240.0, seed=44)
+        items = list(tr.submit_stream(wav, language="en", timeout=600))
+        assert items[-1]["final"] is True
+        expect = pipe(wav, language="en", max_new_tokens=10)
+        assert items[-1]["text"] == expect["text"]
+        assert all(not it["final"] for it in items[:-1])
     finally:
         tr.stop()
 
