@@ -237,6 +237,36 @@ def test_engine_streaming_partials(engine_pipe):
         tr.stop()
 
 
+def test_engine_matches_batch_path_int8_kv(tiny):
+    """Engine identity holds with the int8 self/cross-KV storage formats
+    (quantized per-lane cache writes + quantized cross scatter)."""
+    from distil_whisper_tpu.pipeline import WhisperPipeline
+    from distil_whisper_tpu.serving_engine import ContinuousTranscriber
+    ck, params, cfg, mel = tiny
+    cfg = cfg.replace(quantize_self_kv=True, quantize_cross_kv=True)
+    pipe = WhisperPipeline(ck, dtype=jnp.float32, batch_size=2,
+                           max_new_tokens=8, params=params, cfg=cfg)
+    tr = ContinuousTranscriber(pipe, batch_size=2, max_new_tokens=8,
+                               block_steps=3).start()
+    try:
+        wavs = [_tone(1.0, 210.0 + 40 * i, seed=10 + i) for i in range(4)]
+        results = [None] * 4
+
+        def post(i):
+            results[i] = tr.submit(wavs[i], language="en", timeout=600)
+
+        threads = [threading.Thread(target=post, args=(i,)) for i in range(4)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=600)
+        for i, wav in enumerate(wavs):
+            assert results[i]["text"] == _expected_text(pipe, wav, "en",
+                                                        False, 8)
+    finally:
+        tr.stop()
+
+
 def test_engine_long_form_in_lanes(engine_pipe):
     """A >30 s file is split into strided windows that ride the lanes; the
     merged result must equal the whole-file chunked pipeline, and a short
