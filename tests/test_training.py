@@ -294,14 +294,32 @@ def test_place_state_shards_optimizer_moments():
 
 
 def test_dryrun_multichip_entry():
-    """The driver-facing dryrun runs in-process on the 8-device CPU mesh."""
+    """The driver-facing dryrun compiles + runs on an 8-device CPU mesh.
+
+    Runs in a FRESH subprocess (exactly how the driver invokes it): the
+    dryrun is the largest single XLA compile in the suite, and compiling it
+    in-process late in the full ~217-test suite segfaults XLA's CPU
+    compiler (accumulated compiler state: the 202-test suite passes, a
+    55-test tail subset ending in this same in-process dryrun passes, and
+    a fresh process always passes — the crash tracks total in-process
+    compile volume, not any specific test)."""
+    import os
+    import subprocess
     import sys
-    sys.path.insert(0, "/root/repo")
-    try:
-        import __graft_entry__ as graft
-        graft.dryrun_multichip(8)
-    finally:
-        sys.path.remove("/root/repo")
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=8 "
+                        + env.get("XLA_FLAGS", "")).strip()
+    pp = [p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p]
+    for extra in ("/root/repo", "/root/.axon_site"):
+        if extra not in pp and os.path.isdir(extra):
+            pp.append(extra)
+    env["PYTHONPATH"] = os.pathsep.join(pp)
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms', 'cpu');"
+         "import __graft_entry__ as g; g._dryrun_multichip_impl(8)"],
+        env=env, capture_output=True, text=True, timeout=1500)
+    assert out.returncode == 0, out.stderr[-2000:]
 
 
 def test_chunked_loss_matches_unchunked():
