@@ -67,6 +67,11 @@ def build_server(argv=None):
     p.add_argument("--max_new_tokens", type=int, default=128)
     p.add_argument("--max_body_mb", type=float, default=100.0,
                    help="reject request bodies larger than this (413)")
+    p.add_argument("--max_queue", type=int, default=None,
+                   help="backlog bound (waiting requests / 30 s windows); "
+                        "beyond it new requests are shed with 503 + "
+                        "Retry-After instead of growing the latency tail "
+                        "(default: 8x batch_size)")
     p.add_argument("--language", default=None,
                    help="default language (else per-request/auto-detect)")
     p.add_argument("--dtype", default="bfloat16",
@@ -98,12 +103,14 @@ def build_server(argv=None):
             pipe, batch_size=args.batch_size,
             default_language=args.language,
             max_new_tokens=args.max_new_tokens,
-            block_steps=args.block_steps).start()
+            block_steps=args.block_steps,
+            max_queue=args.max_queue).start()
     else:
         transcriber = BatchingTranscriber(
             pipe, batch_size=args.batch_size, max_wait_ms=args.max_wait_ms,
             default_language=args.language,
-            max_new_tokens=args.max_new_tokens).start()
+            max_new_tokens=args.max_new_tokens,
+            max_queue=args.max_queue).start()
     httpd = make_http_server(transcriber, args.host, args.port,
                              max_body_mb=args.max_body_mb)
     return httpd, transcriber
@@ -113,8 +120,9 @@ def main(argv=None) -> None:
     httpd, transcriber = build_server(argv)
     host, port = httpd.server_address[:2]
     logger.info("serving on http://%s:%d (POST /v1/transcribe, "
-                "GET /healthz); scheduler=%s batch_size=%d", host, port,
-                type(transcriber).__name__, transcriber.batch_size)
+                "GET /healthz, GET /v1/stats); scheduler=%s batch_size=%d "
+                "max_queue=%d", host, port, type(transcriber).__name__,
+                transcriber.batch_size, transcriber.max_queue)
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:

@@ -39,6 +39,13 @@ import numpy as np
 logger = logging.getLogger("distil_whisper_tpu")
 
 
+class ServerOverloadedError(RuntimeError):
+    """The request backlog is at ``max_queue`` — reject instead of queueing
+    unboundedly (the HTTP layer maps this to 503 + Retry-After, the
+    load-shedding contract every serving deployment needs: a client retry
+    against a drained queue beats an ever-growing latency tail)."""
+
+
 @dataclass
 class _Request:
     audio: np.ndarray                       # float32 mono @ cfg.sampling_rate
@@ -49,6 +56,11 @@ class _Request:
     done: threading.Event = field(default_factory=threading.Event)
     result: Optional[Dict[str, Any]] = None
     error: Optional[str] = None
+    # set by the client thread when it stops waiting (timeout / disconnect);
+    # the worker drops cancelled requests instead of spending device time on
+    # output nobody will read.  Plain bool: a lost race only means the work
+    # runs once more, never corruption.
+    cancelled: bool = False
 
 
 class BatchingTranscriber:
@@ -61,16 +73,21 @@ class BatchingTranscriber:
 
     def __init__(self, pipe, batch_size: Optional[int] = None,
                  max_wait_ms: float = 50.0, default_language=None,
-                 max_new_tokens: Optional[int] = None):
+                 max_new_tokens: Optional[int] = None,
+                 max_queue: Optional[int] = None):
         self.pipe = pipe
         self.batch_size = batch_size or pipe.batch_size
         self.max_wait_s = max_wait_ms / 1e3
         self.default_language = default_language
         self.max_new_tokens = max_new_tokens or pipe.max_new_tokens
+        # backlog bound (requests waiting for a worker slot); None -> 8
+        # batches deep.  0 is honoured (shed everything — drain mode).
+        self.max_queue = (8 * self.batch_size if max_queue is None
+                          else int(max_queue))
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._worker: Optional[threading.Thread] = None
         self.stats = {"requests": 0, "batches": 0, "max_batch": 0,
-                      "long_form": 0}
+                      "long_form": 0, "rejected": 0, "cancelled": 0}
 
     # ------------------------------------------------------------- lifecycle
     def start(self) -> "BatchingTranscriber":
@@ -100,12 +117,31 @@ class BatchingTranscriber:
         wav = load_audio(audio, self.pipe.cfg.sampling_rate)
         req = _Request(wav, language or self.default_language, task,
                        bool(return_timestamps), max_new_tokens)
-        self._q.put(req)
+        self._enqueue(req)
         if not req.done.wait(timeout):
+            req.cancelled = True  # worker skips it; nobody reads the result
+            self.stats["cancelled"] += 1
             raise TimeoutError("transcription timed out")
         if req.error is not None:
             raise RuntimeError(req.error)
         return req.result
+
+    def _enqueue(self, req: _Request) -> None:
+        # qsize is approximate under concurrency — fine for load shedding
+        # (an off-by-a-few admission is harmless; unbounded growth is not)
+        if self._q.qsize() >= self.max_queue:
+            self.stats["rejected"] += 1
+            raise ServerOverloadedError(
+                f"request backlog at max_queue={self.max_queue}")
+        self._q.put(req)
+
+    def snapshot(self) -> Dict[str, Any]:
+        """Live observability view (GET /v1/stats)."""
+        return {"scheduler": "microbatch",
+                "queue_depth": self._q.qsize(),
+                "max_queue": self.max_queue,
+                "batch_size": self.batch_size,
+                "stats": dict(self.stats)}
 
     def submit_stream(self, audio, **kw):
         """Streaming facade for API parity with the continuous-batching
@@ -137,6 +173,11 @@ class BatchingTranscriber:
             self._dispatch(batch)
 
     def _dispatch(self, batch: List[_Request]) -> None:
+        # drop requests whose client stopped waiting (timed out /
+        # disconnected) — device time spent on them is pure waste
+        batch = [r for r in batch if not r.cancelled]
+        if not batch:
+            return
         self.stats["requests"] += len(batch)
         n_samples = self.pipe.cfg.n_samples
         groups: Dict[Any, List[_Request]] = {}
@@ -221,32 +262,42 @@ class BatchingTranscriber:
 def make_http_server(transcriber: BatchingTranscriber, host: str = "0.0.0.0",
                      port: int = 8000, max_body_mb: float = 100.0):
     """ThreadingHTTPServer: POST /v1/transcribe (WAV body; query params
-    ``language``, ``task``, ``timestamps=1``, ``max_tokens=N``) and
-    GET /healthz.  Works over any transcriber with the ``submit()``
-    contract (micro-batching or continuous-batching).  Bodies over
-    ``max_body_mb`` are rejected with 413 before being read."""
+    ``language``, ``task``, ``timestamps=1``, ``max_tokens=N``,
+    ``timeout_s=S`` — server-side deadline), GET /healthz, and
+    GET /v1/stats (live queue/lane/counters snapshot).  Works over any
+    transcriber with the ``submit()`` contract (micro-batching or
+    continuous-batching).  Error mapping: backlog full -> 503 +
+    Retry-After (load shedding), deadline exceeded -> 504 (the request is
+    cancelled — the worker stops spending device time on it), bodies over
+    ``max_body_mb`` -> 413 before being read."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
     from urllib.parse import parse_qs, urlparse
 
     max_body = int(max_body_mb * 1e6)
 
     class Handler(BaseHTTPRequestHandler):
-        def _json(self, code: int, payload: Dict[str, Any]) -> None:
+        def _json(self, code: int, payload: Dict[str, Any],
+                  headers: Optional[Dict[str, str]] = None) -> None:
             body = json.dumps(payload).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            for k, v in (headers or {}).items():
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
 
         def do_GET(self):  # noqa: N802
-            if urlparse(self.path).path == "/healthz":
+            path = urlparse(self.path).path
+            if path == "/healthz":
                 self._json(200, {
                     "status": "ok",
                     "checkpoint": getattr(transcriber.pipe, "_checkpoint",
                                           None),
                     "batch_size": transcriber.batch_size,
                     "stats": dict(transcriber.stats)})
+            elif path == "/v1/stats":
+                self._json(200, transcriber.snapshot())
             else:
                 self._json(404, {"error": "not found"})
 
@@ -273,12 +324,14 @@ def make_http_server(transcriber: BatchingTranscriber, host: str = "0.0.0.0",
                 body = self.rfile.read(length)
                 q = parse_qs(url.query)
                 max_tok = (q.get("max_tokens") or [None])[0]
+                timeout_s = (q.get("timeout_s") or [None])[0]
                 kw = dict(
                     language=(q.get("language") or [None])[0],
                     task=(q.get("task") or ["transcribe"])[0],
                     return_timestamps=(q.get("timestamps") or ["0"])[0]
                     in ("1", "true", "word"),
-                    max_new_tokens=int(max_tok) if max_tok else None)
+                    max_new_tokens=int(max_tok) if max_tok else None,
+                    timeout=float(timeout_s) if timeout_s else None)
                 t0 = time.monotonic()
                 if (q.get("stream") or ["0"])[0] in ("1", "true"):
                     # newline-delimited JSON, close-delimited (HTTP/1.0):
@@ -289,8 +342,9 @@ def make_http_server(transcriber: BatchingTranscriber, host: str = "0.0.0.0",
                                      "application/x-ndjson")
                     self.send_header("Cache-Control", "no-cache")
                     self.end_headers()
+                    gen = transcriber.submit_stream(body, **kw)
                     try:
-                        for item in transcriber.submit_stream(body, **kw):
+                        for item in gen:
                             if item.get("final"):
                                 item = dict(item)
                                 item["latency_ms"] = round(
@@ -298,8 +352,15 @@ def make_http_server(transcriber: BatchingTranscriber, host: str = "0.0.0.0",
                             self.wfile.write(json.dumps(item).encode()
                                              + b"\n")
                             self.wfile.flush()
+                    except OSError:
+                        # client disconnected mid-stream: closing the
+                        # generator cancels the in-flight request so the
+                        # engine reclaims its lane
+                        gen.close()
+                        logger.info("streaming client disconnected")
                     except Exception:  # noqa: BLE001 — headers already sent:
                         # emit an error line and close (no second status line)
+                        gen.close()
                         logger.exception("streaming request failed")
                         try:
                             self.wfile.write(b'{"error": "stream aborted"}\n')
@@ -310,6 +371,11 @@ def make_http_server(transcriber: BatchingTranscriber, host: str = "0.0.0.0",
                 result["latency_ms"] = round(
                     (time.monotonic() - t0) * 1e3, 1)
                 self._json(200, result)
+            except ServerOverloadedError as e:
+                self._json(503, {"error": str(e)},
+                           headers={"Retry-After": "1"})
+            except TimeoutError as e:
+                self._json(504, {"error": str(e)})
             except Exception as e:  # noqa: BLE001
                 logger.exception("request failed")
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})

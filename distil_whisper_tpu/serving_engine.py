@@ -330,6 +330,13 @@ class _EngineRequest:
     done: threading.Event
     result: Optional[Dict[str, Any]] = None
     error: Optional[str] = None
+    # set by the client thread when it stops waiting (timeout / stream
+    # disconnect): pending copies are dropped at admission and inflight
+    # lanes are reclaimed between blocks (re-admission scatters fresh state
+    # over every per-lane field, so an orphaned still-decoding lane is
+    # harmless — it costs the same HBM traffic free or busy)
+    cancelled: bool = False
+    _plen: int = 0                 # prompt length, for the tokens_out stat
     # streaming: partial results are pushed here once per step-block;
     # a ``{"final": True}`` entry (or an ``error`` + done) terminates
     stream: Optional["queue.Queue"] = None
@@ -357,7 +364,8 @@ class ContinuousTranscriber:
     def __init__(self, pipe, batch_size: Optional[int] = None,
                  max_wait_ms: float = 0.0, default_language=None,
                  max_new_tokens: Optional[int] = None,
-                 block_steps: int = 16):
+                 block_steps: int = 16,
+                 max_queue: Optional[int] = None):
         del max_wait_ms  # admission happens every block; no batching window
         self.pipe = pipe
         self.default_language = default_language
@@ -366,13 +374,18 @@ class ContinuousTranscriber:
             pipe, lanes=batch_size or pipe.batch_size,
             block_steps=block_steps, max_new_tokens=self.max_new_tokens)
         self.batch_size = self.engine.lanes
+        # backlog bound, in 30 s windows waiting for a lane; None -> 8
+        # full refills deep.  0 is honoured (shed everything — drain mode).
+        self.max_queue = (8 * self.batch_size if max_queue is None
+                          else int(max_queue))
         self._q: "queue.Queue[Optional[_EngineRequest]]" = queue.Queue()
         self._worker: Optional[threading.Thread] = None
         self._pending: List[_EngineRequest] = []
         self._inflight: Dict[int, _EngineRequest] = {}
         self._free: List[int] = list(range(self.engine.lanes))
         self.stats = {"requests": 0, "blocks": 0, "admitted": 0,
-                      "long_form": 0, "max_inflight": 0}
+                      "long_form": 0, "max_inflight": 0, "rejected": 0,
+                      "cancelled": 0, "tokens_out": 0}
 
     # ------------------------------------------------------------- client
     def start(self) -> "ContinuousTranscriber":
@@ -397,12 +410,40 @@ class ContinuousTranscriber:
         req = _EngineRequest(wav, language or self.default_language, task,
                              bool(return_timestamps), max_new_tokens,
                              threading.Event())
-        self._q.put(req)
+        self._enqueue(req)
         if not req.done.wait(timeout):
+            self._cancel(req)
             raise TimeoutError("transcription timed out")
         if req.error is not None:
             raise RuntimeError(req.error)
         return req.result
+
+    def _enqueue(self, req: _EngineRequest) -> None:
+        # backlog = raw queue + split windows waiting for a lane (reads of
+        # worker-owned lists from the client thread are approximate — fine
+        # for load shedding, which only needs to bound growth)
+        if self._q.qsize() + len(self._pending) >= self.max_queue:
+            self.stats["rejected"] += 1
+            from .serving import ServerOverloadedError
+            raise ServerOverloadedError(
+                f"request backlog at max_queue={self.max_queue}")
+        self._q.put(req)
+
+    def _cancel(self, req: _EngineRequest) -> None:
+        if not req.done.is_set() and not req.cancelled:
+            req.cancelled = True
+            self.stats["cancelled"] += 1
+
+    def snapshot(self) -> Dict[str, Any]:
+        """Live observability view (GET /v1/stats)."""
+        return {"scheduler": "continuous",
+                "queue_depth": self._q.qsize(),
+                "pending_windows": len(self._pending),
+                "inflight": len(self._inflight),
+                "free_lanes": len(self._free),
+                "lanes": self.engine.lanes,
+                "max_queue": self.max_queue,
+                "stats": dict(self.stats)}
 
     def submit_stream(self, audio, language: Optional[str] = None,
                       task: str = "transcribe",
@@ -422,17 +463,23 @@ class ContinuousTranscriber:
         req = _EngineRequest(wav, language or self.default_language, task,
                              bool(return_timestamps), max_new_tokens,
                              threading.Event(), stream=queue.Queue())
-        self._q.put(req)
-        while True:
-            try:
-                item = req.stream.get(timeout=timeout)
-            except queue.Empty:
-                raise TimeoutError("transcription timed out") from None
-            if item is None:  # terminated by error
-                raise RuntimeError(req.error or "stream aborted")
-            yield item
-            if item.get("final"):
-                return
+        self._enqueue(req)
+        try:
+            while True:
+                try:
+                    item = req.stream.get(timeout=timeout)
+                except queue.Empty:
+                    raise TimeoutError("transcription timed out") from None
+                if item is None:  # terminated by error
+                    raise RuntimeError(req.error or "stream aborted")
+                yield item
+                if item.get("final"):
+                    return
+        finally:
+            # consumer stopped early (timeout, client disconnect ->
+            # generator.close(), or an error): stop decoding for it
+            if not req.done.is_set():
+                self._cancel(req)
 
     # --------------------------------------------------------------- worker
     def _drain_queue(self, block: bool) -> bool:
@@ -489,6 +536,9 @@ class ContinuousTranscriber:
         from .audio import compute_mel
         import jax.numpy as jnp
         eng, tok = self.engine, self.pipe.tokenizer
+        # drop windows whose client stopped waiting before they got a lane
+        self._pending = [r for r in self._pending
+                         if not (r.parent or r).cancelled]
         while self._pending and self._free:
             n = min(len(self._pending), len(self._free))
             a = 1 << (n.bit_length() - 1)      # largest power of two <= n
@@ -512,7 +562,8 @@ class ContinuousTranscriber:
                                   self.max_new_tokens)) for r in reqs]
             eng.admit(mels, prompts, budgets,
                       [r.return_timestamps for r in reqs], lanes)
-            for lane, r in zip(lanes, reqs):
+            for i, (lane, r) in enumerate(zip(lanes, reqs)):
+                r._plen = len(prompts[i])
                 self._inflight[lane] = r
             self.stats["admitted"] += a
             self.stats["max_inflight"] = max(self.stats["max_inflight"],
@@ -558,6 +609,7 @@ class ContinuousTranscriber:
                 continue
             self._inflight.pop(lane)
             self._free.append(lane)
+            self.stats["tokens_out"] += max(0, int(pos[lane]) - r._plen)
             try:
                 if r.parent is not None:
                     self._finish_chunk(r, ids)
@@ -606,6 +658,16 @@ class ContinuousTranscriber:
                     outputs, return_timestamps=p.return_timestamps)
                 p.stream.put({"text": text, "final": False})
 
+    def _reclaim_cancelled(self) -> None:
+        """Free lanes whose occupant's client stopped waiting.  Safe without
+        touching device state: admission scatters fresh values over EVERY
+        per-lane field, and the stale-finish snapshot check in
+        :meth:`_complete` already ignores a reclaimed lane's old occupant."""
+        for lane, r in list(self._inflight.items()):
+            if (r.parent or r).cancelled:
+                self._inflight.pop(lane)
+                self._free.append(lane)
+
     def _run(self) -> None:
         try:
             self._run_inner()
@@ -634,6 +696,7 @@ class ContinuousTranscriber:
                         and prev_packed is None)
                 if not self._drain_queue(block=idle):
                     shutting_down = True
+            self._reclaim_cancelled()
             self._admit_pending()
             if self._inflight:
                 # pipeline two blocks deep: dispatch block k+1 before

@@ -160,3 +160,87 @@ def test_batched_equals_individual(server):
     for status, out in results:
         assert status == 200
         assert out["text"] == solo["text"]
+
+
+def test_stats_endpoint_and_server_side_deadline(server):
+    """GET /v1/stats exposes the live queue/counter snapshot; a request with
+    ``timeout_s`` past its deadline gets 504 and is CANCELLED — the worker
+    drops it instead of spending a device call on a gone client."""
+    base, transcriber = server
+    with urllib.request.urlopen(base + "/v1/stats", timeout=60) as r:
+        assert r.status == 200
+        snap = json.loads(r.read())
+    assert snap["scheduler"] == "microbatch"
+    assert snap["max_queue"] == 8 * transcriber.batch_size
+    assert "queue_depth" in snap and "stats" in snap
+
+    cancelled_before = transcriber.stats["cancelled"]
+    status = None
+    try:
+        # 1 ms deadline < the 400 ms batching window: always expires
+        _post(base + "/v1/transcribe?language=en&timeout_s=0.001",
+              _wav_bytes())
+    except urllib.error.HTTPError as e:
+        status = e.code
+    assert status == 504
+    assert transcriber.stats["cancelled"] == cancelled_before + 1
+    # the server keeps serving after the shed request
+    st, out = _post(base + "/v1/transcribe?language=en", _wav_bytes())
+    assert st == 200 and "text" in out
+
+
+def test_http_error_mapping_503_504():
+    """HTTP status mapping without a model: backlog-full -> 503 +
+    Retry-After, deadline -> 504, /v1/stats serves snapshot()."""
+    from distil_whisper_tpu.serving import (ServerOverloadedError,
+                                            make_http_server)
+
+    class Stub:
+        batch_size = 2
+        stats = {"requests": 0}
+        pipe = None
+
+        def snapshot(self):
+            return {"scheduler": "stub", "queue_depth": 7}
+
+        def submit(self, body, timeout=None, **kw):
+            if timeout is not None:
+                raise TimeoutError("deadline exceeded")
+            raise ServerOverloadedError("backlog full")
+
+    httpd = make_http_server(Stub(), "127.0.0.1", 0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        try:
+            _post(base + "/v1/transcribe", b"x")
+            raise AssertionError("expected 503")
+        except urllib.error.HTTPError as e:
+            assert e.code == 503
+            assert e.headers["Retry-After"] == "1"
+        try:
+            _post(base + "/v1/transcribe?timeout_s=5", b"x")
+            raise AssertionError("expected 504")
+        except urllib.error.HTTPError as e:
+            assert e.code == 504
+        with urllib.request.urlopen(base + "/v1/stats", timeout=60) as r:
+            assert json.loads(r.read())["queue_depth"] == 7
+    finally:
+        httpd.shutdown()
+
+
+def test_backpressure_rejects_at_max_queue(server):
+    """Backlog at max_queue -> ServerOverloadedError at submit time (the
+    load-shedding contract), and the bound is honoured at 0 (drain mode)."""
+    from distil_whisper_tpu.serving import ServerOverloadedError
+    _, transcriber = server
+    old = transcriber.max_queue
+    transcriber.max_queue = 0
+    try:
+        import numpy as np
+        with pytest.raises(ServerOverloadedError):
+            transcriber.submit(np.zeros(1600, np.float32), language="en")
+        assert transcriber.stats["rejected"] >= 1
+    finally:
+        transcriber.max_queue = old

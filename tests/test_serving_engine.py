@@ -377,3 +377,84 @@ def test_engine_http_server(tmp_path_factory, tiny):
     finally:
         httpd.shutdown()
         tr.stop()
+
+
+# ----------------------------------------------------------------------
+# backpressure, cancellation, lane reclaim
+# ----------------------------------------------------------------------
+
+
+def test_engine_backpressure_cancel_and_snapshot(engine_pipe):
+    """Black-box serving hardening on the live engine: max_queue shedding,
+    timeout cancellation (the pending copy is dropped, never admitted),
+    and the /v1/stats snapshot fields."""
+    from distil_whisper_tpu.serving import ServerOverloadedError
+    from distil_whisper_tpu.serving_engine import ContinuousTranscriber
+    tr = ContinuousTranscriber(engine_pipe, batch_size=2, block_steps=2,
+                               max_new_tokens=6, max_queue=0).start()
+    try:
+        with pytest.raises(ServerOverloadedError):
+            tr.submit(_tone(1.0, 300.0, 0), language="en")
+        assert tr.stats["rejected"] == 1
+
+        tr.max_queue = 16
+        with pytest.raises(TimeoutError):
+            tr.submit(_tone(1.0, 300.0, 1), language="en", timeout=0.0)
+        assert tr.stats["cancelled"] == 1
+
+        # the engine keeps serving correctly after shed + cancelled traffic
+        wav = _tone(1.0, 500.0, 2)
+        out = tr.submit(wav, language="en", timeout=600)
+        assert out["text"] == _expected_text(engine_pipe, wav, "en", False, 6)
+        assert tr.stats["tokens_out"] > 0
+
+        deadline = time.time() + 60
+        while time.time() < deadline and tr.snapshot()["free_lanes"] != 2:
+            time.sleep(0.05)
+        snap = tr.snapshot()
+        assert snap["scheduler"] == "continuous"
+        assert snap["lanes"] == 2 and snap["free_lanes"] == 2
+        assert snap["inflight"] == 0 and snap["pending_windows"] == 0
+        assert snap["max_queue"] == 16
+    finally:
+        tr.stop()
+
+
+def test_engine_reclaims_cancelled_inflight_lane(engine_pipe):
+    """White-box pin of the reclaim invariant: cancelling a request whose
+    lane is live (admitted, unfinished) frees the lane, and a new request
+    admitted over the orphaned lane state decodes token-identically —
+    admission scatters fresh values over every per-lane field."""
+    from distil_whisper_tpu.serving_engine import (ContinuousTranscriber,
+                                                   _EngineRequest)
+    tr = ContinuousTranscriber(engine_pipe, batch_size=2, block_steps=2,
+                               max_new_tokens=6)
+    tr.engine.init_state()
+    wavs = [_tone(1.0, f, s) for s, f in enumerate((260.0, 390.0, 520.0))]
+    r1, r2, r3 = (_EngineRequest(w, "en", "transcribe", False, None,
+                                 threading.Event()) for w in wavs)
+    tr._pending += [r1, r2]
+    tr._admit_pending()
+    assert len(tr._inflight) == 2 and not tr._free
+    lane1 = next(l for l, r in tr._inflight.items() if r is r1)
+
+    # the lanes are live (admission prefilled cache/cross/FSM state and the
+    # device decode would continue them): cancel r1 before any step so the
+    # reclaim happens on a deterministically-unfinished lane
+    tr._cancel(r1)
+    tr._reclaim_cancelled()
+    assert tr._free == [lane1] and list(tr._inflight.values()) == [r2]
+
+    # admit r3 over the orphaned lane and run everything to completion
+    tr._pending.append(r3)
+    tr._admit_pending()
+    assert tr._inflight[lane1] is r3
+    deadline = time.time() + 120
+    while not (r2.done.is_set() and r3.done.is_set()):
+        assert time.time() < deadline, "engine did not finish"
+        tr._complete((tr.engine.step(), dict(tr._inflight)))
+    assert r2.result["text"] == _expected_text(engine_pipe, wavs[1], "en",
+                                               False, 6)
+    assert r3.result["text"] == _expected_text(engine_pipe, wavs[2], "en",
+                                               False, 6)
+    assert tr.stats["cancelled"] == 1
