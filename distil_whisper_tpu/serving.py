@@ -46,12 +46,19 @@ class ServerOverloadedError(RuntimeError):
     against a drained queue beats an ever-growing latency tail)."""
 
 
+def _coerce_timestamps(return_timestamps):
+    """True/False/"word" — the pipeline's contract; anything truthy that
+    isn't "word" means segment-level."""
+    return (return_timestamps if return_timestamps == "word"
+            else bool(return_timestamps))
+
+
 @dataclass
 class _Request:
     audio: np.ndarray                       # float32 mono @ cfg.sampling_rate
     language: Optional[str]
     task: str
-    return_timestamps: bool
+    return_timestamps: Any                  # False | True | "word"
     max_new_tokens: Optional[int] = None    # per-request cap (<= server max)
     done: threading.Event = field(default_factory=threading.Event)
     result: Optional[Dict[str, Any]] = None
@@ -87,7 +94,8 @@ class BatchingTranscriber:
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._worker: Optional[threading.Thread] = None
         self.stats = {"requests": 0, "batches": 0, "max_batch": 0,
-                      "long_form": 0, "rejected": 0, "cancelled": 0}
+                      "long_form": 0, "word_ts": 0, "rejected": 0,
+                      "cancelled": 0}
 
     # ------------------------------------------------------------- lifecycle
     def start(self) -> "BatchingTranscriber":
@@ -116,7 +124,7 @@ class BatchingTranscriber:
         from .audio.io import load_audio
         wav = load_audio(audio, self.pipe.cfg.sampling_rate)
         req = _Request(wav, language or self.default_language, task,
-                       bool(return_timestamps), max_new_tokens)
+                       _coerce_timestamps(return_timestamps), max_new_tokens)
         self._enqueue(req)
         if not req.done.wait(timeout):
             req.cancelled = True  # worker skips it; nobody reads the result
@@ -182,24 +190,32 @@ class BatchingTranscriber:
         n_samples = self.pipe.cfg.n_samples
         groups: Dict[Any, List[_Request]] = {}
         for r in batch:
-            if len(r.audio) > n_samples:
-                # long-form: the chunked pipeline already batches this
-                # file's own windows; rare in interactive serving
-                self.stats["long_form"] += 1
-                self._run_one_long(r)
+            if len(r.audio) > n_samples or r.return_timestamps == "word":
+                # long-form (the chunked pipeline already batches this
+                # file's own windows) and word-level timestamps (needs the
+                # pipeline's cross-attention alignment pass) both take the
+                # whole-pipeline path; rare in interactive serving
+                if len(r.audio) > n_samples:
+                    self.stats["long_form"] += 1
+                if r.return_timestamps == "word":
+                    self.stats["word_ts"] += 1
+                self._run_one_pipeline(r)
                 continue
             groups.setdefault((r.language, r.task, r.return_timestamps),
                               []).append(r)
         for (lang, task, ts), reqs in groups.items():
             self._run_short_group(reqs, lang, task, ts)
 
-    def _run_one_long(self, r: _Request) -> None:
+    def _run_one_pipeline(self, r: _Request) -> None:
         try:
+            max_new = self.max_new_tokens
+            if r.max_new_tokens is not None:
+                max_new = max(1, min(int(r.max_new_tokens), max_new))
             r.result = self.pipe(r.audio, language=r.language, task=r.task,
                                  return_timestamps=r.return_timestamps,
-                                 max_new_tokens=self.max_new_tokens)
+                                 max_new_tokens=max_new)
         except Exception as e:  # noqa: BLE001
-            logger.exception("long-form request failed")
+            logger.exception("pipeline-path request failed")
             r.error = f"{type(e).__name__}: {e}"
         finally:
             r.done.set()
@@ -325,11 +341,14 @@ def make_http_server(transcriber: BatchingTranscriber, host: str = "0.0.0.0",
                 q = parse_qs(url.query)
                 max_tok = (q.get("max_tokens") or [None])[0]
                 timeout_s = (q.get("timeout_s") or [None])[0]
+                ts = (q.get("timestamps") or ["0"])[0]
                 kw = dict(
                     language=(q.get("language") or [None])[0],
                     task=(q.get("task") or ["transcribe"])[0],
-                    return_timestamps=(q.get("timestamps") or ["0"])[0]
-                    in ("1", "true", "word"),
+                    # "word" -> word-level spans via the cross-attention
+                    # alignment pass; "1"/"true" -> segment timestamps
+                    return_timestamps=("word" if ts == "word"
+                                       else ts in ("1", "true")),
                     max_new_tokens=int(max_tok) if max_tok else None,
                     timeout=float(timeout_s) if timeout_s else None)
                 t0 = time.monotonic()

@@ -28,7 +28,10 @@ strided windows and the windows ride lanes like any short request (chunked
 long-form is independent across windows) — a long file transcribes in
 parallel and never stalls concurrent short requests.  Greedy decode only
 (temperature 0, the serving default); sampling callers use the whole-batch
-path.
+path.  Word-level timestamps (``return_timestamps="word"``) need the
+pipeline's cross-attention alignment pass, which is not expressible as a
+lane — those requests are served by a dedicated fallback thread (device
+calls interleave with the engine's; lanes never wait host-side).
 
 The reference has no serving layer at all (its user surface stops at
 ``FlaxWhisperPipeline``, /root/reference/training/flax/distil_whisper/
@@ -325,7 +328,7 @@ class _EngineRequest:
     audio: np.ndarray
     language: Optional[str]
     task: str
-    return_timestamps: bool
+    return_timestamps: Any                  # False | True | "word"
     max_new_tokens: Optional[int]
     done: threading.Event
     result: Optional[Dict[str, Any]] = None
@@ -383,9 +386,14 @@ class ContinuousTranscriber:
         self._pending: List[_EngineRequest] = []
         self._inflight: Dict[int, _EngineRequest] = {}
         self._free: List[int] = list(range(self.engine.lanes))
+        # word-timestamp requests need the pipeline's cross-attention
+        # alignment pass (not expressible as a lane): a dedicated fallback
+        # thread serves them so they never stall the decode lanes
+        self._fb_q: "queue.Queue[Optional[_EngineRequest]]" = queue.Queue()
+        self._fb_worker: Optional[threading.Thread] = None
         self.stats = {"requests": 0, "blocks": 0, "admitted": 0,
-                      "long_form": 0, "max_inflight": 0, "rejected": 0,
-                      "cancelled": 0, "tokens_out": 0}
+                      "long_form": 0, "word_ts": 0, "max_inflight": 0,
+                      "rejected": 0, "cancelled": 0, "tokens_out": 0}
 
     # ------------------------------------------------------------- client
     def start(self) -> "ContinuousTranscriber":
@@ -400,6 +408,10 @@ class ContinuousTranscriber:
             self._q.put(None)
             self._worker.join(timeout=60)
             self._worker = None
+        if self._fb_worker is not None:
+            self._fb_q.put(None)
+            self._fb_worker.join(timeout=60)
+            self._fb_worker = None
 
     def submit(self, audio, language: Optional[str] = None,
                task: str = "transcribe", return_timestamps: bool = False,
@@ -407,9 +419,10 @@ class ContinuousTranscriber:
                max_new_tokens: Optional[int] = None) -> Dict[str, Any]:
         from .audio.io import load_audio
         wav = load_audio(audio, self.pipe.cfg.sampling_rate)
+        from .serving import _coerce_timestamps
         req = _EngineRequest(wav, language or self.default_language, task,
-                             bool(return_timestamps), max_new_tokens,
-                             threading.Event())
+                             _coerce_timestamps(return_timestamps),
+                             max_new_tokens, threading.Event())
         self._enqueue(req)
         if not req.done.wait(timeout):
             self._cancel(req)
@@ -422,7 +435,8 @@ class ContinuousTranscriber:
         # backlog = raw queue + split windows waiting for a lane (reads of
         # worker-owned lists from the client thread are approximate — fine
         # for load shedding, which only needs to bound growth)
-        if self._q.qsize() + len(self._pending) >= self.max_queue:
+        if (self._q.qsize() + len(self._pending)
+                + self._fb_q.qsize()) >= self.max_queue:
             self.stats["rejected"] += 1
             from .serving import ServerOverloadedError
             raise ServerOverloadedError(
@@ -438,6 +452,7 @@ class ContinuousTranscriber:
         """Live observability view (GET /v1/stats)."""
         return {"scheduler": "continuous",
                 "queue_depth": self._q.qsize(),
+                "fallback_depth": self._fb_q.qsize(),
                 "pending_windows": len(self._pending),
                 "inflight": len(self._inflight),
                 "free_lanes": len(self._free),
@@ -460,9 +475,11 @@ class ContinuousTranscriber:
         chunked pipeline and yield a single final result."""
         from .audio.io import load_audio
         wav = load_audio(audio, self.pipe.cfg.sampling_rate)
+        from .serving import _coerce_timestamps
         req = _EngineRequest(wav, language or self.default_language, task,
-                             bool(return_timestamps), max_new_tokens,
-                             threading.Event(), stream=queue.Queue())
+                             _coerce_timestamps(return_timestamps),
+                             max_new_tokens, threading.Event(),
+                             stream=queue.Queue())
         self._enqueue(req)
         try:
             while True:
@@ -497,7 +514,13 @@ class ContinuousTranscriber:
             if req is None:
                 return False
             self.stats["requests"] += 1
-            if len(req.audio) > self.pipe.cfg.n_samples:
+            if req.return_timestamps == "word":
+                # needs the pipeline's cross-attention alignment pass —
+                # served by the fallback thread so lanes never stall
+                self.stats["word_ts"] += 1
+                self._ensure_fb_worker()
+                self._fb_q.put(req)
+            elif len(req.audio) > self.pipe.cfg.n_samples:
                 self._split_long(req)
             else:
                 self._pending.append(req)
@@ -657,6 +680,37 @@ class ContinuousTranscriber:
                 text, _ = tok.decode_asr(
                     outputs, return_timestamps=p.return_timestamps)
                 p.stream.put({"text": text, "final": False})
+
+    def _ensure_fb_worker(self) -> None:
+        if self._fb_worker is None:
+            self._fb_worker = threading.Thread(
+                target=self._run_fallback, daemon=True,
+                name="continuous-fallback")
+            self._fb_worker.start()
+
+    def _run_fallback(self) -> None:
+        """Serve requests the lanes can't express (word-level timestamps)
+        through the whole pipeline, one at a time.  Device calls interleave
+        with the engine worker's — JAX serialises dispatch, and the two
+        threads share no donated buffers (the pipeline jits own their
+        inputs), so this is contention, not corruption."""
+        while True:
+            r = self._fb_q.get()
+            if r is None:
+                return
+            if r.cancelled:
+                continue
+            try:
+                max_new = self.max_new_tokens
+                if r.max_new_tokens is not None:
+                    max_new = max(1, min(int(r.max_new_tokens), max_new))
+                result = self.pipe(r.audio, language=r.language, task=r.task,
+                                   return_timestamps=r.return_timestamps,
+                                   max_new_tokens=max_new)
+                self._finish_req(r, result)
+            except Exception as e:  # noqa: BLE001
+                logger.exception("fallback request failed")
+                self._finish_req(r, error=f"{type(e).__name__}: {e}")
 
     def _reclaim_cancelled(self) -> None:
         """Free lanes whose occupant's client stopped waiting.  Safe without

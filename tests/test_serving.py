@@ -244,3 +244,27 @@ def test_backpressure_rejects_at_max_queue(server):
         assert transcriber.stats["rejected"] >= 1
     finally:
         transcriber.max_queue = old
+
+
+def test_word_timestamps_over_http(server):
+    """timestamps=word rides the pipeline's cross-attention alignment path
+    (NOT silently downgraded to segment timestamps) and matches a direct
+    pipeline call exactly."""
+    base, transcriber = server
+    wav = _wav_bytes(freq=275.0)
+    status, out = _post(base + "/v1/transcribe?language=en&timestamps=word",
+                        wav)
+    assert status == 200
+    assert "chunks" in out
+    for c in out["chunks"]:
+        assert "text" in c and len(c["timestamp"]) == 2
+        s, e = c["timestamp"]
+        assert 0.0 <= s <= e
+
+    from distil_whisper_tpu.audio.io import load_audio
+    direct = transcriber.pipe(load_audio(wav, 16000), language="en",
+                              return_timestamps="word", max_new_tokens=6)
+    assert out["text"] == direct["text"]
+    assert [tuple(c["timestamp"]) for c in out["chunks"]] == \
+        [tuple(c["timestamp"]) for c in direct["chunks"]]
+    assert transcriber.stats["word_ts"] >= 1

@@ -458,3 +458,40 @@ def test_engine_reclaims_cancelled_inflight_lane(engine_pipe):
     assert r3.result["text"] == _expected_text(engine_pipe, wavs[2], "en",
                                                False, 6)
     assert tr.stats["cancelled"] == 1
+
+
+def test_engine_word_timestamps_fallback(engine_pipe):
+    """return_timestamps="word" on the continuous scheduler: served by the
+    fallback thread with exact pipeline semantics, while lane traffic keeps
+    flowing concurrently."""
+    from distil_whisper_tpu.serving_engine import ContinuousTranscriber
+    tr = ContinuousTranscriber(engine_pipe, batch_size=2, block_steps=2,
+                               max_new_tokens=6).start()
+    try:
+        wav_w = _tone(1.0, 330.0, 3)
+        wav_s = _tone(1.0, 440.0, 4)
+        results = {}
+
+        def word():
+            results["word"] = tr.submit(wav_w, language="en",
+                                        return_timestamps="word",
+                                        timeout=600)
+
+        def short():
+            results["short"] = tr.submit(wav_s, language="en", timeout=600)
+
+        ts = [threading.Thread(target=word), threading.Thread(target=short)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=900)
+        direct = engine_pipe(wav_w, language="en", return_timestamps="word",
+                             max_new_tokens=6)
+        assert results["word"]["text"] == direct["text"]
+        assert results["word"]["chunks"] == direct["chunks"]
+        assert results["short"]["text"] == _expected_text(
+            engine_pipe, wav_s, "en", False, 6)
+        assert tr.stats["word_ts"] == 1
+        assert tr.snapshot()["fallback_depth"] == 0
+    finally:
+        tr.stop()
