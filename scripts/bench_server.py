@@ -111,15 +111,19 @@ def main():
     for name in (["microbatch", "continuous"] if which == "both"
                  else [which]):
         if name == "continuous":
+            # max_queue: the bench measures saturation throughput, so
+            # admit the whole offered load (no 503 shedding mid-bench)
             ts = ContinuousTranscriber(pipe, batch_size=batch,
                                        default_language="en",
                                        max_new_tokens=max_new,
-                                       block_steps=block).start()
+                                       block_steps=block,
+                                       max_queue=10**9).start()
         else:
             ts = BatchingTranscriber(pipe, batch_size=batch,
                                      max_wait_ms=100,
                                      default_language="en",
-                                     max_new_tokens=max_new).start()
+                                     max_new_tokens=max_new,
+                                     max_queue=10**9).start()
         # warmup: compile (full batch for microbatch; admit buckets + step
         # for continuous)
         warm = [threading.Thread(target=ts.submit, args=(wav,),
