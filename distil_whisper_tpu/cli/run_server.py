@@ -17,6 +17,11 @@ Long files: the microbatch scheduler falls back to the whole-file chunked
 pipeline; the continuous scheduler splits them into strided windows that
 share lanes with short requests (no head-of-line blocking).
 
+Speculative decoding (``--assistant_checkpoint``, microbatch scheduler):
+a distil draft proposes ``--gamma`` tokens per round and the served model
+verifies them in one decode — the reference's headline serving speedup
+(README.md:352-432), token-identical outputs.
+
     python -m distil_whisper_tpu.cli.run_server \
         --model_checkpoint ./distil-large-v3 --port 8000 \
         --scheduler continuous \
@@ -65,6 +70,15 @@ def build_server(argv=None):
                    help="decode steps per compiled engine block "
                         "(continuous scheduler)")
     p.add_argument("--max_new_tokens", type=int, default=128)
+    p.add_argument("--assistant_checkpoint", default=None,
+                   help="draft checkpoint for speculative decoding "
+                        "(reference README.md:352-432): the draft proposes "
+                        "--gamma tokens, the served model verifies — output "
+                        "is token-identical to plain greedy, typically "
+                        "faster.  Microbatch scheduler only; timestamped "
+                        "requests fall back to plain generate")
+    p.add_argument("--gamma", type=int, default=5,
+                   help="draft tokens per speculative round")
     p.add_argument("--max_body_mb", type=float, default=100.0,
                    help="reject request bodies larger than this (413)")
     p.add_argument("--max_queue", type=int, default=None,
@@ -97,6 +111,21 @@ def build_server(argv=None):
                            batch_size=args.batch_size,
                            max_new_tokens=args.max_new_tokens,
                            params=params, cfg=cfg)
+    assistant = None
+    if args.assistant_checkpoint:
+        if args.scheduler == "continuous":
+            p.error("--assistant_checkpoint requires --scheduler microbatch "
+                    "(the accept/verify loop decodes whole batches; it is "
+                    "not expressible as per-lane engine steps)")
+        from ..parallel import shard_params
+        from ..models import param_axes
+        draft, draft_cfg = load_params(args.assistant_checkpoint,
+                                       dtype=dtype)
+        if dtype == jnp.bfloat16:
+            draft_cfg = draft_cfg.replace(fast_bf16_attention=True,
+                                          use_flash_encoder=True)
+        assistant = (shard_params(draft, param_axes(draft_cfg), pipe.mesh),
+                     draft_cfg)
     if args.scheduler == "continuous":
         from ..serving_engine import ContinuousTranscriber
         transcriber = ContinuousTranscriber(
@@ -110,7 +139,8 @@ def build_server(argv=None):
             pipe, batch_size=args.batch_size, max_wait_ms=args.max_wait_ms,
             default_language=args.language,
             max_new_tokens=args.max_new_tokens,
-            max_queue=args.max_queue).start()
+            max_queue=args.max_queue,
+            assistant=assistant, gamma=args.gamma).start()
     httpd = make_http_server(transcriber, args.host, args.port,
                              max_body_mb=args.max_body_mb)
     return httpd, transcriber

@@ -47,10 +47,104 @@ class ServerOverloadedError(RuntimeError):
 
 
 def _coerce_timestamps(return_timestamps):
-    """True/False/"word" — the pipeline's contract; anything truthy that
-    isn't "word" means segment-level."""
-    return (return_timestamps if return_timestamps == "word"
-            else bool(return_timestamps))
+    """Normalise to the pipeline's contract: False | True | "word".
+
+    Unrecognised strings raise instead of being silently downgraded to
+    segment-level (a caller asking for an unsupported granularity must hear
+    about it — same contract the HTTP layer applies to ``timestamps=word``).
+    """
+    if isinstance(return_timestamps, str):
+        low = return_timestamps.strip().lower()
+        if low == "word":
+            return "word"
+        if low in ("1", "true", "yes", "on"):
+            return True
+        if low in ("0", "false", "no", "off", ""):
+            return False
+        raise ValueError(
+            f"unsupported timestamps value {return_timestamps!r} "
+            "(use true/false for segment-level or 'word')")
+    return bool(return_timestamps)
+
+
+def _coerce_mode(mode, return_timestamps) -> str:
+    """Validate the long-form algorithm choice."""
+    if mode not in ("chunked", "sequential"):
+        raise ValueError(f"unsupported mode {mode!r} "
+                         "(use 'chunked' or 'sequential')")
+    if mode == "sequential" and return_timestamps == "word":
+        raise ValueError("timestamps=word requires the chunked pipeline "
+                         "(cross-attention alignment); sequential results "
+                         "carry segment-level timestamps in 'segments'")
+    return mode
+
+
+class _SequentialRunner:
+    """Sequential long-form executor shared by both schedulers.
+
+    The reference documents sequential decoding as up to 0.5% WER better
+    than chunked for batch long-form (README.md:158-171); per-request
+    ``mode=sequential`` runs the timestamp-driven sliding window with the
+    reference's fallback ladder (:class:`..generation.sequential.
+    SequentialTranscriber`) instead of the chunked pipeline.  One
+    transcriber (one compiled window program) is cached per
+    (language, task, per-window budget) and reused across requests.
+    """
+
+    #: per-window decode budget cap (the SequentialOptions default — the
+    #: reference's long-form regime; the server's short-form budget would
+    #: starve 30 s windows)
+    WINDOW_BUDGET = 224
+
+    def __init__(self, pipe):
+        self.pipe = pipe
+        self._cache: Dict[Any, Any] = {}
+        self._lock = threading.Lock()
+
+    def _transcriber(self, language, task, max_new):
+        key = (language, task, max_new)
+        with self._lock:
+            tr = self._cache.get(key)
+        if tr is None:
+            from .generation.sequential import (SequentialOptions,
+                                                SequentialTranscriber)
+            tr = SequentialTranscriber(
+                self.pipe.params, self.pipe.cfg, self.pipe.tokenizer,
+                SequentialOptions(max_new_tokens=max_new),
+                language=language, task=task, batch_size=1,
+                dtype=self.pipe.dtype)
+            with self._lock:
+                tr = self._cache.setdefault(key, tr)
+        return tr
+
+    def run(self, audio, language, task,
+            max_new_tokens: Optional[int] = None) -> Dict[str, Any]:
+        import jax.numpy as jnp
+        from .audio import compute_mel
+
+        pipe, cfg, tok = self.pipe, self.pipe.cfg, self.pipe.tokenizer
+        if language is None and len(tok.lang_to_id) > 1:
+            head = compute_mel(jnp.asarray(audio[:cfg.n_samples]),
+                               cfg).astype(pipe.dtype)
+            language = pipe.detect_language(head)[0]
+        max_new = self.WINDOW_BUDGET
+        if max_new_tokens is not None:
+            max_new = max(1, min(int(max_new_tokens), max_new))
+        feat = np.asarray(compute_mel(jnp.asarray(audio), cfg,
+                                      pad_to_chunk=False)[0])
+        res = self._transcriber(language, task, max_new).transcribe([feat])[0]
+        return {
+            "text": res["text"],
+            "language": language,
+            "segments": [{
+                "start": float(s["start"]), "end": float(s["end"]),
+                "text": s["text"], "tokens": [int(t) for t in s["tokens"]],
+                "temperature": float(s["temperature"]),
+                "avg_logprob": float(s["avg_logprob"]),
+                "compression_ratio": float(s["compression_ratio"]),
+                "no_speech_prob": float(s["no_speech_prob"]),
+            } for s in res["segments"]],
+        }
 
 
 @dataclass
@@ -60,6 +154,7 @@ class _Request:
     task: str
     return_timestamps: Any                  # False | True | "word"
     max_new_tokens: Optional[int] = None    # per-request cap (<= server max)
+    mode: str = "chunked"                   # long-form algorithm (or "sequential")
     done: threading.Event = field(default_factory=threading.Event)
     result: Optional[Dict[str, Any]] = None
     error: Optional[str] = None
@@ -81,21 +176,36 @@ class BatchingTranscriber:
     def __init__(self, pipe, batch_size: Optional[int] = None,
                  max_wait_ms: float = 50.0, default_language=None,
                  max_new_tokens: Optional[int] = None,
-                 max_queue: Optional[int] = None):
+                 max_queue: Optional[int] = None,
+                 assistant=None, gamma: int = 5):
         self.pipe = pipe
         self.batch_size = batch_size or pipe.batch_size
         self.max_wait_s = max_wait_ms / 1e3
         self.default_language = default_language
         self.max_new_tokens = max_new_tokens or pipe.max_new_tokens
+        # speculative decoding (the reference's headline capability,
+        # README.md:352-432): ``assistant`` = (draft_params, draft_cfg) — a
+        # distil draft proposes, the served model verifies; output is
+        # token-identical to the served model's own greedy decode, so it is
+        # a pure speed knob.  Applies to short-form non-timestamp requests
+        # (the timestamp FSM is not expressible inside the accept/verify
+        # loop — those fall back to plain generate).
+        self.assistant = assistant
+        self.gamma = int(gamma)
+        self._spec_fn = None
         # backlog bound (requests waiting for a worker slot); None -> 8
         # batches deep.  0 is honoured (shed everything — drain mode).
         self.max_queue = (8 * self.batch_size if max_queue is None
                           else int(max_queue))
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._worker: Optional[threading.Thread] = None
+        self._sequential = _SequentialRunner(pipe)
         self.stats = {"requests": 0, "batches": 0, "max_batch": 0,
-                      "long_form": 0, "word_ts": 0, "rejected": 0,
-                      "cancelled": 0}
+                      "long_form": 0, "word_ts": 0, "sequential": 0,
+                      "rejected": 0, "cancelled": 0}
+        if assistant is not None:
+            self.stats.update({"speculative_batches": 0, "drafted": 0,
+                               "accepted": 0})
 
     # ------------------------------------------------------------- lifecycle
     def start(self) -> "BatchingTranscriber":
@@ -114,17 +224,24 @@ class BatchingTranscriber:
     def submit(self, audio, language: Optional[str] = None,
                task: str = "transcribe", return_timestamps: bool = False,
                timeout: Optional[float] = None,
-               max_new_tokens: Optional[int] = None) -> Dict[str, Any]:
+               max_new_tokens: Optional[int] = None,
+               mode: str = "chunked") -> Dict[str, Any]:
         """Blocking transcription of one audio (any load_audio source).
 
         ``max_new_tokens`` caps this request's output (clamped to the server
         budget).  Greedy decoding has the prefix property — the first N
         tokens of a longer run equal an N-budget run — so short-form serves
-        it by truncation (same compiled program for every request)."""
+        it by truncation (same compiled program for every request).
+
+        ``mode="sequential"`` runs the timestamp-driven sliding-window
+        algorithm with the reference's fallback ladder instead of the
+        chunked pipeline (up to 0.5% WER better on long-form,
+        reference README.md:158-171); the result carries ``segments``."""
         from .audio.io import load_audio
         wav = load_audio(audio, self.pipe.cfg.sampling_rate)
+        ts = _coerce_timestamps(return_timestamps)
         req = _Request(wav, language or self.default_language, task,
-                       _coerce_timestamps(return_timestamps), max_new_tokens)
+                       ts, max_new_tokens, mode=_coerce_mode(mode, ts))
         self._enqueue(req)
         if not req.done.wait(timeout):
             req.cancelled = True  # worker skips it; nobody reads the result
@@ -145,18 +262,69 @@ class BatchingTranscriber:
 
     def snapshot(self) -> Dict[str, Any]:
         """Live observability view (GET /v1/stats)."""
-        return {"scheduler": "microbatch",
+        snap = {"scheduler": "microbatch",
                 "queue_depth": self._q.qsize(),
                 "max_queue": self.max_queue,
                 "batch_size": self.batch_size,
                 "stats": dict(self.stats)}
+        if self.assistant is not None:
+            snap["speculative"] = {
+                "gamma": self.gamma,
+                "acceptance_rate": round(
+                    self.stats["accepted"] / self.stats["drafted"], 3)
+                if self.stats["drafted"] else None}
+        return snap
+
+    def _speculative_fn(self):
+        """Jitted draft-assisted generate (built once; jax retraces per
+        batch/prompt shape).  The draft shares the served model's encoder
+        when widths match (the reference's distil-draft setup,
+        /root/reference/training/run_eval.py:578-599)."""
+        if self._spec_fn is not None:
+            return self._spec_fn
+        import jax
+        from .models.whisper import encode, cross_kv
+        from .generation import GenerationOptions
+        from .generation.speculative import speculative_generate_batched
+
+        pipe, cfg = self.pipe, self.pipe.cfg
+        draft_cfg = self.assistant[1]
+        opts = GenerationOptions.from_config(
+            cfg, max_new_tokens=self.max_new_tokens)
+        gamma = self.gamma
+
+        @jax.jit
+        def spec(t_params, d_params, mel, prompt_ids):
+            enc = encode(t_params["encoder"], cfg, mel, dtype=pipe.dtype)
+            t_cross = cross_kv(t_params["decoder"], cfg, enc)
+            d_enc = (enc if draft_cfg.d_model == cfg.d_model
+                     else encode(d_params["encoder"], draft_cfg, mel,
+                                 dtype=pipe.dtype))
+            d_cross = cross_kv(d_params["decoder"], draft_cfg, d_enc)
+            return speculative_generate_batched(
+                t_params["decoder"], cfg, d_params["decoder"], draft_cfg,
+                t_cross, d_cross, prompt_ids, opts, gamma=gamma,
+                dtype=pipe.dtype)
+
+        self._spec_fn = spec
+        return spec
 
     def submit_stream(self, audio, **kw):
         """Streaming facade for API parity with the continuous-batching
         transcriber (which emits true incremental partials): whole-batch
         generate produces no intermediate state to stream, so this yields
-        one final result."""
-        yield {**self.submit(audio, **kw), "final": True}
+        one final result.
+
+        A plain function (NOT a generator): admission errors — backlog full,
+        deadline, bad arguments — raise HERE, before the HTTP layer has
+        committed a 200 + ndjson headers, so they map to proper status
+        codes (503/504/400) exactly like the blocking path."""
+        result = self.submit(audio, **kw)
+
+        def _gen():
+            yield {**result, "final": True}
+
+        return _gen()
 
     # --------------------------------------------------------------- worker
     def _run(self) -> None:
@@ -190,6 +358,10 @@ class BatchingTranscriber:
         n_samples = self.pipe.cfg.n_samples
         groups: Dict[Any, List[_Request]] = {}
         for r in batch:
+            if r.mode == "sequential":
+                self.stats["sequential"] += 1
+                self._run_one_sequential(r)
+                continue
             if len(r.audio) > n_samples or r.return_timestamps == "word":
                 # long-form (the chunked pipeline already batches this
                 # file's own windows) and word-level timestamps (needs the
@@ -205,6 +377,16 @@ class BatchingTranscriber:
                               []).append(r)
         for (lang, task, ts), reqs in groups.items():
             self._run_short_group(reqs, lang, task, ts)
+
+    def _run_one_sequential(self, r: _Request) -> None:
+        try:
+            r.result = self._sequential.run(r.audio, r.language, r.task,
+                                            r.max_new_tokens)
+        except Exception as e:  # noqa: BLE001
+            logger.exception("sequential-path request failed")
+            r.error = f"{type(e).__name__}: {e}"
+        finally:
+            r.done.set()
 
     def _run_one_pipeline(self, r: _Request) -> None:
         try:
@@ -241,14 +423,28 @@ class BatchingTranscriber:
                 language = pipe.detect_language(mels[:1])[0]
             prompt = tok.prompt_ids(language=language, task=task,
                                     no_timestamps=not return_timestamps)
-            opts = GenerationOptions.from_config(
-                cfg, max_new_tokens=self.max_new_tokens,
-                return_timestamps=return_timestamps,
-                no_speech_token_id=tok.no_speech)
-            fn = pipe._jitted_generate(opts, len(prompt))
             prompts = jnp.asarray([prompt] * bsz, jnp.int32)
-            out = fn(pipe.params, pipe._put_batch(mels), prompts, 0.0,
-                     jax.random.PRNGKey(0))
+            if self.assistant is not None and not return_timestamps:
+                # draft-assisted decoding: token-identical to the plain
+                # greedy path (the non-timestamp processor stacks match —
+                # generate._process_scores vs speculative._process), faster
+                # whenever the draft's acceptance rate earns back its cost
+                out = self._speculative_fn()(
+                    pipe.params, self.assistant[0],
+                    pipe._put_batch(mels), prompts)
+                self.stats["speculative_batches"] += 1
+                self.stats["drafted"] += int(
+                    np.sum(np.asarray(out.drafted)[:len(reqs)]))
+                self.stats["accepted"] += int(
+                    np.sum(np.asarray(out.accepted)[:len(reqs)]))
+            else:
+                opts = GenerationOptions.from_config(
+                    cfg, max_new_tokens=self.max_new_tokens,
+                    return_timestamps=return_timestamps,
+                    no_speech_token_id=tok.no_speech)
+                fn = pipe._jitted_generate(opts, len(prompt))
+                out = fn(pipe.params, pipe._put_batch(mels), prompts, 0.0,
+                         jax.random.PRNGKey(0))
             seqs = np.asarray(out.sequences)
             lens = np.asarray(out.seq_len)
 
@@ -278,8 +474,10 @@ class BatchingTranscriber:
 def make_http_server(transcriber: BatchingTranscriber, host: str = "0.0.0.0",
                      port: int = 8000, max_body_mb: float = 100.0):
     """ThreadingHTTPServer: POST /v1/transcribe (WAV body; query params
-    ``language``, ``task``, ``timestamps=1``, ``max_tokens=N``,
-    ``timeout_s=S`` — server-side deadline), GET /healthz, and
+    ``language``, ``task``, ``timestamps=1`` (or ``word``),
+    ``mode=sequential`` — long-form sliding-window algorithm,
+    ``max_tokens=N``, ``timeout_s=S`` — server-side deadline),
+    GET /healthz, and
     GET /v1/stats (live queue/lane/counters snapshot).  Works over any
     transcriber with the ``submit()`` contract (micro-batching or
     continuous-batching).  Error mapping: backlog full -> 503 +
@@ -350,9 +548,18 @@ def make_http_server(transcriber: BatchingTranscriber, host: str = "0.0.0.0",
                     return_timestamps=("word" if ts == "word"
                                        else ts in ("1", "true")),
                     max_new_tokens=int(max_tok) if max_tok else None,
-                    timeout=float(timeout_s) if timeout_s else None)
+                    timeout=float(timeout_s) if timeout_s else None,
+                    # long-form algorithm: chunked (default) or sequential
+                    # (reference README.md:158-171 — up to 0.5% WER better)
+                    mode=(q.get("mode") or ["chunked"])[0])
                 t0 = time.monotonic()
                 if (q.get("stream") or ["0"])[0] in ("1", "true"):
+                    # Admission (audio decode, backlog bound, argument
+                    # validation) runs BEFORE the 200 is committed:
+                    # submit_stream is a plain function that enqueues
+                    # eagerly and returns the generator, so overload maps
+                    # to 503 + Retry-After like the blocking path.
+                    gen = transcriber.submit_stream(body, **kw)
                     # newline-delimited JSON, close-delimited (HTTP/1.0):
                     # one partial line per decode block (continuous
                     # scheduler), then the final result with final=true
@@ -361,7 +568,6 @@ def make_http_server(transcriber: BatchingTranscriber, host: str = "0.0.0.0",
                                      "application/x-ndjson")
                     self.send_header("Cache-Control", "no-cache")
                     self.end_headers()
-                    gen = transcriber.submit_stream(body, **kw)
                     try:
                         for item in gen:
                             if item.get("final"):
@@ -371,6 +577,18 @@ def make_http_server(transcriber: BatchingTranscriber, host: str = "0.0.0.0",
                             self.wfile.write(json.dumps(item).encode()
                                              + b"\n")
                             self.wfile.flush()
+                    except TimeoutError:
+                        # deadline expired mid-stream (TimeoutError is an
+                        # OSError subclass — this branch must come first):
+                        # the client is still connected; tell it before
+                        # closing
+                        gen.close()
+                        logger.info("streaming request deadline exceeded")
+                        try:
+                            self.wfile.write(
+                                b'{"error": "deadline exceeded"}\n')
+                        except OSError:
+                            pass  # client already gone
                     except OSError:
                         # client disconnected mid-stream: closing the
                         # generator cancels the in-flight request so the

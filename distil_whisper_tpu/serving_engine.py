@@ -331,6 +331,7 @@ class _EngineRequest:
     return_timestamps: Any                  # False | True | "word"
     max_new_tokens: Optional[int]
     done: threading.Event
+    mode: str = "chunked"                   # long-form algorithm (or "sequential")
     result: Optional[Dict[str, Any]] = None
     error: Optional[str] = None
     # set by the client thread when it stops waiting (timeout / stream
@@ -391,9 +392,12 @@ class ContinuousTranscriber:
         # thread serves them so they never stall the decode lanes
         self._fb_q: "queue.Queue[Optional[_EngineRequest]]" = queue.Queue()
         self._fb_worker: Optional[threading.Thread] = None
+        from .serving import _SequentialRunner
+        self._sequential = _SequentialRunner(pipe)
         self.stats = {"requests": 0, "blocks": 0, "admitted": 0,
-                      "long_form": 0, "word_ts": 0, "max_inflight": 0,
-                      "rejected": 0, "cancelled": 0, "tokens_out": 0}
+                      "long_form": 0, "word_ts": 0, "sequential": 0,
+                      "max_inflight": 0, "rejected": 0, "cancelled": 0,
+                      "tokens_out": 0}
 
     # ------------------------------------------------------------- client
     def start(self) -> "ContinuousTranscriber":
@@ -416,13 +420,15 @@ class ContinuousTranscriber:
     def submit(self, audio, language: Optional[str] = None,
                task: str = "transcribe", return_timestamps: bool = False,
                timeout: Optional[float] = None,
-               max_new_tokens: Optional[int] = None) -> Dict[str, Any]:
+               max_new_tokens: Optional[int] = None,
+               mode: str = "chunked") -> Dict[str, Any]:
         from .audio.io import load_audio
         wav = load_audio(audio, self.pipe.cfg.sampling_rate)
-        from .serving import _coerce_timestamps
+        from .serving import _coerce_mode, _coerce_timestamps
+        ts = _coerce_timestamps(return_timestamps)
         req = _EngineRequest(wav, language or self.default_language, task,
-                             _coerce_timestamps(return_timestamps),
-                             max_new_tokens, threading.Event())
+                             ts, max_new_tokens, threading.Event(),
+                             mode=_coerce_mode(mode, ts))
         self._enqueue(req)
         if not req.done.wait(timeout):
             self._cancel(req)
@@ -464,7 +470,8 @@ class ContinuousTranscriber:
                       task: str = "transcribe",
                       return_timestamps: bool = False,
                       timeout: Optional[float] = None,
-                      max_new_tokens: Optional[int] = None):
+                      max_new_tokens: Optional[int] = None,
+                      mode: str = "chunked"):
         """Streaming transcription: yields ``{"text": ..., "final": False}``
         partials as the lane decodes (once per step-block when the text
         grew), then the full result dict with ``final: True``.
@@ -472,31 +479,43 @@ class ContinuousTranscriber:
         In-flight batching makes this nearly free: every step-block fetch
         already carries every lane's token buffer, so partial decoding is
         host-side work only.  Long-form (>30 s) inputs fall back to the
-        chunked pipeline and yield a single final result."""
+        chunked pipeline and yield a single final result.
+
+        A plain function (NOT a generator): admission — audio decode,
+        argument validation, the backlog bound — runs HERE, before the HTTP
+        layer has committed a 200 + ndjson headers, so
+        :class:`...serving.ServerOverloadedError` maps to 503 + Retry-After
+        exactly like the blocking path."""
         from .audio.io import load_audio
         wav = load_audio(audio, self.pipe.cfg.sampling_rate)
-        from .serving import _coerce_timestamps
+        from .serving import _coerce_mode, _coerce_timestamps
+        ts = _coerce_timestamps(return_timestamps)
         req = _EngineRequest(wav, language or self.default_language, task,
-                             _coerce_timestamps(return_timestamps),
-                             max_new_tokens, threading.Event(),
-                             stream=queue.Queue())
+                             ts, max_new_tokens, threading.Event(),
+                             stream=queue.Queue(),
+                             mode=_coerce_mode(mode, ts))
         self._enqueue(req)
-        try:
-            while True:
-                try:
-                    item = req.stream.get(timeout=timeout)
-                except queue.Empty:
-                    raise TimeoutError("transcription timed out") from None
-                if item is None:  # terminated by error
-                    raise RuntimeError(req.error or "stream aborted")
-                yield item
-                if item.get("final"):
-                    return
-        finally:
-            # consumer stopped early (timeout, client disconnect ->
-            # generator.close(), or an error): stop decoding for it
-            if not req.done.is_set():
-                self._cancel(req)
+
+        def _gen():
+            try:
+                while True:
+                    try:
+                        item = req.stream.get(timeout=timeout)
+                    except queue.Empty:
+                        raise TimeoutError(
+                            "transcription timed out") from None
+                    if item is None:  # terminated by error
+                        raise RuntimeError(req.error or "stream aborted")
+                    yield item
+                    if item.get("final"):
+                        return
+            finally:
+                # consumer stopped early (timeout, client disconnect ->
+                # generator.close(), or an error): stop decoding for it
+                if not req.done.is_set():
+                    self._cancel(req)
+
+        return _gen()
 
     # --------------------------------------------------------------- worker
     def _drain_queue(self, block: bool) -> bool:
@@ -514,10 +533,14 @@ class ContinuousTranscriber:
             if req is None:
                 return False
             self.stats["requests"] += 1
-            if req.return_timestamps == "word":
-                # needs the pipeline's cross-attention alignment pass —
-                # served by the fallback thread so lanes never stall
-                self.stats["word_ts"] += 1
+            if req.return_timestamps == "word" or req.mode == "sequential":
+                # word timestamps need the pipeline's cross-attention
+                # alignment pass; sequential long-form is a host-driven
+                # sliding window with a fallback ladder — neither is
+                # expressible as per-lane engine steps, so the fallback
+                # thread serves them and lanes never stall
+                self.stats["word_ts" if req.return_timestamps == "word"
+                           else "sequential"] += 1
                 self._ensure_fb_worker()
                 self._fb_q.put(req)
             elif len(req.audio) > self.pipe.cfg.n_samples:
@@ -689,11 +712,12 @@ class ContinuousTranscriber:
             self._fb_worker.start()
 
     def _run_fallback(self) -> None:
-        """Serve requests the lanes can't express (word-level timestamps)
-        through the whole pipeline, one at a time.  Device calls interleave
-        with the engine worker's — JAX serialises dispatch, and the two
-        threads share no donated buffers (the pipeline jits own their
-        inputs), so this is contention, not corruption."""
+        """Serve requests the lanes can't express (word-level timestamps,
+        sequential long-form) through the whole pipeline / the sequential
+        transcriber, one at a time.  Device calls interleave with the
+        engine worker's — JAX serialises dispatch, and the two threads
+        share no donated buffers (the pipeline jits own their inputs), so
+        this is contention, not corruption."""
         while True:
             r = self._fb_q.get()
             if r is None:
@@ -701,12 +725,17 @@ class ContinuousTranscriber:
             if r.cancelled:
                 continue
             try:
-                max_new = self.max_new_tokens
-                if r.max_new_tokens is not None:
-                    max_new = max(1, min(int(r.max_new_tokens), max_new))
-                result = self.pipe(r.audio, language=r.language, task=r.task,
-                                   return_timestamps=r.return_timestamps,
-                                   max_new_tokens=max_new)
+                if r.mode == "sequential":
+                    result = self._sequential.run(r.audio, r.language,
+                                                  r.task, r.max_new_tokens)
+                else:
+                    max_new = self.max_new_tokens
+                    if r.max_new_tokens is not None:
+                        max_new = max(1, min(int(r.max_new_tokens), max_new))
+                    result = self.pipe(r.audio, language=r.language,
+                                       task=r.task,
+                                       return_timestamps=r.return_timestamps,
+                                       max_new_tokens=max_new)
                 self._finish_req(r, result)
             except Exception as e:  # noqa: BLE001
                 logger.exception("fallback request failed")

@@ -208,6 +208,11 @@ def test_http_error_mapping_503_504():
                 raise TimeoutError("deadline exceeded")
             raise ServerOverloadedError("backlog full")
 
+        def submit_stream(self, body, timeout=None, **kw):
+            # plain function (the serving contract): admission errors raise
+            # BEFORE the HTTP layer commits a 200 + ndjson headers
+            return self.submit(body, timeout=timeout, **kw)
+
     httpd = make_http_server(Stub(), "127.0.0.1", 0)
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
@@ -226,8 +231,40 @@ def test_http_error_mapping_503_504():
             assert e.code == 504
         with urllib.request.urlopen(base + "/v1/stats", timeout=60) as r:
             assert json.loads(r.read())["queue_depth"] == 7
+        # stream=1 shares the load-shedding contract: the 503 must arrive
+        # as a real status line (admission runs before the 200 is sent),
+        # not as a mid-stream error line after bogus ndjson headers
+        try:
+            _post(base + "/v1/transcribe?stream=1", b"x")
+            raise AssertionError("expected 503")
+        except urllib.error.HTTPError as e:
+            assert e.code == 503
+            assert e.headers["Retry-After"] == "1"
+        try:
+            _post(base + "/v1/transcribe?stream=1&timeout_s=5", b"x")
+            raise AssertionError("expected 504")
+        except urllib.error.HTTPError as e:
+            assert e.code == 504
     finally:
         httpd.shutdown()
+
+
+def test_coerce_timestamps_rejects_unknown_granularity():
+    """Direct Python callers asking for an unsupported timestamp granularity
+    get a ValueError, not a silent downgrade to segment-level."""
+    from distil_whisper_tpu.serving import _coerce_timestamps
+    assert _coerce_timestamps("word") == "word"
+    assert _coerce_timestamps("WORD") == "word"
+    assert _coerce_timestamps("1") is True
+    assert _coerce_timestamps("true") is True
+    assert _coerce_timestamps("0") is False
+    assert _coerce_timestamps("") is False
+    assert _coerce_timestamps(True) is True
+    assert _coerce_timestamps(False) is False
+    with pytest.raises(ValueError):
+        _coerce_timestamps("char")
+    with pytest.raises(ValueError):
+        _coerce_timestamps("Words")
 
 
 def test_backpressure_rejects_at_max_queue(server):

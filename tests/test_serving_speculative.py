@@ -1,0 +1,121 @@
+"""Speculative decoding on the serving surface (--assistant_checkpoint).
+
+The reference's headline serving capability (README.md:352-432): a draft
+model proposes, the served model verifies, outputs token-identical to plain
+greedy.  Here: a real HTTP server with a tiny random teacher + a distinct
+tiny random draft; responses must match a plain (non-speculative)
+transcriber over the same pipeline exactly.
+"""
+
+import io
+import json
+import threading
+import urllib.request
+import wave
+
+import numpy as np
+import pytest
+
+from helpers import make_tiny_checkpoint
+
+
+def _wav_bytes(seconds=1.0, rate=16000, freq=220.0):
+    t = np.arange(int(seconds * rate)) / rate
+    pcm = (0.2 * np.sin(2 * np.pi * freq * t) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def _post(url, body, timeout=600):
+    req = urllib.request.Request(url, data=body, method="POST")
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return r.status, json.loads(r.read())
+
+
+@pytest.fixture(scope="module")
+def spec_server(tmp_path_factory):
+    root = tmp_path_factory.mktemp("spec")
+    teacher_ck = make_tiny_checkpoint(root / "teacher", decoder_layers=2,
+                                      seed=0)
+    # a DIFFERENT model (1 decoder layer, fresh seed, same width so the
+    # encoder is shared — the reference's distil-draft setup): with random
+    # weights it rarely agrees with the teacher, the worst case for the
+    # accept rate, which is exactly what the identity guarantee must survive
+    draft_ck = make_tiny_checkpoint(root / "draft", decoder_layers=1, seed=7)
+    from distil_whisper_tpu.cli.run_server import build_server
+    httpd, transcriber = build_server([
+        "--model_checkpoint", teacher_ck,
+        "--assistant_checkpoint", draft_ck, "--gamma", "3",
+        "--host", "127.0.0.1", "--port", "0",
+        "--batch_size", "2", "--max_wait_ms", "50",
+        "--max_new_tokens", "8", "--dtype", "float32",
+        "--language", "en",
+    ])
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    port = httpd.server_address[1]
+    yield f"http://127.0.0.1:{port}", transcriber
+    httpd.shutdown()
+    transcriber.stop()
+
+
+def test_speculative_token_identity_over_http(spec_server):
+    """A speculative server's transcription == plain greedy over the same
+    pipeline, for several distinct inputs (the accept/verify loop may take
+    any acceptance path — output must not depend on it)."""
+    from distil_whisper_tpu.serving import BatchingTranscriber
+
+    base, spec_tr = spec_server
+    plain = BatchingTranscriber(spec_tr.pipe, batch_size=2,
+                                default_language="en",
+                                max_new_tokens=8).start()
+    try:
+        for freq in (220.0, 341.0, 452.0):
+            wav = _wav_bytes(freq=freq)
+            status, out = _post(base + "/v1/transcribe?language=en", wav)
+            assert status == 200
+            ref = plain.submit(wav, language="en")
+            assert out["text"] == ref["text"], f"freq={freq}"
+    finally:
+        plain.stop()
+    assert spec_tr.stats["speculative_batches"] >= 3
+    assert spec_tr.stats["drafted"] > 0
+
+
+def test_speculative_stats_surface(spec_server):
+    """/v1/stats exposes the speculative block with the live acceptance
+    rate once traffic has flowed."""
+    base, _ = spec_server
+    _post(base + "/v1/transcribe?language=en", _wav_bytes(freq=300.0))
+    with urllib.request.urlopen(base + "/v1/stats", timeout=60) as r:
+        snap = json.loads(r.read())
+    assert snap["speculative"]["gamma"] == 3
+    assert snap["speculative"]["acceptance_rate"] is not None
+    assert 0.0 <= snap["speculative"]["acceptance_rate"] <= 1.0
+
+
+def test_timestamped_requests_fall_back_to_plain_generate(spec_server):
+    """Segment-timestamp requests can't ride the accept/verify loop (no
+    timestamp FSM there) — they must still be served, via plain generate."""
+    base, spec_tr = spec_server
+    before = spec_tr.stats["speculative_batches"]
+    status, out = _post(base + "/v1/transcribe?language=en&timestamps=1",
+                        _wav_bytes(freq=260.0))
+    assert status == 200
+    assert "chunks" in out
+    assert spec_tr.stats["speculative_batches"] == before
+
+
+def test_max_tokens_truncation_matches_prefix(spec_server):
+    """Per-request max_tokens on the speculative path = truncation of the
+    full-budget output (greedy prefix property holds through accept/verify)."""
+    base, _ = spec_server
+    wav = _wav_bytes(freq=233.0)
+    _, full = _post(base + "/v1/transcribe?language=en", wav)
+    _, short = _post(base + "/v1/transcribe?language=en&max_tokens=3", wav)
+    assert full["text"].startswith(short["text"])
