@@ -1,16 +1,21 @@
-"""Audio IO without ffmpeg: native WAV parsing + polyphase resampling.
+"""Audio IO: native WAV parsing + pluggable compressed-container decode.
 
-The reference shells out to ffmpeg (``ffmpeg_read``, reference
-pipeline.py:276) or librosa for resampling (:301).  Neither exists in this
-environment, so WAV (PCM 16/24/32-bit + float) is parsed natively and
-resampling is a polyphase filter via scipy.  Non-WAV containers should be
-transcoded upstream.
+WAV (PCM 8/16/24/32-bit + float) is parsed natively — the zero-dependency
+default — and resampling is a polyphase filter via scipy.  Compressed
+containers (mp3/flac/ogg/mp4...) decode through the first available
+backend: ``soundfile`` when importable, else an ``ffmpeg`` subprocess with
+the reference's exact invocation semantics (``ffmpeg_read``, reference
+training/flax/distil_whisper/pipeline.py:276: ``-ac 1 -f f32le -ar N``).
+When neither exists the error names the sniffed codec and the missing
+decoders instead of failing cryptically.
 """
 
 from __future__ import annotations
 
+import shutil
 import struct
-from typing import Tuple, Union
+import subprocess
+from typing import Optional, Tuple, Union
 
 import numpy as np
 
@@ -79,6 +84,78 @@ def write_wav(path: str, audio: np.ndarray, rate: int) -> None:
         f.write(hdr + pcm)
 
 
+_MAGIC_CODECS = (
+    (b"ID3", "mp3"), (b"\xff\xfb", "mp3"), (b"\xff\xf3", "mp3"),
+    (b"\xff\xf2", "mp3"), (b"fLaC", "flac"), (b"OggS", "ogg"),
+    (b"\x1aE\xdf\xa3", "webm/matroska"),
+)
+
+
+def _sniff_codec(data: bytes) -> str:
+    for magic, name in _MAGIC_CODECS:
+        if data[:len(magic)] == magic:
+            return name
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        return "mp4/m4a"
+    return "unknown"
+
+
+def _soundfile_read(data: bytes) -> Optional[Tuple[np.ndarray, int]]:
+    """Decode via the soundfile library when importable (flac/ogg/...)."""
+    try:
+        import soundfile as sf  # optional — absent in minimal images
+    except ImportError:
+        return None
+    import io as _io
+    audio, rate = sf.read(_io.BytesIO(data), dtype="float32",
+                          always_2d=True)
+    return np.ascontiguousarray(audio.mean(axis=1), np.float32), int(rate)
+
+
+def _ffmpeg_read(data: bytes, sampling_rate: int) -> Optional[np.ndarray]:
+    """Decode any container via an ffmpeg subprocess — the reference's
+    semantics (``ffmpeg_read``, reference pipeline.py:276): mono float32
+    little-endian at ``sampling_rate`` on stdout, input on stdin."""
+    if shutil.which("ffmpeg") is None:
+        return None
+    cmd = ["ffmpeg", "-i", "pipe:0", "-ac", "1", "-f", "f32le",
+           "-ar", str(sampling_rate), "-hide_banner", "-loglevel", "error",
+           "pipe:1"]
+    proc = subprocess.run(cmd, input=data, stdout=subprocess.PIPE,
+                          stderr=subprocess.PIPE)
+    if proc.returncode != 0:
+        raise ValueError("ffmpeg failed to decode audio: "
+                         + proc.stderr.decode(errors="replace")[-500:])
+    return np.frombuffer(proc.stdout, np.float32).copy()
+
+
+def decode_audio(data: Union[bytes, str],
+                 sampling_rate: int = 16000) -> Tuple[np.ndarray, int]:
+    """Decode audio bytes/path of any container -> (float32 mono, rate).
+
+    WAV is parsed natively (no subprocess); other containers go through
+    soundfile or ffmpeg when available.  The returned rate may differ from
+    ``sampling_rate`` (callers resample); the ffmpeg path already emits at
+    ``sampling_rate``.
+    """
+    if isinstance(data, str):
+        with open(data, "rb") as f:
+            data = f.read()
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return read_wav(data)
+    decoded = _soundfile_read(data)
+    if decoded is not None:
+        return decoded
+    audio = _ffmpeg_read(data, sampling_rate)
+    if audio is not None:
+        return audio, sampling_rate
+    codec = _sniff_codec(data)
+    raise ValueError(
+        f"cannot decode non-WAV audio (detected container: {codec}): "
+        "neither the 'soundfile' package nor an 'ffmpeg' binary is "
+        "available — install one, or transcode to WAV upstream")
+
+
 def resample(audio: np.ndarray, orig_rate: int, target_rate: int) -> np.ndarray:
     """Polyphase resampling to ``target_rate`` (librosa-free)."""
     if orig_rate == target_rate:
@@ -92,8 +169,10 @@ def resample(audio: np.ndarray, orig_rate: int, target_rate: int) -> np.ndarray:
 def load_audio(source, sampling_rate: int = 16000) -> np.ndarray:
     """Best-effort audio load -> float32 mono at ``sampling_rate``.
 
-    Accepts: WAV path/bytes, a numpy array (assumed already at rate), or an HF
-    datasets-style dict {"array": ..., "sampling_rate": ...} / {"path": ...}.
+    Accepts: audio path/bytes (WAV native; mp3/flac/ogg/... via
+    :func:`decode_audio`'s soundfile/ffmpeg backends when available), a
+    numpy array (assumed already at rate), or an HF datasets-style dict
+    {"array": ..., "sampling_rate": ...} / {"path": ...} / {"bytes": ...}.
     """
     if isinstance(source, dict):
         if "array" in source:
@@ -101,13 +180,13 @@ def load_audio(source, sampling_rate: int = 16000) -> np.ndarray:
                             int(source.get("sampling_rate", sampling_rate)),
                             sampling_rate)
         if "bytes" in source and source["bytes"] is not None:
-            audio, rate = read_wav(source["bytes"])
+            audio, rate = decode_audio(source["bytes"], sampling_rate)
             return resample(audio, rate, sampling_rate)
         if "path" in source:
-            audio, rate = read_wav(source["path"])
+            audio, rate = decode_audio(source["path"], sampling_rate)
             return resample(audio, rate, sampling_rate)
         raise ValueError(f"cannot interpret audio dict with keys {source.keys()}")
     if isinstance(source, (bytes, str)):
-        audio, rate = read_wav(source)
+        audio, rate = decode_audio(source, sampling_rate)
         return resample(audio, rate, sampling_rate)
     return np.asarray(source, np.float32)
