@@ -249,6 +249,60 @@ def test_http_error_mapping_503_504():
         httpd.shutdown()
 
 
+def test_sequential_long_form_over_http(server):
+    """mode=sequential on a >30 s input: the timestamp-driven sliding
+    window (reference README.md:158-171) serves the request, token-identical
+    to a directly-constructed SequentialTranscriber."""
+    import jax.numpy as jnp
+    from distil_whisper_tpu.audio import compute_mel
+    from distil_whisper_tpu.audio.io import load_audio
+    from distil_whisper_tpu.generation.sequential import (
+        SequentialOptions, SequentialTranscriber)
+
+    base, transcriber = server
+    wav = _wav_bytes(seconds=33.0, freq=240.0)
+    status, out = _post(
+        base + "/v1/transcribe?language=en&mode=sequential&max_tokens=6",
+        wav, timeout=1200)
+    assert status == 200
+    assert out["language"] == "en"
+    assert isinstance(out["segments"], list)
+    for s in out["segments"]:
+        assert 0.0 <= s["start"] <= s["end"]
+        assert isinstance(s["tokens"], list)
+
+    pipe = transcriber.pipe
+    direct_tr = SequentialTranscriber(
+        pipe.params, pipe.cfg, pipe.tokenizer,
+        SequentialOptions(max_new_tokens=6), language="en",
+        task="transcribe", batch_size=1, dtype=pipe.dtype)
+    audio = load_audio(wav, pipe.cfg.sampling_rate)
+    feat = np.asarray(compute_mel(jnp.asarray(audio), pipe.cfg,
+                                  pad_to_chunk=False)[0])
+    direct = direct_tr.transcribe([feat])[0]
+    assert out["text"] == direct["text"]
+    assert [s["tokens"] for s in out["segments"]] == \
+        [[int(t) for t in s["tokens"]] for s in direct["segments"]]
+    assert transcriber.stats["sequential"] >= 1
+
+
+def test_mode_validation_over_http(server):
+    """Unknown long-form modes and unsupported combinations are 400s, not
+    silent downgrades."""
+    base, _ = server
+    wav = _wav_bytes()
+    try:
+        _post(base + "/v1/transcribe?mode=bogus", wav)
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+    try:
+        _post(base + "/v1/transcribe?mode=sequential&timestamps=word", wav)
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
 def test_coerce_timestamps_rejects_unknown_granularity():
     """Direct Python callers asking for an unsupported timestamp granularity
     get a ValueError, not a silent downgrade to segment-level."""

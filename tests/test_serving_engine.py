@@ -460,6 +460,54 @@ def test_engine_reclaims_cancelled_inflight_lane(engine_pipe):
     assert tr.stats["cancelled"] == 1
 
 
+def test_engine_sequential_fallback(engine_pipe):
+    """mode="sequential" on the continuous scheduler: the fallback thread
+    runs the sliding-window transcriber, token-identical to a direct
+    SequentialTranscriber, while lane traffic keeps flowing."""
+    from distil_whisper_tpu.audio import compute_mel
+    from distil_whisper_tpu.generation.sequential import (
+        SequentialOptions, SequentialTranscriber)
+    from distil_whisper_tpu.serving_engine import ContinuousTranscriber
+
+    tr = ContinuousTranscriber(engine_pipe, batch_size=2, block_steps=2,
+                               max_new_tokens=6).start()
+    try:
+        wav_seq = _tone(33.0, 250.0, 5)
+        wav_s = _tone(1.0, 440.0, 6)
+        results = {}
+
+        def seq():
+            results["seq"] = tr.submit(wav_seq, language="en",
+                                       mode="sequential", max_new_tokens=6,
+                                       timeout=1200)
+
+        def short():
+            results["short"] = tr.submit(wav_s, language="en", timeout=600)
+
+        ts = [threading.Thread(target=seq), threading.Thread(target=short)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=1800)
+
+        pipe = engine_pipe
+        direct_tr = SequentialTranscriber(
+            pipe.params, pipe.cfg, pipe.tokenizer,
+            SequentialOptions(max_new_tokens=6), language="en",
+            task="transcribe", batch_size=1, dtype=pipe.dtype)
+        feat = np.asarray(compute_mel(jnp.asarray(wav_seq), pipe.cfg,
+                                      pad_to_chunk=False)[0])
+        direct = direct_tr.transcribe([feat])[0]
+        assert results["seq"]["text"] == direct["text"]
+        assert [s["tokens"] for s in results["seq"]["segments"]] == \
+            [[int(t) for t in s["tokens"]] for s in direct["segments"]]
+        assert results["short"]["text"] == _expected_text(
+            engine_pipe, wav_s, "en", False, 6)
+        assert tr.stats["sequential"] == 1
+    finally:
+        tr.stop()
+
+
 def test_engine_word_timestamps_fallback(engine_pipe):
     """return_timestamps="word" on the continuous scheduler: served by the
     fallback thread with exact pipeline semantics, while lane traffic keeps
