@@ -342,6 +342,84 @@ class WhisperPipeline:
                                         return_language=return_language)
         return {"text": text, **optional}
 
+    def transcribe_words_batch(self, wavs: List[np.ndarray],
+                               languages: Optional[List[Optional[str]]] = None,
+                               task: str = "transcribe",
+                               max_new_tokens: Optional[int] = None,
+                               ) -> List[Dict[str, Any]]:
+        """Word-timestamp transcription of MANY short (<= 30 s) audios in
+        shared device batches — the serving fallback's micro-batching path.
+
+        Row-identical to calling ``self(wav, return_timestamps="word")``
+        per audio (rows are independent through mel, generate, and the
+        alignment pass), but K requests cost ceil(K/batch_size) device
+        calls instead of K.  Languages may differ per row (the prompt
+        layout has the same length for every language); missing ones are
+        detected in one batched pass."""
+        tok, cfg = self.tokenizer, self.cfg
+        n = len(wavs)
+        max_new = max_new_tokens or self.max_new_tokens
+        full = 2 * cfg.max_source_positions
+        wav_arr = np.zeros((n, cfg.n_samples), np.float32)
+        n_frames, durs = [], []
+        for j, w in enumerate(wavs):
+            if len(w) > cfg.n_samples:
+                raise ValueError("transcribe_words_batch is single-window "
+                                 f"only (audio {j} exceeds 30 s)")
+            wav_arr[j, :len(w)] = w
+            n_frames.append(min(int(round(len(w) / cfg.sampling_rate * 100)),
+                                full))
+            durs.append(len(w) / cfg.sampling_rate)
+        mels = compute_mel(jnp.asarray(wav_arr), cfg).astype(self.dtype)
+
+        languages = list(languages) if languages else [None] * n
+        if any(l is None for l in languages) and len(tok.lang_to_id) > 1:
+            detected = self.detect_language(mels)
+            languages = [l if l is not None else detected[j]
+                         for j, l in enumerate(languages)]
+        prompts_list = [tok.prompt_ids(language=languages[j], task=task,
+                                       no_timestamps=False)
+                        for j in range(n)]
+        plen = len(prompts_list[0])
+        assert all(len(p) == plen for p in prompts_list)
+
+        opts = GenerationOptions.from_config(
+            cfg, max_new_tokens=max_new, return_timestamps=True,
+            no_speech_token_id=tok.no_speech)
+        fn = self._jitted_generate_with_weights(opts, plen)
+        from .generation.word_timestamps import token_timestamps_from_weights
+
+        batch_size = self.batch_size
+        rng = jax.random.PRNGKey(0)
+        results: List[Dict[str, Any]] = []
+        for i in range(0, n, batch_size):
+            k = min(batch_size, n - i)
+            batch = mels[i:i + k]
+            if k < batch_size:
+                batch = jnp.concatenate(
+                    [batch, jnp.zeros((batch_size - k,) + batch.shape[1:],
+                                      batch.dtype)])
+            prompts = jnp.asarray(
+                prompts_list[i:i + k]
+                + [prompts_list[0]] * (batch_size - k), jnp.int32)
+            out, sel_dev = fn(self.params, self._put_batch(batch), prompts,
+                              0.0, rng)
+            seqs = np.asarray(out.sequences)
+            lens = np.asarray(out.seq_len)
+            frames = n_frames[i:i + k] + [full] * (batch_size - k)
+            times = token_timestamps_from_weights(
+                np.asarray(sel_dev, np.float32), num_input_ids=plen,
+                seq_lens=lens, num_frames=frames)
+            for j in range(k):
+                entry = {"tokens": seqs[j][:lens[j]].tolist(),
+                         "stride": (durs[i + j], 0.0, 0.0),
+                         "token_times": times[j][:lens[j]],
+                         "start_s": 0.0}
+                res = self._assemble_words([entry], prompt_len=plen)
+                res["language"] = languages[i + j]
+                results.append(res)
+        return results
+
     def _assemble_words(self, outputs: List[Dict[str, Any]],
                         prompt_len: int) -> Dict[str, Any]:
         """Per-chunk token times -> global word list with stride trimming:

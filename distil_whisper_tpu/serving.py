@@ -201,7 +201,8 @@ class BatchingTranscriber:
         self._worker: Optional[threading.Thread] = None
         self._sequential = _SequentialRunner(pipe)
         self.stats = {"requests": 0, "batches": 0, "max_batch": 0,
-                      "long_form": 0, "word_ts": 0, "sequential": 0,
+                      "long_form": 0, "word_ts": 0, "word_ts_batches": 0,
+                      "word_ts_max_batch": 0, "sequential": 0,
                       "rejected": 0, "cancelled": 0}
         if assistant is not None:
             self.stats.update({"speculative_batches": 0, "drafted": 0,
@@ -357,26 +358,57 @@ class BatchingTranscriber:
         self.stats["requests"] += len(batch)
         n_samples = self.pipe.cfg.n_samples
         groups: Dict[Any, List[_Request]] = {}
+        wts_groups: Dict[Any, List[_Request]] = {}
         for r in batch:
             if r.mode == "sequential":
                 self.stats["sequential"] += 1
                 self._run_one_sequential(r)
                 continue
+            if r.return_timestamps == "word" and len(r.audio) <= n_samples:
+                # single-window word timestamps micro-batch through the
+                # shared alignment-pass program (a burst costs
+                # ceil(K/batch) device calls, not K)
+                self.stats["word_ts"] += 1
+                max_new = self.max_new_tokens
+                if r.max_new_tokens is not None:
+                    max_new = max(1, min(int(r.max_new_tokens), max_new))
+                wts_groups.setdefault((r.task, max_new), []).append(r)
+                continue
             if len(r.audio) > n_samples or r.return_timestamps == "word":
                 # long-form (the chunked pipeline already batches this
-                # file's own windows) and word-level timestamps (needs the
-                # pipeline's cross-attention alignment pass) both take the
-                # whole-pipeline path; rare in interactive serving
-                if len(r.audio) > n_samples:
-                    self.stats["long_form"] += 1
+                # file's own windows) and long-form word timestamps take
+                # the whole-pipeline path; rare in interactive serving
+                self.stats["long_form"] += 1
                 if r.return_timestamps == "word":
                     self.stats["word_ts"] += 1
                 self._run_one_pipeline(r)
                 continue
             groups.setdefault((r.language, r.task, r.return_timestamps),
                               []).append(r)
+        for (task, max_new), reqs in wts_groups.items():
+            self._run_word_ts_group(reqs, task, max_new)
         for (lang, task, ts), reqs in groups.items():
             self._run_short_group(reqs, lang, task, ts)
+
+    def _run_word_ts_group(self, reqs: List[_Request], task: str,
+                           max_new: int) -> None:
+        try:
+            results = self.pipe.transcribe_words_batch(
+                [r.audio for r in reqs],
+                languages=[r.language for r in reqs],
+                task=task, max_new_tokens=max_new)
+            self.stats["word_ts_batches"] += 1
+            self.stats["word_ts_max_batch"] = max(
+                self.stats["word_ts_max_batch"], len(reqs))
+            for r, res in zip(reqs, results):
+                r.result = res
+        except Exception as e:  # noqa: BLE001
+            logger.exception("word-timestamp batch failed")
+            for r in reqs:
+                r.error = f"{type(e).__name__}: {e}"
+        finally:
+            for r in reqs:
+                r.done.set()
 
     def _run_one_sequential(self, r: _Request) -> None:
         try:

@@ -355,6 +355,10 @@ class _EngineRequest:
     _chunk_strides: Optional[List[tuple]] = None
     _chunks_left: int = 0
     _stream_upto: int = 0
+    # admission featurisation (producer thread): the window's mel
+    # [1, n_mels, 3000] already on device, so the step loop never waits on
+    # host prep / the language-detect fetch
+    _mel: Any = None
 
 
 class ContinuousTranscriber:
@@ -383,6 +387,11 @@ class ContinuousTranscriber:
         self.max_queue = (8 * self.batch_size if max_queue is None
                           else int(max_queue))
         self._q: "queue.Queue[Optional[_EngineRequest]]" = queue.Queue()
+        # raw requests (_q) are featurised (mel + language detect) on a
+        # producer thread and land here ready to admit — the step loop
+        # never blocks on host prep or the language-detect fetch
+        self._ready: "queue.Queue[Optional[_EngineRequest]]" = queue.Queue()
+        self._featurizer: Optional[threading.Thread] = None
         self._worker: Optional[threading.Thread] = None
         self._pending: List[_EngineRequest] = []
         self._inflight: Dict[int, _EngineRequest] = {}
@@ -396,12 +405,17 @@ class ContinuousTranscriber:
         self._sequential = _SequentialRunner(pipe)
         self.stats = {"requests": 0, "blocks": 0, "admitted": 0,
                       "long_form": 0, "word_ts": 0, "sequential": 0,
+                      "fb_batches": 0, "fb_max_batch": 0,
                       "max_inflight": 0, "rejected": 0, "cancelled": 0,
                       "tokens_out": 0}
 
     # ------------------------------------------------------------- client
     def start(self) -> "ContinuousTranscriber":
         self.engine.init_state()
+        self._featurizer = threading.Thread(target=self._run_featurizer,
+                                            daemon=True,
+                                            name="admission-featurizer")
+        self._featurizer.start()
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="continuous-transcriber")
         self._worker.start()
@@ -410,6 +424,9 @@ class ContinuousTranscriber:
     def stop(self) -> None:
         if self._worker is not None:
             self._q.put(None)
+            if self._featurizer is not None:
+                self._featurizer.join(timeout=60)
+                self._featurizer = None
             self._worker.join(timeout=60)
             self._worker = None
         if self._fb_worker is not None:
@@ -438,10 +455,11 @@ class ContinuousTranscriber:
         return req.result
 
     def _enqueue(self, req: _EngineRequest) -> None:
-        # backlog = raw queue + split windows waiting for a lane (reads of
-        # worker-owned lists from the client thread are approximate — fine
-        # for load shedding, which only needs to bound growth)
-        if (self._q.qsize() + len(self._pending)
+        # backlog = raw queue + featurised-but-unadmitted windows + split
+        # windows waiting for a lane (reads of worker-owned lists from the
+        # client thread are approximate — fine for load shedding, which
+        # only needs to bound growth)
+        if (self._q.qsize() + self._ready.qsize() + len(self._pending)
                 + self._fb_q.qsize()) >= self.max_queue:
             self.stats["rejected"] += 1
             from .serving import ServerOverloadedError
@@ -458,6 +476,7 @@ class ContinuousTranscriber:
         """Live observability view (GET /v1/stats)."""
         return {"scheduler": "continuous",
                 "queue_depth": self._q.qsize(),
+                "ready_depth": self._ready.qsize(),
                 "fallback_depth": self._fb_q.qsize(),
                 "pending_windows": len(self._pending),
                 "inflight": len(self._inflight),
@@ -517,42 +536,82 @@ class ContinuousTranscriber:
 
         return _gen()
 
+    # ---------------------------------------------------- admission producer
+    def _run_featurizer(self) -> None:
+        """Admission featurisation OFF the step-loop thread: routing
+        (word-ts/sequential → fallback, long files → window split), the
+        audio→mel dispatch and language detection (a blocking device fetch)
+        all run here, overlapped with the engine's step blocks — lanes
+        never wait on host prep.  The step loop consumes ready-to-admit
+        windows from ``_ready`` (device calls from two threads are safe:
+        JAX serialises dispatch and no donated buffer is shared)."""
+        while True:
+            req = self._q.get()
+            if req is None:
+                self._ready.put(None)
+                return
+            self.stats["requests"] += 1
+            try:
+                if (req.return_timestamps == "word"
+                        or req.mode == "sequential"):
+                    # word timestamps need the pipeline's cross-attention
+                    # alignment pass; sequential long-form is a host-driven
+                    # sliding window with a fallback ladder — neither is
+                    # expressible as per-lane engine steps, so the fallback
+                    # thread serves them and lanes never stall
+                    self.stats["word_ts" if req.return_timestamps == "word"
+                               else "sequential"] += 1
+                    self._ensure_fb_worker()
+                    self._fb_q.put(req)
+                    continue
+                children = (self._split_long(req)
+                            if len(req.audio) > self.pipe.cfg.n_samples
+                            else [req])
+                for c in children:
+                    if not (c.parent or c).cancelled:
+                        self._featurise(c)
+                    self._ready.put(c)
+            except Exception as e:  # noqa: BLE001
+                logger.exception("admission featurisation failed")
+                self._finish_req(req, error=f"{type(e).__name__}: {e}")
+
+    def _featurise(self, r: _EngineRequest) -> None:
+        """Compute the window's mel on device and resolve its language
+        (idempotent — admission calls it again only if ``_mel`` is unset,
+        e.g. for requests injected by white-box tests)."""
+        from .audio import compute_mel
+        import jax.numpy as jnp
+        if r._mel is None:
+            wav = np.zeros((1, self.pipe.cfg.n_samples), np.float32)
+            wav[0, :len(r.audio)] = r.audio
+            r._mel = compute_mel(jnp.asarray(wav), self.pipe.cfg)
+        tok = self.pipe.tokenizer
+        if r.language is None and len(tok.lang_to_id) > 1:
+            r.language = self.pipe.detect_language(
+                r._mel.astype(self.pipe.dtype))[0]
+
     # --------------------------------------------------------------- worker
-    def _drain_queue(self, block: bool) -> bool:
-        """Move queued requests into the pending list (long files split into
-        per-window children).  Returns False when the shutdown sentinel was
-        seen.  ``block`` waits for the first request (the engine is idle —
-        nothing to step)."""
+    def _drain_ready(self, block: bool) -> bool:
+        """Move featurised windows into the pending list.  Returns False
+        when the shutdown sentinel was seen.  ``block`` waits for the first
+        item (the engine is idle — nothing to step)."""
         first = block
         while True:
             try:
-                req = self._q.get() if first else self._q.get_nowait()
+                req = self._ready.get() if first else self._ready.get_nowait()
             except queue.Empty:
                 return True
             first = False
             if req is None:
                 return False
-            self.stats["requests"] += 1
-            if req.return_timestamps == "word" or req.mode == "sequential":
-                # word timestamps need the pipeline's cross-attention
-                # alignment pass; sequential long-form is a host-driven
-                # sliding window with a fallback ladder — neither is
-                # expressible as per-lane engine steps, so the fallback
-                # thread serves them and lanes never stall
-                self.stats["word_ts" if req.return_timestamps == "word"
-                           else "sequential"] += 1
-                self._ensure_fb_worker()
-                self._fb_q.put(req)
-            elif len(req.audio) > self.pipe.cfg.n_samples:
-                self._split_long(req)
-            else:
-                self._pending.append(req)
+            self._pending.append(req)
 
-    def _split_long(self, r: _EngineRequest) -> None:
+    def _split_long(self, r: _EngineRequest) -> List[_EngineRequest]:
         """Split a >30 s request into strided windows admitted as ordinary
         lane requests (same chunk math as the pipeline, pipeline._chunk) —
         the file transcribes in parallel across free lanes instead of
-        blocking the engine behind a whole-file pipeline call."""
+        blocking the engine behind a whole-file pipeline call.  Returns the
+        per-window children (the featurizer pushes them to ``_ready``)."""
         from .audio import compute_mel
         import jax.numpy as jnp
         self.stats["long_form"] += 1
@@ -570,16 +629,16 @@ class ContinuousTranscriber:
         r._chunk_tokens = [None] * len(chunks)
         r._chunk_strides = [c["stride"] for c in chunks]
         r._chunks_left = len(chunks)
-        for i, c in enumerate(chunks):
-            self._pending.append(_EngineRequest(
-                c["audio"], r.language, r.task, r.return_timestamps,
-                r.max_new_tokens, threading.Event(), parent=r,
-                chunk_index=i))
+        return [_EngineRequest(
+            c["audio"], r.language, r.task, r.return_timestamps,
+            r.max_new_tokens, threading.Event(), parent=r,
+            chunk_index=i) for i, c in enumerate(chunks)]
 
     def _admit_pending(self) -> None:
-        """Admit queued requests into free lanes, in power-of-two chunks so
-        only log2(lanes)+1 admission programs ever compile."""
-        from .audio import compute_mel
+        """Admit featurised requests into free lanes, in power-of-two chunks
+        so only log2(lanes)+1 admission programs ever compile.  Mels arrive
+        precomputed from the featurizer thread; the step loop only stacks
+        them (one device concatenate) and dispatches the admit program."""
         import jax.numpy as jnp
         eng, tok = self.engine, self.pipe.tokenizer
         # drop windows whose client stopped waiting before they got a lane
@@ -590,19 +649,13 @@ class ContinuousTranscriber:
             a = 1 << (n.bit_length() - 1)      # largest power of two <= n
             reqs = [self._pending.pop(0) for _ in range(a)]
             lanes = [self._free.pop(0) for _ in range(a)]
-            wavs = np.zeros((a, self.pipe.cfg.n_samples), np.float32)
-            for i, r in enumerate(reqs):
-                wavs[i, :len(r.audio)] = r.audio
-            mels = compute_mel(jnp.asarray(wavs), self.pipe.cfg)
-            langs = [r.language for r in reqs]
-            if any(l is None for l in langs) and len(tok.lang_to_id) > 1:
-                detected = self.pipe.detect_language(
-                    mels.astype(self.pipe.dtype))
-                langs = [l if l is not None else detected[i]
-                         for i, l in enumerate(langs)]
-            prompts = [tok.prompt_ids(language=langs[i], task=r.task,
+            for r in reqs:
+                self._featurise(r)  # no-op unless injected unprepared
+            mels = (reqs[0]._mel if a == 1
+                    else jnp.concatenate([r._mel for r in reqs], axis=0))
+            prompts = [tok.prompt_ids(language=r.language, task=r.task,
                                       no_timestamps=not r.return_timestamps)
-                       for i, r in enumerate(reqs)]
+                       for r in reqs]
             budgets = [max(1, min(int(r.max_new_tokens
                                       or self.max_new_tokens),
                                   self.max_new_tokens)) for r in reqs]
@@ -610,6 +663,7 @@ class ContinuousTranscriber:
                       [r.return_timestamps for r in reqs], lanes)
             for i, (lane, r) in enumerate(zip(lanes, reqs)):
                 r._plen = len(prompts[i])
+                r._mel = None  # free the device buffer
                 self._inflight[lane] = r
             self.stats["admitted"] += a
             self.stats["max_inflight"] = max(self.stats["max_inflight"],
@@ -713,33 +767,79 @@ class ContinuousTranscriber:
 
     def _run_fallback(self) -> None:
         """Serve requests the lanes can't express (word-level timestamps,
-        sequential long-form) through the whole pipeline / the sequential
-        transcriber, one at a time.  Device calls interleave with the
-        engine worker's — JAX serialises dispatch, and the two threads
-        share no donated buffers (the pipeline jits own their inputs), so
-        this is contention, not corruption."""
-        while True:
+        sequential long-form) off the decode path.  Queued single-window
+        word-timestamp requests are MICRO-BATCHED: everything already
+        waiting is drained and served in shared device calls
+        (``pipe.transcribe_words_batch`` — a word-ts burst costs
+        ceil(K/batch) calls, not K).  Sequential and long-form word-ts
+        requests run singly (host-driven window loops).  Device calls
+        interleave with the engine worker's — JAX serialises dispatch, and
+        the two threads share no donated buffers (the pipeline jits own
+        their inputs), so this is contention, not corruption."""
+        saw_sentinel = False
+        while not saw_sentinel:
             r = self._fb_q.get()
             if r is None:
                 return
-            if r.cancelled:
-                continue
-            try:
-                if r.mode == "sequential":
-                    result = self._sequential.run(r.audio, r.language,
-                                                  r.task, r.max_new_tokens)
-                else:
+            batch = [r]
+            while len(batch) < max(self.engine.lanes, 8):
+                try:
+                    nxt = self._fb_q.get_nowait()
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    saw_sentinel = True  # serve what we hold, then exit
+                    break
+                batch.append(nxt)
+            batch = [b for b in batch if not b.cancelled]
+            # word-ts singles grouped by (task, budget) -> one batched call;
+            # language may vary per row (detected in-batch when missing)
+            groups: Dict[Any, List[_EngineRequest]] = {}
+            singles: List[_EngineRequest] = []
+            for b in batch:
+                if (b.return_timestamps == "word"
+                        and len(b.audio) <= self.pipe.cfg.n_samples):
                     max_new = self.max_new_tokens
-                    if r.max_new_tokens is not None:
-                        max_new = max(1, min(int(r.max_new_tokens), max_new))
-                    result = self.pipe(r.audio, language=r.language,
-                                       task=r.task,
-                                       return_timestamps=r.return_timestamps,
-                                       max_new_tokens=max_new)
-                self._finish_req(r, result)
-            except Exception as e:  # noqa: BLE001
-                logger.exception("fallback request failed")
-                self._finish_req(r, error=f"{type(e).__name__}: {e}")
+                    if b.max_new_tokens is not None:
+                        max_new = max(1, min(int(b.max_new_tokens), max_new))
+                    groups.setdefault((b.task, max_new), []).append(b)
+                else:
+                    singles.append(b)
+            for (task, max_new), reqs in groups.items():
+                try:
+                    results = self.pipe.transcribe_words_batch(
+                        [b.audio for b in reqs],
+                        languages=[b.language for b in reqs],
+                        task=task, max_new_tokens=max_new)
+                    self.stats["fb_batches"] += 1
+                    self.stats["fb_max_batch"] = max(
+                        self.stats["fb_max_batch"], len(reqs))
+                    for b, res in zip(reqs, results):
+                        self._finish_req(b, res)
+                except Exception as e:  # noqa: BLE001
+                    logger.exception("fallback word-ts batch failed")
+                    for b in reqs:
+                        self._finish_req(b, error=f"{type(e).__name__}: {e}")
+            for b in singles:
+                self._run_fallback_single(b)
+
+    def _run_fallback_single(self, r: _EngineRequest) -> None:
+        try:
+            if r.mode == "sequential":
+                result = self._sequential.run(r.audio, r.language,
+                                              r.task, r.max_new_tokens)
+            else:
+                max_new = self.max_new_tokens
+                if r.max_new_tokens is not None:
+                    max_new = max(1, min(int(r.max_new_tokens), max_new))
+                result = self.pipe(r.audio, language=r.language,
+                                   task=r.task,
+                                   return_timestamps=r.return_timestamps,
+                                   max_new_tokens=max_new)
+            self._finish_req(r, result)
+        except Exception as e:  # noqa: BLE001
+            logger.exception("fallback request failed")
+            self._finish_req(r, error=f"{type(e).__name__}: {e}")
 
     def _reclaim_cancelled(self) -> None:
         """Free lanes whose occupant's client stopped waiting.  Safe without
@@ -761,6 +861,13 @@ class ContinuousTranscriber:
     def _abort_all(self, msg: str) -> None:
         """Error out every waiting submitter (long-form children resolve to
         their parent, which is finished once)."""
+        while True:  # include featurised windows not yet drained
+            try:
+                r = self._ready.get_nowait()
+            except queue.Empty:
+                break
+            if r is not None:
+                self._pending.append(r)
         seen = set()
         for r in self._pending + list(self._inflight.values()):
             target = r.parent or r
@@ -777,7 +884,7 @@ class ContinuousTranscriber:
             if not shutting_down:
                 idle = (not self._inflight and not self._pending
                         and prev_packed is None)
-                if not self._drain_queue(block=idle):
+                if not self._drain_ready(block=idle):
                     shutting_down = True
             self._reclaim_cancelled()
             self._admit_pending()

@@ -15,6 +15,9 @@ percentiles.  Env knobs:
                     output lengths are where in-flight batching wins
   BENCH_RPS         mean Poisson arrival rate per client thread, req/s
                     (default 0 = submit immediately)
+  BENCH_WORD_TS     fraction of requests asking for word timestamps
+                    (default 0) — drives the fallback/alignment path and
+                    its micro-batching under mixed load
   BENCH_INT8        1 = full int8 serving stack
   BENCH_BLOCK       continuous-engine steps per block (default 16)
 
@@ -29,7 +32,8 @@ import time
 import numpy as np
 
 
-def run_load(ts, wav, clients, per_client, budgets, rps, seed=1):
+def run_load(ts, wav, clients, per_client, budgets, rps, seed=1,
+             word_ts_mask=None):
     """Drive the transcriber with `clients` threads; returns latencies."""
     errors, lat = [], []
     lock = threading.Lock()
@@ -40,10 +44,14 @@ def run_load(ts, wav, clients, per_client, budgets, rps, seed=1):
                  else np.zeros(per_client))
         for k in range(per_client):
             time.sleep(waits[k])
+            i = ci * per_client + k
+            kw = {}
+            if word_ts_mask is not None and word_ts_mask[i]:
+                kw["return_timestamps"] = "word"
             t0 = time.perf_counter()
             try:
                 ts.submit(wav, timeout=600,
-                          max_new_tokens=int(budgets[ci * per_client + k]))
+                          max_new_tokens=int(budgets[i]), **kw)
                 dt = time.perf_counter() - t0
                 with lock:
                     lat.append(dt)
@@ -78,6 +86,7 @@ def main():
     max_new = int(os.environ.get("BENCH_TOKENS", "96"))
     tok_min = int(os.environ.get("BENCH_TOKENS_MIN", "24"))
     rps = float(os.environ.get("BENCH_RPS", "0"))
+    word_ts_frac = float(os.environ.get("BENCH_WORD_TS", "0"))
     int8 = os.environ.get("BENCH_INT8") == "1"
     block = int(os.environ.get("BENCH_BLOCK", "16"))
     which = os.environ.get("BENCH_SCHEDULER", "both")
@@ -105,6 +114,8 @@ def main():
     rng = np.random.default_rng(7)
     n_total = clients * per_client
     budgets = rng.integers(tok_min, max_new + 1, n_total)
+    word_ts_mask = (rng.random(n_total) < word_ts_frac
+                    if word_ts_frac > 0 else None)
     wav = (0.05 * rng.standard_normal(cfg.n_samples)).astype(np.float32)
 
     results = {}
@@ -133,10 +144,13 @@ def main():
             t.start()
         for t in warm:
             t.join()
+        if word_ts_mask is not None:
+            # compile the alignment-pass program outside the timed window
+            ts.submit(wav, timeout=900, return_timestamps="word")
         print(f"warm {name}", flush=True)
 
         wall, lat, errors = run_load(ts, wav, clients, per_client, budgets,
-                                     rps)
+                                     rps, word_ts_mask=word_ts_mask)
         ts.stop()
         n = n_total - len(errors)
         lat = np.asarray(sorted(lat))
@@ -152,6 +166,7 @@ def main():
     out = {"preset": preset, "int8": int8, "batch_size": batch,
            "clients": clients, "per_client": per_client,
            "tokens": [tok_min, max_new], "rps_per_client": rps,
+           "word_ts_frac": word_ts_frac,
            **results}
     if len(results) == 2:
         out["continuous_vs_microbatch"] = round(

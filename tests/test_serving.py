@@ -249,6 +249,40 @@ def test_http_error_mapping_503_504():
         httpd.shutdown()
 
 
+def test_word_ts_burst_is_microbatched(server):
+    """Concurrent word-timestamp posts within the batching window share
+    device calls (word_ts_max_batch > 1), each row identical to a direct
+    single-audio pipeline call."""
+    base, transcriber = server
+    wavs = [_wav_bytes(freq=205.0 + 25 * i) for i in range(3)]
+    results = [None] * 3
+    errors = []
+
+    def post(i):
+        try:
+            results[i] = _post(
+                base + "/v1/transcribe?language=en&timestamps=word", wavs[i])
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=post, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=1200)
+    assert not errors
+    from distil_whisper_tpu.audio.io import load_audio
+    for i in range(3):
+        status, out = results[i]
+        assert status == 200
+        direct = transcriber.pipe(load_audio(wavs[i], 16000), language="en",
+                                  return_timestamps="word", max_new_tokens=6)
+        assert out["text"] == direct["text"], f"req {i}"
+        assert [tuple(c["timestamp"]) for c in out["chunks"]] == \
+            [tuple(c["timestamp"]) for c in direct["chunks"]], f"req {i}"
+    assert transcriber.stats["word_ts_max_batch"] >= 2, transcriber.stats
+
+
 def test_sequential_long_form_over_http(server):
     """mode=sequential on a >30 s input: the timestamp-driven sliding
     window (reference README.md:158-171) serves the request, token-identical

@@ -460,6 +460,42 @@ def test_engine_reclaims_cancelled_inflight_lane(engine_pipe):
     assert tr.stats["cancelled"] == 1
 
 
+def test_engine_word_ts_burst_is_microbatched(engine_pipe):
+    """A burst of word-timestamp requests must be served in SHARED device
+    batches by the fallback thread (fb_max_batch > 1), each row identical
+    to a direct single-audio pipeline call."""
+    from distil_whisper_tpu.serving_engine import ContinuousTranscriber
+
+    tr = ContinuousTranscriber(engine_pipe, batch_size=2, block_steps=2,
+                               max_new_tokens=6).start()
+    try:
+        wavs = [_tone(1.0, 260.0 + 40 * i, 10 + i) for i in range(4)]
+        results = [None] * 4
+        start_gate = threading.Event()
+
+        def post(i):
+            start_gate.wait()
+            results[i] = tr.submit(wavs[i], language="en",
+                                   return_timestamps="word", timeout=900)
+
+        ts = [threading.Thread(target=post, args=(i,)) for i in range(4)]
+        for t in ts:
+            t.start()
+        start_gate.set()
+        for t in ts:
+            t.join(timeout=1200)
+        for i in range(4):
+            direct = engine_pipe(wavs[i], language="en",
+                                 return_timestamps="word", max_new_tokens=6)
+            assert results[i]["text"] == direct["text"], f"req {i}"
+            assert results[i]["chunks"] == direct["chunks"], f"req {i}"
+        assert tr.stats["word_ts"] == 4
+        # the burst must not have been served strictly one-at-a-time
+        assert tr.stats["fb_max_batch"] >= 2, tr.stats
+    finally:
+        tr.stop()
+
+
 def test_engine_sequential_fallback(engine_pipe):
     """mode="sequential" on the continuous scheduler: the fallback thread
     runs the sliding-window transcriber, token-identical to a direct
