@@ -67,6 +67,13 @@ def _coerce_timestamps(return_timestamps):
     return bool(return_timestamps)
 
 
+def _coerce_beams(num_beams) -> int:
+    b = int(num_beams)
+    if b < 1:
+        raise ValueError(f"num_beams must be >= 1, got {num_beams!r}")
+    return b
+
+
 def _coerce_mode(mode, return_timestamps) -> str:
     """Validate the long-form algorithm choice."""
     if mode not in ("chunked", "sequential"):
@@ -101,8 +108,8 @@ class _SequentialRunner:
         self._cache: Dict[Any, Any] = {}
         self._lock = threading.Lock()
 
-    def _transcriber(self, language, task, max_new):
-        key = (language, task, max_new)
+    def _transcriber(self, language, task, max_new, num_beams):
+        key = (language, task, max_new, num_beams)
         with self._lock:
             tr = self._cache.get(key)
         if tr is None:
@@ -110,7 +117,8 @@ class _SequentialRunner:
                                                 SequentialTranscriber)
             tr = SequentialTranscriber(
                 self.pipe.params, self.pipe.cfg, self.pipe.tokenizer,
-                SequentialOptions(max_new_tokens=max_new),
+                SequentialOptions(max_new_tokens=max_new,
+                                  num_beams=num_beams),
                 language=language, task=task, batch_size=1,
                 dtype=self.pipe.dtype)
             with self._lock:
@@ -118,7 +126,8 @@ class _SequentialRunner:
         return tr
 
     def run(self, audio, language, task,
-            max_new_tokens: Optional[int] = None) -> Dict[str, Any]:
+            max_new_tokens: Optional[int] = None,
+            num_beams: int = 1) -> Dict[str, Any]:
         import jax.numpy as jnp
         from .audio import compute_mel
 
@@ -132,7 +141,8 @@ class _SequentialRunner:
             max_new = max(1, min(int(max_new_tokens), max_new))
         feat = np.asarray(compute_mel(jnp.asarray(audio), cfg,
                                       pad_to_chunk=False)[0])
-        res = self._transcriber(language, task, max_new).transcribe([feat])[0]
+        res = self._transcriber(language, task, max_new,
+                                num_beams).transcribe([feat])[0]
         return {
             "text": res["text"],
             "language": language,
@@ -155,6 +165,7 @@ class _Request:
     return_timestamps: Any                  # False | True | "word"
     max_new_tokens: Optional[int] = None    # per-request cap (<= server max)
     mode: str = "chunked"                   # long-form algorithm (or "sequential")
+    num_beams: int = 1                      # beam search width (1 = greedy)
     done: threading.Event = field(default_factory=threading.Event)
     result: Optional[Dict[str, Any]] = None
     error: Optional[str] = None
@@ -226,7 +237,7 @@ class BatchingTranscriber:
                task: str = "transcribe", return_timestamps: bool = False,
                timeout: Optional[float] = None,
                max_new_tokens: Optional[int] = None,
-               mode: str = "chunked") -> Dict[str, Any]:
+               mode: str = "chunked", num_beams: int = 1) -> Dict[str, Any]:
         """Blocking transcription of one audio (any load_audio source).
 
         ``max_new_tokens`` caps this request's output (clamped to the server
@@ -237,12 +248,17 @@ class BatchingTranscriber:
         ``mode="sequential"`` runs the timestamp-driven sliding-window
         algorithm with the reference's fallback ladder instead of the
         chunked pipeline (up to 0.5% WER better on long-form,
-        reference README.md:158-171); the result carries ``segments``."""
+        reference README.md:158-171); the result carries ``segments``.
+
+        ``num_beams > 1`` decodes with beam search (short-form groups ride
+        the batched beam program; long-form goes through the pipeline;
+        sequential applies beams at the temperature-0 rung — HF semantics)."""
         from .audio.io import load_audio
         wav = load_audio(audio, self.pipe.cfg.sampling_rate)
         ts = _coerce_timestamps(return_timestamps)
         req = _Request(wav, language or self.default_language, task,
-                       ts, max_new_tokens, mode=_coerce_mode(mode, ts))
+                       ts, max_new_tokens, mode=_coerce_mode(mode, ts),
+                       num_beams=_coerce_beams(num_beams))
         self._enqueue(req)
         if not req.done.wait(timeout):
             req.cancelled = True  # worker skips it; nobody reads the result
@@ -364,7 +380,8 @@ class BatchingTranscriber:
                 self.stats["sequential"] += 1
                 self._run_one_sequential(r)
                 continue
-            if r.return_timestamps == "word" and len(r.audio) <= n_samples:
+            if (r.return_timestamps == "word" and r.num_beams == 1
+                    and len(r.audio) <= n_samples):
                 # single-window word timestamps micro-batch through the
                 # shared alignment-pass program (a burst costs
                 # ceil(K/batch) device calls, not K)
@@ -374,21 +391,30 @@ class BatchingTranscriber:
                     max_new = max(1, min(int(r.max_new_tokens), max_new))
                 wts_groups.setdefault((r.task, max_new), []).append(r)
                 continue
-            if len(r.audio) > n_samples or r.return_timestamps == "word":
+            if (len(r.audio) > n_samples or r.return_timestamps == "word"):
                 # long-form (the chunked pipeline already batches this
-                # file's own windows) and long-form word timestamps take
-                # the whole-pipeline path; rare in interactive serving
+                # file's own windows) and word-ts x beam (the
+                # winning-hypothesis alignment program) take the
+                # whole-pipeline path; rare in interactive serving
                 self.stats["long_form"] += 1
                 if r.return_timestamps == "word":
                     self.stats["word_ts"] += 1
                 self._run_one_pipeline(r)
                 continue
-            groups.setdefault((r.language, r.task, r.return_timestamps),
-                              []).append(r)
+            # beam outputs are not prefix-stable, so a beam request's budget
+            # must be compiled in (grouped by it), not applied by truncation
+            beam_budget = None
+            if r.num_beams > 1:
+                beam_budget = self.max_new_tokens
+                if r.max_new_tokens is not None:
+                    beam_budget = max(1, min(int(r.max_new_tokens),
+                                             beam_budget))
+            groups.setdefault((r.language, r.task, r.return_timestamps,
+                               r.num_beams, beam_budget), []).append(r)
         for (task, max_new), reqs in wts_groups.items():
             self._run_word_ts_group(reqs, task, max_new)
-        for (lang, task, ts), reqs in groups.items():
-            self._run_short_group(reqs, lang, task, ts)
+        for (lang, task, ts, beams, budget), reqs in groups.items():
+            self._run_short_group(reqs, lang, task, ts, beams, budget)
 
     def _run_word_ts_group(self, reqs: List[_Request], task: str,
                            max_new: int) -> None:
@@ -413,7 +439,7 @@ class BatchingTranscriber:
     def _run_one_sequential(self, r: _Request) -> None:
         try:
             r.result = self._sequential.run(r.audio, r.language, r.task,
-                                            r.max_new_tokens)
+                                            r.max_new_tokens, r.num_beams)
         except Exception as e:  # noqa: BLE001
             logger.exception("sequential-path request failed")
             r.error = f"{type(e).__name__}: {e}"
@@ -425,9 +451,11 @@ class BatchingTranscriber:
             max_new = self.max_new_tokens
             if r.max_new_tokens is not None:
                 max_new = max(1, min(int(r.max_new_tokens), max_new))
+            gk = ({"num_beams": r.num_beams} if r.num_beams > 1 else None)
             r.result = self.pipe(r.audio, language=r.language, task=r.task,
                                  return_timestamps=r.return_timestamps,
-                                 max_new_tokens=max_new)
+                                 max_new_tokens=max_new,
+                                 generate_kwargs=gk)
         except Exception as e:  # noqa: BLE001
             logger.exception("pipeline-path request failed")
             r.error = f"{type(e).__name__}: {e}"
@@ -435,7 +463,8 @@ class BatchingTranscriber:
             r.done.set()
 
     def _run_short_group(self, reqs: List[_Request], language, task: str,
-                         return_timestamps: bool) -> None:
+                         return_timestamps: bool, num_beams: int = 1,
+                         beam_budget: Optional[int] = None) -> None:
         """ONE device call for up to batch_size single-window requests."""
         import jax
         import jax.numpy as jnp
@@ -456,7 +485,15 @@ class BatchingTranscriber:
             prompt = tok.prompt_ids(language=language, task=task,
                                     no_timestamps=not return_timestamps)
             prompts = jnp.asarray([prompt] * bsz, jnp.int32)
-            if self.assistant is not None and not return_timestamps:
+            if num_beams > 1:
+                opts = GenerationOptions.from_config(
+                    cfg, max_new_tokens=beam_budget or self.max_new_tokens,
+                    return_timestamps=return_timestamps,
+                    no_speech_token_id=tok.no_speech)
+                fn = pipe._jitted_beam(opts, num_beams, 1.0)
+                out = fn(pipe.params, pipe._put_batch(mels), prompts, 0.0,
+                         jax.random.PRNGKey(0))
+            elif self.assistant is not None and not return_timestamps:
                 # draft-assisted decoding: token-identical to the plain
                 # greedy path (the non-timestamp processor stacks match —
                 # generate._process_scores vs speculative._process), faster
@@ -484,7 +521,9 @@ class BatchingTranscriber:
             self.stats["max_batch"] = max(self.stats["max_batch"], len(reqs))
             for j, r in enumerate(reqs):
                 cut = lens[j]
-                if r.max_new_tokens is not None:
+                if r.max_new_tokens is not None and num_beams == 1:
+                    # greedy prefix property only; beam budgets are
+                    # compiled into the group (beam_budget)
                     cut = min(cut, len(prompt) + max(int(r.max_new_tokens), 0))
                 ids = seqs[j][:cut].tolist()
                 result = {"text": tok.decode(ids, skip_special_tokens=True)}
@@ -583,7 +622,9 @@ def make_http_server(transcriber: BatchingTranscriber, host: str = "0.0.0.0",
                     timeout=float(timeout_s) if timeout_s else None,
                     # long-form algorithm: chunked (default) or sequential
                     # (reference README.md:158-171 — up to 0.5% WER better)
-                    mode=(q.get("mode") or ["chunked"])[0])
+                    mode=(q.get("mode") or ["chunked"])[0],
+                    # beam search width (beams=N; 1 = greedy)
+                    num_beams=int((q.get("beams") or ["1"])[0]))
                 t0 = time.monotonic()
                 if (q.get("stream") or ["0"])[0] in ("1", "true"):
                     # Admission (audio decode, backlog bound, argument

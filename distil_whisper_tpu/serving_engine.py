@@ -332,6 +332,7 @@ class _EngineRequest:
     max_new_tokens: Optional[int]
     done: threading.Event
     mode: str = "chunked"                   # long-form algorithm (or "sequential")
+    num_beams: int = 1                      # beam search width (1 = greedy)
     result: Optional[Dict[str, Any]] = None
     error: Optional[str] = None
     # set by the client thread when it stops waiting (timeout / stream
@@ -405,7 +406,7 @@ class ContinuousTranscriber:
         self._sequential = _SequentialRunner(pipe)
         self.stats = {"requests": 0, "blocks": 0, "admitted": 0,
                       "long_form": 0, "word_ts": 0, "sequential": 0,
-                      "fb_batches": 0, "fb_max_batch": 0,
+                      "fb_batches": 0, "fb_max_batch": 0, "beam": 0,
                       "max_inflight": 0, "rejected": 0, "cancelled": 0,
                       "tokens_out": 0}
 
@@ -438,14 +439,15 @@ class ContinuousTranscriber:
                task: str = "transcribe", return_timestamps: bool = False,
                timeout: Optional[float] = None,
                max_new_tokens: Optional[int] = None,
-               mode: str = "chunked") -> Dict[str, Any]:
+               mode: str = "chunked", num_beams: int = 1) -> Dict[str, Any]:
         from .audio.io import load_audio
         wav = load_audio(audio, self.pipe.cfg.sampling_rate)
-        from .serving import _coerce_mode, _coerce_timestamps
+        from .serving import _coerce_beams, _coerce_mode, _coerce_timestamps
         ts = _coerce_timestamps(return_timestamps)
         req = _EngineRequest(wav, language or self.default_language, task,
                              ts, max_new_tokens, threading.Event(),
-                             mode=_coerce_mode(mode, ts))
+                             mode=_coerce_mode(mode, ts),
+                             num_beams=_coerce_beams(num_beams))
         self._enqueue(req)
         if not req.done.wait(timeout):
             self._cancel(req)
@@ -490,7 +492,7 @@ class ContinuousTranscriber:
                       return_timestamps: bool = False,
                       timeout: Optional[float] = None,
                       max_new_tokens: Optional[int] = None,
-                      mode: str = "chunked"):
+                      mode: str = "chunked", num_beams: int = 1):
         """Streaming transcription: yields ``{"text": ..., "final": False}``
         partials as the lane decodes (once per step-block when the text
         grew), then the full result dict with ``final: True``.
@@ -507,12 +509,13 @@ class ContinuousTranscriber:
         exactly like the blocking path."""
         from .audio.io import load_audio
         wav = load_audio(audio, self.pipe.cfg.sampling_rate)
-        from .serving import _coerce_mode, _coerce_timestamps
+        from .serving import _coerce_beams, _coerce_mode, _coerce_timestamps
         ts = _coerce_timestamps(return_timestamps)
         req = _EngineRequest(wav, language or self.default_language, task,
                              ts, max_new_tokens, threading.Event(),
                              stream=queue.Queue(),
-                             mode=_coerce_mode(mode, ts))
+                             mode=_coerce_mode(mode, ts),
+                             num_beams=_coerce_beams(num_beams))
         self._enqueue(req)
 
         def _gen():
@@ -553,14 +556,16 @@ class ContinuousTranscriber:
             self.stats["requests"] += 1
             try:
                 if (req.return_timestamps == "word"
-                        or req.mode == "sequential"):
+                        or req.mode == "sequential"
+                        or req.num_beams > 1):
                     # word timestamps need the pipeline's cross-attention
                     # alignment pass; sequential long-form is a host-driven
                     # sliding window with a fallback ladder — neither is
                     # expressible as per-lane engine steps, so the fallback
                     # thread serves them and lanes never stall
                     self.stats["word_ts" if req.return_timestamps == "word"
-                               else "sequential"] += 1
+                               else "sequential" if req.mode == "sequential"
+                               else "beam"] += 1
                     self._ensure_fb_worker()
                     self._fb_q.put(req)
                     continue
@@ -797,7 +802,7 @@ class ContinuousTranscriber:
             groups: Dict[Any, List[_EngineRequest]] = {}
             singles: List[_EngineRequest] = []
             for b in batch:
-                if (b.return_timestamps == "word"
+                if (b.return_timestamps == "word" and b.num_beams == 1
                         and len(b.audio) <= self.pipe.cfg.n_samples):
                     max_new = self.max_new_tokens
                     if b.max_new_tokens is not None:
@@ -827,15 +832,19 @@ class ContinuousTranscriber:
         try:
             if r.mode == "sequential":
                 result = self._sequential.run(r.audio, r.language,
-                                              r.task, r.max_new_tokens)
+                                              r.task, r.max_new_tokens,
+                                              r.num_beams)
             else:
                 max_new = self.max_new_tokens
                 if r.max_new_tokens is not None:
                     max_new = max(1, min(int(r.max_new_tokens), max_new))
+                gk = ({"num_beams": r.num_beams} if r.num_beams > 1
+                      else None)
                 result = self.pipe(r.audio, language=r.language,
                                    task=r.task,
                                    return_timestamps=r.return_timestamps,
-                                   max_new_tokens=max_new)
+                                   max_new_tokens=max_new,
+                                   generate_kwargs=gk)
             self._finish_req(r, result)
         except Exception as e:  # noqa: BLE001
             logger.exception("fallback request failed")

@@ -320,6 +320,26 @@ def test_sequential_long_form_over_http(server):
     assert transcriber.stats["sequential"] >= 1
 
 
+def test_beam_search_over_http(server):
+    """beams=N rides the batched beam program on short-form groups —
+    result identical to a direct pipeline call with num_beams."""
+    base, transcriber = server
+    wav = _wav_bytes(freq=318.0)
+    status, out = _post(base + "/v1/transcribe?language=en&beams=2", wav)
+    assert status == 200
+    from distil_whisper_tpu.audio.io import load_audio
+    direct = transcriber.pipe(load_audio(wav, 16000), language="en",
+                              generate_kwargs={"num_beams": 2},
+                              max_new_tokens=6)
+    assert out["text"] == direct["text"]
+    # invalid widths are 400s
+    try:
+        _post(base + "/v1/transcribe?beams=0", wav)
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
 def test_mode_validation_over_http(server):
     """Unknown long-form modes and unsupported combinations are 400s, not
     silent downgrades."""

@@ -544,6 +544,42 @@ def test_engine_sequential_fallback(engine_pipe):
         tr.stop()
 
 
+def test_engine_beam_fallback(engine_pipe):
+    """num_beams > 1 on the continuous scheduler: lanes are greedy-only, so
+    beam requests ride the fallback thread with exact pipeline (batched beam
+    program) semantics, while lane traffic keeps flowing concurrently."""
+    from distil_whisper_tpu.serving_engine import ContinuousTranscriber
+    tr = ContinuousTranscriber(engine_pipe, batch_size=2, block_steps=2,
+                               max_new_tokens=6).start()
+    try:
+        wav_b = _tone(1.0, 318.0, 3)
+        wav_s = _tone(1.0, 440.0, 4)
+        results = {}
+
+        def beam():
+            results["beam"] = tr.submit(wav_b, language="en", num_beams=2,
+                                        timeout=600)
+
+        def short():
+            results["short"] = tr.submit(wav_s, language="en", timeout=600)
+
+        ts = [threading.Thread(target=beam), threading.Thread(target=short)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=900)
+        direct = engine_pipe(wav_b, language="en",
+                             generate_kwargs={"num_beams": 2},
+                             max_new_tokens=6)
+        assert results["beam"]["text"] == direct["text"]
+        assert results["short"]["text"] == _expected_text(
+            engine_pipe, wav_s, "en", False, 6)
+        assert tr.stats["beam"] == 1
+        assert tr.snapshot()["fallback_depth"] == 0
+    finally:
+        tr.stop()
+
+
 def test_engine_word_timestamps_fallback(engine_pipe):
     """return_timestamps="word" on the continuous scheduler: served by the
     fallback thread with exact pipeline semantics, while lane traffic keeps
