@@ -17,10 +17,13 @@ Long files: the microbatch scheduler falls back to the whole-file chunked
 pipeline; the continuous scheduler splits them into strided windows that
 share lanes with short requests (no head-of-line blocking).
 
-Speculative decoding (``--assistant_checkpoint``, microbatch scheduler):
-a distil draft proposes ``--gamma`` tokens per round and the served model
+Speculative decoding (``--assistant_checkpoint``, both schedulers): a
+distil draft proposes ``--gamma`` tokens per round and the served model
 verifies them in one decode — the reference's headline serving speedup
-(README.md:352-432), token-identical outputs.
+(README.md:352-432), token-identical outputs.  On the continuous
+scheduler the accept/verify loop runs PER LANE (each block round advances
+every lane by 1..gamma+1 tokens at its own cursor), composing in-flight
+batching with draft assistance.
 
     python -m distil_whisper_tpu.cli.run_server \
         --model_checkpoint ./distil-large-v3 --port 8000 \
@@ -75,7 +78,8 @@ def build_server(argv=None):
                         "(reference README.md:352-432): the draft proposes "
                         "--gamma tokens, the served model verifies — output "
                         "is token-identical to plain greedy, typically "
-                        "faster.  Microbatch scheduler only; timestamped "
+                        "faster.  On the continuous scheduler the "
+                        "accept/verify loop runs per lane; timestamped "
                         "requests fall back to plain generate")
     p.add_argument("--gamma", type=int, default=5,
                    help="draft tokens per speculative round")
@@ -113,10 +117,6 @@ def build_server(argv=None):
                            params=params, cfg=cfg)
     assistant = None
     if args.assistant_checkpoint:
-        if args.scheduler == "continuous":
-            p.error("--assistant_checkpoint requires --scheduler microbatch "
-                    "(the accept/verify loop decodes whole batches; it is "
-                    "not expressible as per-lane engine steps)")
         from ..parallel import shard_params
         from ..models import param_axes
         draft, draft_cfg = load_params(args.assistant_checkpoint,
@@ -133,7 +133,8 @@ def build_server(argv=None):
             default_language=args.language,
             max_new_tokens=args.max_new_tokens,
             block_steps=args.block_steps,
-            max_queue=args.max_queue).start()
+            max_queue=args.max_queue,
+            assistant=assistant, gamma=args.gamma).start()
     else:
         transcriber = BatchingTranscriber(
             pipe, batch_size=args.batch_size, max_wait_ms=args.max_wait_ms,

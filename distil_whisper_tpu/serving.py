@@ -188,7 +188,8 @@ class BatchingTranscriber:
                  max_wait_ms: float = 50.0, default_language=None,
                  max_new_tokens: Optional[int] = None,
                  max_queue: Optional[int] = None,
-                 assistant=None, gamma: int = 5):
+                 assistant=None, gamma: int = 5,
+                 synthetic_acceptance: Optional[float] = None):
         self.pipe = pipe
         self.batch_size = batch_size or pipe.batch_size
         self.max_wait_s = max_wait_ms / 1e3
@@ -203,6 +204,11 @@ class BatchingTranscriber:
         # loop — those fall back to plain generate).
         self.assistant = assistant
         self.gamma = int(gamma)
+        # BENCHMARK-ONLY (same contract as generation.speculative): pin the
+        # per-draft accept rate with a position-keyed oracle while both
+        # models run their real compute — measures the speculative cost
+        # structure with random weights.  Output tokens are synthetic.
+        self.synthetic_acceptance = synthetic_acceptance
         self._spec_fn = None
         # backlog bound (requests waiting for a worker slot); None -> 8
         # batches deep.  0 is honoured (shed everything — drain mode).
@@ -309,6 +315,7 @@ class BatchingTranscriber:
         opts = GenerationOptions.from_config(
             cfg, max_new_tokens=self.max_new_tokens)
         gamma = self.gamma
+        synth = self.synthetic_acceptance
 
         @jax.jit
         def spec(t_params, d_params, mel, prompt_ids):
@@ -321,7 +328,7 @@ class BatchingTranscriber:
             return speculative_generate_batched(
                 t_params["decoder"], cfg, d_params["decoder"], draft_cfg,
                 t_cross, d_cross, prompt_ids, opts, gamma=gamma,
-                dtype=pipe.dtype)
+                dtype=pipe.dtype, synthetic_acceptance=synth)
 
         self._spec_fn = spec
         return spec

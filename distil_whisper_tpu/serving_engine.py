@@ -33,6 +33,14 @@ pipeline's cross-attention alignment pass, which is not expressible as a
 lane — those requests are served by a dedicated fallback thread (device
 calls interleave with the engine's; lanes never wait host-side).
 
+With an ``assistant`` draft model the lanes run SPECULATIVE decoding
+(reference README.md:352-432): each block round drafts ``gamma`` tokens
+per lane and verifies all of them with one (gamma+1)-wide teacher decode
+at the per-lane cursors — in-flight batching and draft-assisted decoding
+compose, which neither the reference (batch-1 offline speculative) nor the
+whole-batch scheduler (batch-synchronous speculative) offers.  Output
+stays token-identical to the greedy engine.
+
 The reference has no serving layer at all (its user surface stops at
 ``FlaxWhisperPipeline``, /root/reference/training/flax/distil_whisper/
 pipeline.py); in-flight batching is the TPU-native design a serving
@@ -79,7 +87,9 @@ class ContinuousBatchingEngine:
     """
 
     def __init__(self, pipe, lanes: int = 8, block_steps: int = 16,
-                 max_new_tokens: Optional[int] = None):
+                 max_new_tokens: Optional[int] = None,
+                 assistant=None, gamma: int = 5,
+                 synthetic_acceptance: Optional[float] = None):
         import jax.numpy as jnp
         from .generation import GenerationOptions
 
@@ -90,6 +100,19 @@ class ContinuousBatchingEngine:
         self.lanes = lanes
         self.block_steps = block_steps
         self.max_new = int(max_new_tokens or pipe.max_new_tokens)
+        # speculative decoding on the lanes (reference README.md:352-432):
+        # ``assistant`` = (draft_params, draft_cfg).  Each block iteration
+        # becomes a draft-gamma + verify round advancing 1..gamma+1 tokens
+        # per lane; output stays token-identical to the greedy engine.
+        # ``synthetic_acceptance`` (BENCHMARK-ONLY, same contract as
+        # generation.speculative): both models run their full compute but
+        # token CHOICES follow a position-keyed oracle so the per-draft
+        # accept rate is pinned — measures the engine's speculative cost
+        # structure with random weights (zero-egress sandbox).
+        self.assistant = assistant
+        self.gamma = int(gamma)
+        self.spec = assistant is not None
+        self.synthetic_acceptance = synthetic_acceptance
         # longest possible prompt: [sot, lang?, task?, notimestamps]
         langs = sorted(self.tok.lang_to_id) or [None]
         self.p_max = len(self.tok.prompt_ids(
@@ -98,9 +121,14 @@ class ContinuousBatchingEngine:
         assert self.t_store <= self.cfg.max_target_positions, (
             f"p_max({self.p_max}) + max_new({self.max_new}) exceeds "
             f"{self.cfg.max_target_positions}")
-        # +1 scratch slot: frozen lanes keep writing (token, K/V) at their
-        # frozen cursor == their final length, which may equal t_store
-        self.t_buf = self.t_store + 1
+        if self.spec:
+            assert self.t_store <= assistant[1].max_target_positions, (
+                "draft max_target_positions too small for the serve budget")
+        # scratch slack: frozen lanes keep writing (token, K/V) at their
+        # frozen cursor == their final length, which may equal t_store; a
+        # speculative round additionally writes a gamma+1-wide candidate
+        # window at the cursor, so the slack widens to gamma+1
+        self.t_buf = self.t_store + (self.gamma + 1 if self.spec else 1)
         self.opts = GenerationOptions.from_config(
             self.cfg, max_new_tokens=self.max_new, return_timestamps=True,
             no_speech_token_id=self.tok.no_speech)
@@ -129,6 +157,15 @@ class ContinuousBatchingEngine:
             sum_logprobs=jnp.zeros((b,), jnp.float32),
             no_speech_prob=jnp.zeros((b,), jnp.float32),
         )
+        if self.spec:
+            d_cfg = self.assistant[1]
+            self._state.update(
+                d_cache=init_cache(d_cfg, b, dtype=self.dtype,
+                                   max_len=self.t_buf),
+                d_cross=_zero_cross(d_cfg, b, self.dtype),
+                drafted=jnp.zeros((b,), jnp.int32),
+                accepted=jnp.zeros((b,), jnp.int32),
+            )
         return self._state
 
     # ------------------------------------------------------------- step
@@ -139,6 +176,9 @@ class ContinuousBatchingEngine:
         may dispatch the NEXT (state-donating) block before fetching it
         (the depth-2 pipelining in :class:`ContinuousTranscriber`)."""
         if "step" in self._jit_cache:
+            return self._jit_cache["step"]
+        if self.spec:
+            self._jit_cache["step"] = self._build_spec_block()
             return self._jit_cache["step"]
         import jax
         import jax.numpy as jnp
@@ -219,10 +259,188 @@ class ContinuousBatchingEngine:
         self._jit_cache["step"] = jax.jit(block, donate_argnums=(1,))
         return self._jit_cache["step"]
 
+    def _build_spec_block(self):
+        """Speculative step-block: jit (params, d_params, state) ->
+        (state', packed).  Each of the block's rounds runs the draft for
+        ``gamma`` single-token steps, verifies all proposals with ONE
+        (gamma+1)-wide teacher decode at the per-lane cursors, and emits the
+        longest matching prefix plus the teacher's own next token — the
+        standard accept/verify loop of :mod:`...generation.speculative`,
+        lifted to per-lane cursors so lanes accept different counts per
+        round and admission/retirement stay block-granular.  Output tokens
+        are identical to the greedy engine (the teacher's choice at the
+        first mismatch column depends only on accepted-prefix state).
+
+        Timestamp lanes never reach this program (the transcriber routes
+        timestamp requests to the fallback pipeline in speculative mode —
+        the FSM is sequential by construction), so the timestamp rules are
+        compiled out.  ``packed`` gains per-lane cumulative drafted/accepted
+        counters: ``[finished | pos | drafted | accepted | tokens.ravel()]``.
+        """
+        import jax
+        import jax.numpy as jnp
+        from .generation import logits as L
+        from .models.whisper import decode
+
+        cfg, opts = self.cfg, self.opts
+        d_params_cfg = self.assistant[1]
+        gamma = self.gamma
+        # keep tokens-per-block roughly at the greedy block's granularity
+        # (streaming partials and admission latency are per-block)
+        n_rounds = max(1, self.block_steps // (gamma + 1))
+        self.spec_rounds = n_rounds
+        dtype = self.dtype
+        eos = cfg.eos_token_id
+
+        def _proc(scores, gen_idx, prompt_len):
+            scores = L.force_tokens(scores, gen_idx,
+                                    opts.forced_decoder_ids, prompt_len)
+            scores = L.suppress_tokens_at_begin(
+                scores, gen_idx, opts.begin_suppress_tokens)
+            scores = L.suppress_tokens(scores, opts.suppress_tokens)
+            return L.min_new_tokens(scores, gen_idx, opts.min_new_tokens,
+                                    eos)
+
+        synth = self.synthetic_acceptance
+
+        def _oracle(p):
+            # position-keyed pseudo-random token far from eos/specials
+            return (p * jnp.int32(60493) % jnp.int32(997)) % 400 + 10
+
+        def _bias_to(scores, target):
+            # clamp+scale keeps the data dependence on the computed logits
+            # (overriding the choice directly would make both model
+            # forwards dead code and XLA would delete them — the DCE trap
+            # documented in docs/PERFORMANCE.md / generation.speculative)
+            v = scores.shape[-1]
+            iota = jax.lax.broadcasted_iota(jnp.int32, (v,), 0)
+            bias = jnp.where(iota[None, :] == target[:, None], 1e6, 0.0)
+            return jnp.maximum(scores, -1e5) * 1e-9 + bias
+
+        def _agree(tok_pos):
+            # (lane, position)-keyed uniform: lanes must accept/reject
+            # INDEPENDENTLY or the engine never pays realistic per-lane
+            # round counts
+            lane = jax.lax.broadcasted_iota(jnp.uint32, tok_pos.shape, 0)
+            h = (tok_pos.astype(jnp.uint32) * jnp.uint32(2654435761)
+                 + lane * jnp.uint32(97423))
+            u = (h >> jnp.uint32(8)).astype(jnp.float32) / jnp.float32(2**24)
+            return u < synth
+
+        def block(params, d_params, state):
+            dec = params["decoder"]
+            d_dec = d_params["decoder"]
+
+            def one_round(_, s):
+                b = s["pos"].shape[0]
+                frozen = s["finished"]
+                pos, plen = s["pos"], s["prompt_len"]
+                last_tok = jnp.take_along_axis(
+                    s["tokens"], (pos - 1)[:, None], axis=1)[:, 0]
+
+                # ---- draft proposes gamma tokens at its own lane cursors
+                def draft_step(carry, _):
+                    tok, off, dc = carry
+                    lg, dc = decode(d_dec, d_params_cfg, tok[:, None],
+                                    cross=s["d_cross"], cache=dc,
+                                    pos_offset=off, dtype=dtype)
+                    scores = _proc(lg[:, -1].astype(jnp.float32),
+                                   off + 1 - plen, plen)
+                    if synth is not None:
+                        tok_pos = off + 1
+                        target = jnp.where(_agree(tok_pos), _oracle(tok_pos),
+                                           _oracle(tok_pos) + 1)
+                        scores = _bias_to(scores, target)
+                    nxt = jnp.argmax(scores, -1).astype(jnp.int32)
+                    return (nxt, off + 1, dc), nxt
+
+                (_, _, d_cache), drafts = jax.lax.scan(
+                    draft_step, (last_tok, pos - 1, s["d_cache"]), None,
+                    length=gamma)
+                drafts = drafts.T                          # [B, gamma]
+
+                # ---- teacher verifies [last_accepted, d_0..d_{g-1}] at once
+                t_in = jnp.concatenate([last_tok[:, None], drafts], axis=1)
+                t_logits, cache = decode(dec, cfg, t_in, cross=s["cross"],
+                                         cache=s["cache"],
+                                         pos_offset=pos - 1, dtype=dtype)
+                cols, lps = [], []
+                for i in range(gamma + 1):
+                    # column i predicts absolute position pos + i
+                    sc = _proc(t_logits[:, i].astype(jnp.float32),
+                               pos + i - plen, plen)
+                    if synth is not None:
+                        # the teacher always "chooses" its position's oracle
+                        sc = _bias_to(sc, _oracle(pos + i))
+                    ch = jnp.argmax(sc, -1).astype(jnp.int32)
+                    lp = jnp.take_along_axis(jax.nn.log_softmax(sc, -1),
+                                             ch[:, None], axis=-1)[:, 0]
+                    cols.append(ch)
+                    lps.append(lp)
+                t_choice = jnp.stack(cols, axis=1)         # [B, gamma+1]
+                t_logp = jnp.stack(lps, axis=1)            # [B, gamma+1]
+
+                matches = (drafts == t_choice[:, :gamma]).astype(jnp.int32)
+                n = jnp.sum(jnp.cumprod(matches, axis=1), axis=1)   # [B]
+                candidate = jnp.concatenate(
+                    [drafts, t_choice[:, gamma:]], axis=1)
+                idx = jax.lax.broadcasted_iota(
+                    jnp.int32, (b, gamma + 1), 1)
+                accepted_vec = jnp.where(idx == n[:, None], t_choice,
+                                         candidate)
+
+                # eos inside the accepted window ends the lane; budget caps
+                # the emit count (greedy semantics: a lane finishes once it
+                # has emitted ``budget`` tokens)
+                in_window = idx <= n[:, None]
+                is_eos = jnp.logical_and(accepted_vec == eos, in_window)
+                eos_idx = jnp.min(jnp.where(is_eos, idx, gamma + 1), axis=1)
+                n_eff = jnp.minimum(n, eos_idx)
+                gen_idx = pos - plen
+                allowed = jnp.maximum(s["budget"] - gen_idx, 1)
+                emit = jnp.minimum(n_eff + 1, allowed)
+                emit = jnp.where(frozen, 0, emit)
+
+                finished = jnp.logical_or(
+                    frozen,
+                    jnp.logical_or(eos_idx < emit,
+                                   gen_idx + emit >= s["budget"]))
+
+                # frozen lanes write their candidate window at the frozen
+                # cursor (== final length): pure scratch, t_buf slack covers
+                # the full gamma+1 width
+                pad_vec = jnp.where(idx < emit[:, None], accepted_vec,
+                                    cfg.pad_token_id)
+                tokens = jax.vmap(
+                    lambda row, v, p: jax.lax.dynamic_update_slice(
+                        row, v, (p,)))(s["tokens"], pad_vec, pos)
+                sum_logprobs = s["sum_logprobs"] + jnp.sum(
+                    jnp.where(idx < emit[:, None], t_logp, 0.0), axis=1)
+                return dict(
+                    s, tokens=tokens, cache=cache, d_cache=d_cache,
+                    finished=finished, sum_logprobs=sum_logprobs,
+                    pos=pos + emit,
+                    drafted=s["drafted"] + jnp.where(frozen, 0, gamma),
+                    accepted=s["accepted"] + jnp.maximum(emit - 1, 0))
+
+            out = jax.lax.fori_loop(0, n_rounds, one_round, state)
+            packed = jnp.concatenate([out["finished"].astype(jnp.int32),
+                                      out["pos"].astype(jnp.int32),
+                                      out["drafted"], out["accepted"],
+                                      out["tokens"].reshape(-1)])
+            return out, packed
+
+        return jax.jit(block, donate_argnums=(2,))
+
     # ------------------------------------------------------------- admit
     def _admit_fn(self, a: int):
-        """jit (params, state, mels[A], prompts[A,Pmax], plens[A],
-        budgets[A], use_ts[A], lanes[A]) -> state'."""
+        """jit (params, [d_params,] state, mels[A], prompts[A,Pmax],
+        plens[A], budgets[A], use_ts[A], lanes[A]) -> state'.  In
+        speculative mode the draft is admitted alongside the teacher: its
+        cross-KV comes from the SHARED encoder states when widths match
+        (the reference's distil-draft setup) and its cache is prefilled on
+        the same padded prompts — pad-slot K/V beyond each prompt is stale
+        but provably overwritten before the cursor can attend it."""
         key = ("admit", a)
         if key in self._jit_cache:
             return self._jit_cache[key]
@@ -234,9 +452,11 @@ class ContinuousBatchingEngine:
         cfg, dtype = self.cfg, self.dtype
         t_buf, t_store = self.t_buf, self.t_store
         ns_id = self.opts.no_speech_token_id
+        spec = self.spec
+        d_cfg = self.assistant[1] if spec else None
 
-        def admit(params, state, mels, prompts, plens, budgets, use_ts,
-                  lanes):
+        def admit(params, d_params, state, mels, prompts, plens, budgets,
+                  use_ts, lanes):
             enc = encode(params["encoder"], cfg, mels, dtype=dtype)
             cross_new = cross_kv(params["decoder"], cfg, enc)
             cache_new = init_cache(cfg, a, dtype=dtype, max_len=t_buf)
@@ -257,7 +477,7 @@ class ContinuousBatchingEngine:
 
             rows = jnp.full((a, t_buf), cfg.pad_token_id, jnp.int32)
             rows = jax.lax.dynamic_update_slice(rows, prompts, (0, 0))
-            return dict(
+            new = dict(
                 cache=jax.tree.map(scatter_rows, state["cache"], cache_new),
                 cross=jax.tree.map(scatter_rows, state["cross"], cross_new),
                 tokens=state["tokens"].at[lanes].set(rows),
@@ -276,9 +496,35 @@ class ContinuousBatchingEngine:
                 no_speech_prob=state["no_speech_prob"].at[lanes].set(
                     no_speech),
             )
+            if spec:
+                d_enc = (enc if d_cfg.d_model == cfg.d_model
+                         else encode(d_params["encoder"], d_cfg, mels,
+                                     dtype=dtype))
+                d_cross_new = cross_kv(d_params["decoder"], d_cfg, d_enc)
+                d_cache_new = init_cache(d_cfg, a, dtype=dtype,
+                                         max_len=t_buf)
+                _, d_cache_new = decode(d_params["decoder"], d_cfg, prompts,
+                                        cross=d_cross_new, cache=d_cache_new,
+                                        pos_offset=0, dtype=dtype)
+                new.update(
+                    d_cache=jax.tree.map(scatter_rows, state["d_cache"],
+                                         d_cache_new),
+                    d_cross=jax.tree.map(scatter_rows, state["d_cross"],
+                                         d_cross_new),
+                    drafted=state["drafted"].at[lanes].set(0),
+                    accepted=state["accepted"].at[lanes].set(0),
+                )
+            return new
 
-        self._jit_cache[key] = jax.jit(admit, donate_argnums=(1,))
-        return self._jit_cache[key]
+        if spec:
+            fn = jax.jit(admit, donate_argnums=(2,))
+        else:
+            base = jax.jit(
+                lambda params, state, *r: admit(params, None, state, *r),
+                donate_argnums=(1,))
+            fn = base
+        self._jit_cache[key] = fn
+        return fn
 
     # ------------------------------------------------------------ driver
     def step(self):
@@ -286,17 +532,28 @@ class ContinuousBatchingEngine:
         device vector (fetch with :meth:`unpack`); safe to fetch AFTER
         further ``step``/``admit`` dispatches (it aliases no state)."""
         assert self._state is not None, "call init_state() first"
-        self._state, packed = self._step_block()(self.pipe.params,
-                                                 self._state)
+        if self.spec:
+            self._state, packed = self._step_block()(
+                self.pipe.params, self.assistant[0], self._state)
+        else:
+            self._state, packed = self._step_block()(self.pipe.params,
+                                                     self._state)
         return packed
 
     def unpack(self, packed):
         """packed device vector -> (finished [B] bool, pos [B], tokens
-        [B, t_buf]) as numpy (this fetch is the device sync point)."""
+        [B, t_buf], counters) as numpy (this fetch is the device sync
+        point).  ``counters`` is None in greedy mode; in speculative mode
+        it is ``(drafted [B], accepted [B])`` — cumulative since each
+        lane's admission."""
         b = self.lanes
         flat = np.asarray(packed)
+        if self.spec:
+            return (flat[:b].astype(bool), flat[b:2 * b],
+                    flat[4 * b:].reshape(b, self.t_buf),
+                    (flat[2 * b:3 * b], flat[3 * b:4 * b]))
         return (flat[:b].astype(bool), flat[b:2 * b],
-                flat[2 * b:].reshape(b, self.t_buf))
+                flat[2 * b:].reshape(b, self.t_buf), None)
 
     def admit(self, mels, prompts: List[List[int]],
               budgets: List[int], use_ts: List[bool],
@@ -315,12 +572,16 @@ class ContinuousBatchingEngine:
         for i, p in enumerate(prompts):
             prom[i, :len(p)] = p
             plens[i] = len(p)
-        self._state = self._admit_fn(a)(
-            self.pipe.params, self._state,
-            jnp.asarray(mels).astype(self.dtype),
-            jnp.asarray(prom), jnp.asarray(plens),
-            jnp.asarray(budgets, np.int32), jnp.asarray(use_ts, bool),
-            jnp.asarray(lanes, np.int32))
+        rest = (jnp.asarray(mels).astype(self.dtype),
+                jnp.asarray(prom), jnp.asarray(plens),
+                jnp.asarray(budgets, np.int32), jnp.asarray(use_ts, bool),
+                jnp.asarray(lanes, np.int32))
+        if self.spec:
+            self._state = self._admit_fn(a)(
+                self.pipe.params, self.assistant[0], self._state, *rest)
+        else:
+            self._state = self._admit_fn(a)(self.pipe.params, self._state,
+                                            *rest)
 
 
 @dataclass
@@ -374,14 +635,24 @@ class ContinuousTranscriber:
                  max_wait_ms: float = 0.0, default_language=None,
                  max_new_tokens: Optional[int] = None,
                  block_steps: int = 16,
-                 max_queue: Optional[int] = None):
+                 max_queue: Optional[int] = None,
+                 assistant=None, gamma: int = 5,
+                 synthetic_acceptance: Optional[float] = None):
         del max_wait_ms  # admission happens every block; no batching window
         self.pipe = pipe
         self.default_language = default_language
         self.max_new_tokens = int(max_new_tokens or pipe.max_new_tokens)
+        # speculative decoding ON THE LANES (``assistant`` = (draft_params,
+        # draft_cfg)): every block round drafts gamma tokens and verifies
+        # them with one wide teacher decode per lane — in-flight batching
+        # and draft-assisted decoding compose (beyond the reference, whose
+        # speculative path is batch-1 offline).  Timestamp requests fall
+        # back to the pipeline (the FSM is sequential by construction).
         self.engine = ContinuousBatchingEngine(
             pipe, lanes=batch_size or pipe.batch_size,
-            block_steps=block_steps, max_new_tokens=self.max_new_tokens)
+            block_steps=block_steps, max_new_tokens=self.max_new_tokens,
+            assistant=assistant, gamma=gamma,
+            synthetic_acceptance=synthetic_acceptance)
         self.batch_size = self.engine.lanes
         # backlog bound, in 30 s windows waiting for a lane; None -> 8
         # full refills deep.  0 is honoured (shed everything — drain mode).
@@ -409,6 +680,9 @@ class ContinuousTranscriber:
                       "fb_batches": 0, "fb_max_batch": 0, "beam": 0,
                       "max_inflight": 0, "rejected": 0, "cancelled": 0,
                       "tokens_out": 0}
+        if self.engine.spec:
+            self.stats.update({"drafted": 0, "accepted": 0,
+                               "ts_fallback": 0})
 
     # ------------------------------------------------------------- client
     def start(self) -> "ContinuousTranscriber":
@@ -476,7 +750,7 @@ class ContinuousTranscriber:
 
     def snapshot(self) -> Dict[str, Any]:
         """Live observability view (GET /v1/stats)."""
-        return {"scheduler": "continuous",
+        snap = {"scheduler": "continuous",
                 "queue_depth": self._q.qsize(),
                 "ready_depth": self._ready.qsize(),
                 "fallback_depth": self._fb_q.qsize(),
@@ -486,6 +760,13 @@ class ContinuousTranscriber:
                 "lanes": self.engine.lanes,
                 "max_queue": self.max_queue,
                 "stats": dict(self.stats)}
+        if self.engine.spec:
+            snap["speculative"] = {
+                "gamma": self.engine.gamma,
+                "acceptance_rate": round(
+                    self.stats["accepted"] / self.stats["drafted"], 3)
+                if self.stats["drafted"] else None}
+        return snap
 
     def submit_stream(self, audio, language: Optional[str] = None,
                       task: str = "transcribe",
@@ -557,15 +838,18 @@ class ContinuousTranscriber:
             try:
                 if (req.return_timestamps == "word"
                         or req.mode == "sequential"
-                        or req.num_beams > 1):
+                        or req.num_beams > 1
+                        or (self.engine.spec and req.return_timestamps)):
                     # word timestamps need the pipeline's cross-attention
                     # alignment pass; sequential long-form is a host-driven
-                    # sliding window with a fallback ladder — neither is
-                    # expressible as per-lane engine steps, so the fallback
-                    # thread serves them and lanes never stall
+                    # sliding window with a fallback ladder; in speculative
+                    # mode the timestamp FSM can't ride the accept/verify
+                    # lanes either — the fallback thread serves all of
+                    # these and lanes never stall
                     self.stats["word_ts" if req.return_timestamps == "word"
                                else "sequential" if req.mode == "sequential"
-                               else "beam"] += 1
+                               else "beam" if req.num_beams > 1
+                               else "ts_fallback"] += 1
                     self._ensure_fb_worker()
                     self._fb_q.put(req)
                     continue
@@ -700,7 +984,7 @@ class ContinuousTranscriber:
         request completes from a later block)."""
         tok = self.pipe.tokenizer
         packed, snap = block_out
-        finished, pos, tokens = self.engine.unpack(packed)
+        finished, pos, tokens, counters = self.engine.unpack(packed)
         for lane, r in list(self._inflight.items()):
             if snap.get(lane) is not r:
                 continue  # admitted after this block was dispatched
@@ -715,6 +999,9 @@ class ContinuousTranscriber:
             self._inflight.pop(lane)
             self._free.append(lane)
             self.stats["tokens_out"] += max(0, int(pos[lane]) - r._plen)
+            if counters is not None:
+                self.stats["drafted"] += int(counters[0][lane])
+                self.stats["accepted"] += int(counters[1][lane])
             try:
                 if r.parent is not None:
                     self._finish_chunk(r, ids)

@@ -20,6 +20,16 @@ percentiles.  Env knobs:
                     its micro-batching under mixed load
   BENCH_INT8        1 = full int8 serving stack
   BENCH_BLOCK       continuous-engine steps per block (default 16)
+  BENCH_SPEC        1 = speculative serving: a draft model proposes and
+                    the served model verifies (both schedulers; on the
+                    continuous engine the accept/verify loop runs per
+                    lane).  Random weights never agree, so the accept rate
+                    is pinned with the synthetic-acceptance oracle — both
+                    models run their real compute, token choices are
+                    synthetic (same contract as generation.speculative).
+  BENCH_DRAFT       draft preset (default distil-large-v3)
+  BENCH_ACCEPT      pinned per-draft accept rate (default 0.8)
+  BENCH_GAMMA       draft tokens per verify round (default 5)
 
   PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_server.py
 """
@@ -90,6 +100,10 @@ def main():
     int8 = os.environ.get("BENCH_INT8") == "1"
     block = int(os.environ.get("BENCH_BLOCK", "16"))
     which = os.environ.get("BENCH_SCHEDULER", "both")
+    spec = os.environ.get("BENCH_SPEC") == "1"
+    draft_preset = os.environ.get("BENCH_DRAFT", "distil-large-v3")
+    accept = float(os.environ.get("BENCH_ACCEPT", "0.8"))
+    gamma = int(os.environ.get("BENCH_GAMMA", "5"))
 
     cfg = PRESETS[preset].replace(
         fast_bf16_attention=True, use_flash_encoder=True,
@@ -97,6 +111,12 @@ def main():
         quantize_self_kv=int8, quantize_cross_kv=int8,
         quantize_lm_head=int8)
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    assistant = None
+    if spec:
+        d_cfg = PRESETS[draft_preset].replace(
+            fast_bf16_attention=True, use_flash_encoder=True)
+        assistant = (init_params(d_cfg, jax.random.PRNGKey(3),
+                                 dtype=jnp.bfloat16), d_cfg)
 
     # tokenizer: tiny synthetic artifacts (zero-egress) — build in /tmp
     import tests.helpers as H  # noqa: E402  (repo-root PYTHONPATH)
@@ -128,13 +148,19 @@ def main():
                                        default_language="en",
                                        max_new_tokens=max_new,
                                        block_steps=block,
-                                       max_queue=10**9).start()
+                                       max_queue=10**9,
+                                       assistant=assistant, gamma=gamma,
+                                       synthetic_acceptance=(
+                                           accept if spec else None)).start()
         else:
             ts = BatchingTranscriber(pipe, batch_size=batch,
                                      max_wait_ms=100,
                                      default_language="en",
                                      max_new_tokens=max_new,
-                                     max_queue=10**9).start()
+                                     max_queue=10**9,
+                                     assistant=assistant, gamma=gamma,
+                                     synthetic_acceptance=(
+                                         accept if spec else None)).start()
         # warmup: compile (full batch for microbatch; admit buckets + step
         # for continuous)
         warm = [threading.Thread(target=ts.submit, args=(wav,),
@@ -167,6 +193,8 @@ def main():
            "clients": clients, "per_client": per_client,
            "tokens": [tok_min, max_new], "rps_per_client": rps,
            "word_ts_frac": word_ts_frac,
+           **({"speculative": {"draft": draft_preset, "gamma": gamma,
+                               "synthetic_accept": accept}} if spec else {}),
            **results}
     if len(results) == 2:
         out["continuous_vs_microbatch"] = round(

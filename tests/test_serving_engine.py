@@ -544,6 +544,87 @@ def test_engine_sequential_fallback(engine_pipe):
         tr.stop()
 
 
+@pytest.fixture(scope="module")
+def draft_assistant(tmp_path_factory):
+    """Tiny 1-layer draft sharing the teacher's width (so the engine's
+    admission shares encoder states — the distil-draft setup)."""
+    ck = make_tiny_checkpoint(tmp_path_factory.mktemp("draft") / "ck",
+                              decoder_layers=1, seed=7)
+    from distil_whisper_tpu.models import load_params
+    d_params, d_cfg = load_params(ck)
+    return d_params, d_cfg
+
+
+def test_engine_speculative_matches_greedy(engine_pipe, draft_assistant):
+    """Per-lane speculative decoding: engine lanes with a draft assistant
+    emit EXACTLY the greedy path's tokens (acceptance only changes how many
+    verify rounds it takes), under staggered admission and mixed per-lane
+    budgets; timestamp requests ride the fallback pipeline (the FSM cannot
+    ride accept/verify lanes)."""
+    from distil_whisper_tpu.serving_engine import ContinuousTranscriber
+    tr = ContinuousTranscriber(engine_pipe, batch_size=2, block_steps=4,
+                               max_new_tokens=10,
+                               assistant=draft_assistant, gamma=3).start()
+    try:
+        waves = [_tone(1.0, f, i)
+                 for i, f in enumerate((270.0, 340.0, 410.0, 520.0))]
+        budgets = [10, 5, 8, 10]
+        results = {}
+
+        def make(i):
+            def run():
+                results[i] = tr.submit(waves[i], language="en",
+                                       max_new_tokens=budgets[i],
+                                       timeout=600)
+            return run
+
+        threads = [threading.Thread(target=make(i)) for i in range(4)]
+        for i, t in enumerate(threads):
+            t.start()
+            time.sleep(0.3 * i)  # staggered admission mid-decode
+        for t in threads:
+            t.join(timeout=900)
+        for i in range(4):
+            assert results[i]["text"] == _expected_text(
+                engine_pipe, waves[i], "en", False, budgets[i]), i
+        assert tr.stats["drafted"] > 0
+        snap = tr.snapshot()
+        assert snap["speculative"]["gamma"] == 3
+        # timestamp request -> fallback pipeline, exact pipeline semantics
+        res_ts = tr.submit(waves[0], language="en", return_timestamps=True,
+                           timeout=600)
+        direct = engine_pipe(waves[0], language="en",
+                             return_timestamps=True, max_new_tokens=10)
+        assert res_ts["text"] == direct["text"]
+        assert res_ts.get("chunks") == direct.get("chunks")
+        assert tr.stats["ts_fallback"] == 1
+    finally:
+        tr.stop()
+
+
+@pytest.mark.parametrize("accept,expect", [(1.0, 0.5), (0.0, -1.0)])
+def test_engine_synthetic_acceptance_pins_rate(engine_pipe, draft_assistant,
+                                               accept, expect):
+    """BENCHMARK-ONLY oracle mode: with accept=1.0 every draft token is
+    accepted (rate well above random-weight agreement); with accept=0.0
+    none are.  Both models still run their real compute (the bias trick
+    keeps the data dependence — the XLA DCE trap)."""
+    from distil_whisper_tpu.serving_engine import ContinuousTranscriber
+    tr = ContinuousTranscriber(engine_pipe, batch_size=2, block_steps=4,
+                               max_new_tokens=9,
+                               assistant=draft_assistant, gamma=3,
+                               synthetic_acceptance=accept).start()
+    try:
+        tr.submit(_tone(1.0, 290.0, 11), language="en", timeout=600)
+        rate = tr.stats["accepted"] / max(tr.stats["drafted"], 1)
+        if accept == 1.0:
+            assert rate > expect, tr.stats
+        else:
+            assert tr.stats["accepted"] == 0, tr.stats
+    finally:
+        tr.stop()
+
+
 def test_engine_beam_fallback(engine_pipe):
     """num_beams > 1 on the continuous scheduler: lanes are greedy-only, so
     beam requests ride the fallback thread with exact pipeline (batched beam

@@ -111,6 +111,62 @@ def test_timestamped_requests_fall_back_to_plain_generate(spec_server):
     assert spec_tr.stats["speculative_batches"] == before
 
 
+@pytest.fixture(scope="module")
+def spec_engine_server(tmp_path_factory):
+    """The same teacher/draft pair served by the CONTINUOUS scheduler:
+    the accept/verify loop runs per lane inside the engine step-blocks."""
+    root = tmp_path_factory.mktemp("spec_engine")
+    teacher_ck = make_tiny_checkpoint(root / "teacher", decoder_layers=2,
+                                      seed=0)
+    draft_ck = make_tiny_checkpoint(root / "draft", decoder_layers=1, seed=7)
+    from distil_whisper_tpu.cli.run_server import build_server
+    httpd, transcriber = build_server([
+        "--model_checkpoint", teacher_ck,
+        "--assistant_checkpoint", draft_ck, "--gamma", "3",
+        "--host", "127.0.0.1", "--port", "0",
+        "--scheduler", "continuous", "--block_steps", "4",
+        "--batch_size", "2", "--max_new_tokens", "8", "--dtype", "float32",
+        "--language", "en",
+    ])
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    port = httpd.server_address[1]
+    yield f"http://127.0.0.1:{port}", transcriber
+    httpd.shutdown()
+    transcriber.stop()
+
+
+def test_engine_speculative_identity_over_http(spec_engine_server):
+    """Continuous-scheduler speculative lanes == plain greedy over the same
+    pipeline, and /v1/stats carries the live acceptance rate."""
+    from distil_whisper_tpu.serving import BatchingTranscriber
+
+    base, spec_tr = spec_engine_server
+    plain = BatchingTranscriber(spec_tr.pipe, batch_size=2,
+                                default_language="en",
+                                max_new_tokens=8).start()
+    try:
+        for freq in (220.0, 341.0, 452.0):
+            wav = _wav_bytes(freq=freq)
+            status, out = _post(base + "/v1/transcribe?language=en", wav)
+            assert status == 200
+            ref = plain.submit(wav, language="en")
+            assert out["text"] == ref["text"], f"freq={freq}"
+    finally:
+        plain.stop()
+    assert spec_tr.stats["drafted"] > 0
+    with urllib.request.urlopen(base + "/v1/stats", timeout=60) as r:
+        snap = json.loads(r.read())
+    assert snap["speculative"]["gamma"] == 3
+    assert 0.0 <= snap["speculative"]["acceptance_rate"] <= 1.0
+    # segment timestamps fall back to the pipeline (served, not refused)
+    status, out = _post(base + "/v1/transcribe?language=en&timestamps=1",
+                        _wav_bytes(freq=260.0))
+    assert status == 200
+    assert "chunks" in out
+    assert spec_tr.stats["ts_fallback"] >= 1
+
+
 def test_max_tokens_truncation_matches_prefix(spec_server):
     """Per-request max_tokens on the speculative path = truncation of the
     full-budget output (greedy prefix property holds through accept/verify)."""
