@@ -459,13 +459,28 @@ def main():
         except Exception as e:  # noqa: BLE001
             extra["speculative_error"] = str(e)[:200]
 
-    print(json.dumps({
+    result = {
         "metric": "rtfx_distil_large_v3_bs%d_%dtok" % (batch, long_budget),
         "value": round(value, 2),
         "unit": "x_realtime",
         "vs_baseline": round(vs_baseline, 3),
         "extra": extra,
-    }))
+    }
+    print(json.dumps(result))
+    # Whole chips degrade for hours (docs/PERFORMANCE.md "r03 bench
+    # regression diagnosis"); a capture that lands in such a window carries
+    # chip_degraded=true and a depressed absolute RTFx.  Persist every
+    # HEALTHY capture so the latest known-good numbers survive alongside a
+    # later degraded driver capture (BENCH_HEALTHY.json is committed when
+    # it improves).
+    if not extra.get("chip_degraded") and "hf_distil_rtfx" in extra:
+        try:
+            path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH_HEALTHY.json")
+            with open(path, "w") as f:
+                json.dump(result, f, indent=1)
+        except OSError:
+            pass
 
 
 if __name__ == "__main__":
