@@ -86,6 +86,17 @@ def main(argv=None):
                         "tied embedding (validate WER first)")
     p.add_argument("--distributed", action="store_true",
                    help="fail fast unless jax.distributed comes up multi-process (use on pods/orchestrators where auto-detection is unreliable)")
+    p.add_argument("--publish_dir", default=None,
+                   help="mirror artifacts (CSV flushes, final dataset) into "
+                        "this directory as the run progresses — the "
+                        "local/NFS analogue of the reference's incremental "
+                        "Hub pushes (run_pseudo_labelling.py:887-925)")
+    p.add_argument("--push_to_hub", default=None, metavar="REPO_ID",
+                   help="push incremental CSVs + the final labelled dataset "
+                        "to this Hub dataset repo (reference "
+                        "run_pseudo_labelling.py:887-925, 1015-1018; needs "
+                        "network egress)")
+    p.add_argument("--hub_token", default=None)
     p.add_argument("--featurizer_workers", type=int, default=0,
                    help="N subprocess featurizer workers (audio load + 30 s "
                         "packing + int16 conversion escape the GIL; the "
@@ -196,6 +207,16 @@ def main(argv=None):
     csv_f = open(csv_path, "w", newline="")
     csv_w = csv.writer(csv_f)
     csv_w.writerow(["index", "whisper_transcript", "text"])
+
+    # Incremental artifact publishing (reference pushes CSVs to the Hub
+    # every logging_steps and the dataset at the end —
+    # run_pseudo_labelling.py:887-925, 1015-1018).  Each process publishes
+    # only its own suffix-named shard files, so multi-host runs need no
+    # coordination.
+    from ..utils.publish import make_publisher
+    publisher = make_publisher(publish_dir=args.publish_dir,
+                               push_to_hub=args.push_to_hub,
+                               hub_token=args.hub_token)
 
     # Incremental Arrow output: every labelled row goes straight to disk
     # (the reference materialises and save_to_disk's at the end —
@@ -345,6 +366,10 @@ def main(argv=None):
         del mels
         if (step + 1) % args.logging_steps == 0:
             csv_f.flush()
+            if publisher is not None:
+                publisher.publish(out_dir, [csv_path],
+                                  f"PL flush at step {step + 1} "
+                                  f"({audio_seconds / 3600:.2f} audio-h)")
             wall_rate = audio_seconds / max(
                 time.perf_counter() - t_loop, 1e-9)
             logger.info("step %d: %.2f audio-h labelled, %.0f audio-h/h "
@@ -366,6 +391,9 @@ def main(argv=None):
                     "_split": None}, f)
     out_ds.info.write_to_directory(str(ds_dir))
     del out_ds
+    if publisher is not None:
+        publisher.finalize(out_dir, f"PL complete: {n_samples} samples, "
+                                    f"{audio_seconds / 3600:.2f} audio-h")
 
     if args.compute_wer:
         if n_proc > 1:  # sum error counts over the per-host shards
