@@ -25,6 +25,13 @@ scheduler the accept/verify loop runs PER LANE (each block round advances
 every lane by 1..gamma+1 tokens at its own cursor), composing in-flight
 batching with draft assistance.
 
+Sampling (``temperature=T&top_k=K&seed=S`` query params): HF ``do_sample``
+semantics per request.  The microbatch scheduler groups sampled requests
+into shared device calls; the continuous scheduler runs sampled LANES
+in-flight next to greedy ones (per-lane temperature/top-k/PRNG key);
+a speculative engine serves them on its fallback thread (the accept/verify
+contract is argmax agreement).
+
     python -m distil_whisper_tpu.cli.run_server \
         --model_checkpoint ./distil-large-v3 --port 8000 \
         --scheduler continuous \
@@ -83,6 +90,11 @@ def build_server(argv=None):
                         "requests fall back to plain generate")
     p.add_argument("--gamma", type=int, default=5,
                    help="draft tokens per speculative round")
+    p.add_argument("--adaptive_gamma", action="store_true",
+                   help="walk the draft length over {gamma/2, gamma, "
+                        "2*gamma} on the measured per-draft acceptance "
+                        "(continuous scheduler; token-identical at every "
+                        "gamma — a pure throughput knob)")
     p.add_argument("--max_body_mb", type=float, default=100.0,
                    help="reject request bodies larger than this (413)")
     p.add_argument("--max_queue", type=int, default=None,
@@ -134,8 +146,13 @@ def build_server(argv=None):
             max_new_tokens=args.max_new_tokens,
             block_steps=args.block_steps,
             max_queue=args.max_queue,
-            assistant=assistant, gamma=args.gamma).start()
+            assistant=assistant, gamma=args.gamma,
+            adaptive_gamma=args.adaptive_gamma).start()
     else:
+        if args.adaptive_gamma:
+            p.error("--adaptive_gamma requires --scheduler continuous "
+                    "(the microbatch speculative program compiles one "
+                    "static gamma)")
         transcriber = BatchingTranscriber(
             pipe, batch_size=args.batch_size, max_wait_ms=args.max_wait_ms,
             default_language=args.language,

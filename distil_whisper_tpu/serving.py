@@ -74,6 +74,43 @@ def _coerce_beams(num_beams) -> int:
     return b
 
 
+def _coerce_sampling(temperature, top_k, num_beams, mode,
+                     return_timestamps) -> "tuple[float, int]":
+    """Validate per-request sampling knobs (HF ``do_sample`` semantics:
+    temperature-scaled categorical with optional top-k filtering).
+
+    Invalid combinations raise instead of silently downgrading to greedy —
+    the same loud-contract rule the HTTP layer applies to timestamps/mode.
+    Sampling composes with segment timestamps (the FSM constrains the
+    sampled distribution exactly as it constrains argmax) but not with beam
+    search, the sequential ladder (which owns its own fallback
+    temperatures, reference training/run_eval.py:712-718), or the word-
+    alignment pass.
+    """
+    t = float(temperature)
+    k = int(top_k)
+    if t < 0:
+        raise ValueError(f"temperature must be >= 0, got {temperature!r}")
+    if k < 0:
+        raise ValueError(f"top_k must be >= 0, got {top_k!r}")
+    if t == 0 and k > 0:
+        raise ValueError("top_k requires temperature > 0 (temperature 0 is "
+                         "greedy decoding; top-k would be a silent no-op)")
+    if t > 0:
+        if num_beams > 1:
+            raise ValueError("sampling (temperature > 0) cannot be combined "
+                             "with beam search")
+        if mode == "sequential":
+            raise ValueError("mode=sequential owns its own temperature-"
+                             "fallback ladder; per-request sampling applies "
+                             "to short-form requests")
+        if return_timestamps == "word":
+            raise ValueError("timestamps=word requires greedy/beam decoding "
+                             "(the alignment pass follows the winning "
+                             "hypothesis)")
+    return t, k
+
+
 def _coerce_mode(mode, return_timestamps) -> str:
     """Validate the long-form algorithm choice."""
     if mode not in ("chunked", "sequential"):
@@ -166,6 +203,9 @@ class _Request:
     max_new_tokens: Optional[int] = None    # per-request cap (<= server max)
     mode: str = "chunked"                   # long-form algorithm (or "sequential")
     num_beams: int = 1                      # beam search width (1 = greedy)
+    temperature: float = 0.0                # 0 = greedy; >0 = sampling
+    top_k: int = 0                          # 0 = full vocab (sampling only)
+    seed: Optional[int] = None              # PRNG seed (sampling only)
     done: threading.Event = field(default_factory=threading.Event)
     result: Optional[Dict[str, Any]] = None
     error: Optional[str] = None
@@ -220,7 +260,10 @@ class BatchingTranscriber:
         self.stats = {"requests": 0, "batches": 0, "max_batch": 0,
                       "long_form": 0, "word_ts": 0, "word_ts_batches": 0,
                       "word_ts_max_batch": 0, "sequential": 0,
-                      "rejected": 0, "cancelled": 0}
+                      "rejected": 0, "cancelled": 0, "sampled": 0}
+        # server-derived seeds for sampled requests that don't pin their own
+        self._sample_counter = 0
+        self._sample_lock = threading.Lock()
         if assistant is not None:
             self.stats.update({"speculative_batches": 0, "drafted": 0,
                                "accepted": 0})
@@ -243,7 +286,9 @@ class BatchingTranscriber:
                task: str = "transcribe", return_timestamps: bool = False,
                timeout: Optional[float] = None,
                max_new_tokens: Optional[int] = None,
-               mode: str = "chunked", num_beams: int = 1) -> Dict[str, Any]:
+               mode: str = "chunked", num_beams: int = 1,
+               temperature: float = 0.0, top_k: int = 0,
+               seed: Optional[int] = None) -> Dict[str, Any]:
         """Blocking transcription of one audio (any load_audio source).
 
         ``max_new_tokens`` caps this request's output (clamped to the server
@@ -262,9 +307,17 @@ class BatchingTranscriber:
         from .audio.io import load_audio
         wav = load_audio(audio, self.pipe.cfg.sampling_rate)
         ts = _coerce_timestamps(return_timestamps)
+        beams = _coerce_beams(num_beams)
+        md = _coerce_mode(mode, ts)
+        temp, k = _coerce_sampling(temperature, top_k, beams, md, ts)
+        if temp > 0 and len(wav) > self.pipe.cfg.n_samples:
+            raise ValueError("sampling (temperature > 0) applies to single-"
+                             "window (<=30 s) requests; long-form decoding "
+                             "is greedy/beam per the reference protocol")
         req = _Request(wav, language or self.default_language, task,
-                       ts, max_new_tokens, mode=_coerce_mode(mode, ts),
-                       num_beams=_coerce_beams(num_beams))
+                       ts, max_new_tokens, mode=md, num_beams=beams,
+                       temperature=temp, top_k=k,
+                       seed=None if seed is None else int(seed))
         self._enqueue(req)
         if not req.done.wait(timeout):
             req.cancelled = True  # worker skips it; nobody reads the result
@@ -416,12 +469,23 @@ class BatchingTranscriber:
                 if r.max_new_tokens is not None:
                     beam_budget = max(1, min(int(r.max_new_tokens),
                                              beam_budget))
+            # sampled requests group by their exact sampling config: top_k
+            # is compiled in (static in GenerationOptions), temperature is a
+            # batch-wide operand, and the rng key is shared by the group —
+            # one device call per distinct (temp, k, seed) burst.  Sampled
+            # sequences ARE prefix-stable (the per-step rng chain depends
+            # only on the step index), so per-request budgets truncate like
+            # greedy.
+            sample_key = ((round(r.temperature, 6), r.top_k, r.seed)
+                          if r.temperature > 0 else None)
             groups.setdefault((r.language, r.task, r.return_timestamps,
-                               r.num_beams, beam_budget), []).append(r)
+                               r.num_beams, beam_budget, sample_key),
+                              []).append(r)
         for (task, max_new), reqs in wts_groups.items():
             self._run_word_ts_group(reqs, task, max_new)
-        for (lang, task, ts, beams, budget), reqs in groups.items():
-            self._run_short_group(reqs, lang, task, ts, beams, budget)
+        for (lang, task, ts, beams, budget, sample), reqs in groups.items():
+            self._run_short_group(reqs, lang, task, ts, beams, budget,
+                                  sample)
 
     def _run_word_ts_group(self, reqs: List[_Request], task: str,
                            max_new: int) -> None:
@@ -471,7 +535,8 @@ class BatchingTranscriber:
 
     def _run_short_group(self, reqs: List[_Request], language, task: str,
                          return_timestamps: bool, num_beams: int = 1,
-                         beam_budget: Optional[int] = None) -> None:
+                         beam_budget: Optional[int] = None,
+                         sample=None) -> None:
         """ONE device call for up to batch_size single-window requests."""
         import jax
         import jax.numpy as jnp
@@ -500,6 +565,21 @@ class BatchingTranscriber:
                 fn = pipe._jitted_beam(opts, num_beams, 1.0)
                 out = fn(pipe.params, pipe._put_batch(mels), prompts, 0.0,
                          jax.random.PRNGKey(0))
+            elif sample is not None:
+                temp, top_k, seed = sample
+                opts = GenerationOptions.from_config(
+                    cfg, max_new_tokens=self.max_new_tokens,
+                    return_timestamps=return_timestamps,
+                    no_speech_token_id=tok.no_speech,
+                    do_sample=True, top_k=top_k)
+                fn = pipe._jitted_generate(opts, len(prompt))
+                if seed is None:
+                    with self._sample_lock:
+                        seed = self._sample_counter
+                        self._sample_counter += 1
+                out = fn(pipe.params, pipe._put_batch(mels), prompts,
+                         float(temp), jax.random.PRNGKey(seed))
+                self.stats["sampled"] += len(reqs)
             elif self.assistant is not None and not return_timestamps:
                 # draft-assisted decoding: token-identical to the plain
                 # greedy path (the non-timestamp processor stacks match —
@@ -554,6 +634,9 @@ def make_http_server(transcriber: BatchingTranscriber, host: str = "0.0.0.0",
     """ThreadingHTTPServer: POST /v1/transcribe (WAV body; query params
     ``language``, ``task``, ``timestamps=1`` (or ``word``),
     ``mode=sequential`` — long-form sliding-window algorithm,
+    ``beams=N`` — beam search, ``temperature=T``/``top_k=K``/``seed=S`` —
+    sampling (temperature 0 = greedy; continuous scheduler serves sampled
+    lanes in-flight next to greedy ones),
     ``max_tokens=N``, ``timeout_s=S`` — server-side deadline),
     GET /healthz, and
     GET /v1/stats (live queue/lane/counters snapshot).  Works over any
@@ -631,7 +714,15 @@ def make_http_server(transcriber: BatchingTranscriber, host: str = "0.0.0.0",
                     # (reference README.md:158-171 — up to 0.5% WER better)
                     mode=(q.get("mode") or ["chunked"])[0],
                     # beam search width (beams=N; 1 = greedy)
-                    num_beams=int((q.get("beams") or ["1"])[0]))
+                    num_beams=int((q.get("beams") or ["1"])[0]),
+                    # sampling: temperature > 0 switches the short-form
+                    # decode to temperature-scaled categorical sampling;
+                    # top_k filters to the k most likely tokens; seed pins
+                    # the PRNG stream for reproducible output
+                    temperature=float((q.get("temperature") or ["0"])[0]),
+                    top_k=int((q.get("top_k") or ["0"])[0]),
+                    seed=(int((q.get("seed") or [None])[0])
+                          if q.get("seed") else None))
                 t0 = time.monotonic()
                 if (q.get("stream") or ["0"])[0] in ("1", "true"):
                     # Admission (audio decode, backlog bound, argument

@@ -22,13 +22,15 @@ decoding continuously and swaps completed requests out / queued requests in
   round-trip of the remote-TPU tunnel hides behind device compute.
 
 Per-lane options: language / task (prompt content), ``return_timestamps``
-(per-lane FSM gate), and ``max_new_tokens`` (per-lane budget) — one engine
-serves mixed traffic.  Long files (>30 s) are split into the pipeline's
-strided windows and the windows ride lanes like any short request (chunked
-long-form is independent across windows) — a long file transcribes in
-parallel and never stalls concurrent short requests.  Greedy decode only
-(temperature 0, the serving default); sampling callers use the whole-batch
-path.  Word-level timestamps (``return_timestamps="word"``) need the
+(per-lane FSM gate), ``max_new_tokens`` (per-lane budget), and sampling —
+per-lane ``temperature`` / ``top_k`` / PRNG key (temperature 0 = greedy,
+the default; the host dispatches a separate compiled sampling step-block
+only while a sampled lane is resident, so greedy-only traffic runs the
+unchanged greedy program) — one engine serves mixed traffic.  Long files (>30 s) are
+split into the pipeline's strided windows and the windows ride lanes like
+any short request (chunked long-form is independent across windows) — a
+long file transcribes in parallel and never stalls concurrent short
+requests.  Word-level timestamps (``return_timestamps="word"``) need the
 pipeline's cross-attention alignment pass, which is not expressible as a
 lane — those requests are served by a dedicated fallback thread (device
 calls interleave with the engine's; lanes never wait host-side).
@@ -89,7 +91,8 @@ class ContinuousBatchingEngine:
     def __init__(self, pipe, lanes: int = 8, block_steps: int = 16,
                  max_new_tokens: Optional[int] = None,
                  assistant=None, gamma: int = 5,
-                 synthetic_acceptance: Optional[float] = None):
+                 synthetic_acceptance: Optional[float] = None,
+                 top_k_max: int = 64):
         import jax.numpy as jnp
         from .generation import GenerationOptions
 
@@ -124,14 +127,25 @@ class ContinuousBatchingEngine:
         if self.spec:
             assert self.t_store <= assistant[1].max_target_positions, (
                 "draft max_target_positions too small for the serve budget")
+        # adaptive-gamma headroom: the step program is compiled per gamma
+        # (the transcriber's controller may dispatch a longer/shorter draft
+        # length as the measured acceptance moves); buffers are sized once
+        # for the largest
+        self.gamma_max = 2 * self.gamma if self.spec else 0
         # scratch slack: frozen lanes keep writing (token, K/V) at their
         # frozen cursor == their final length, which may equal t_store; a
         # speculative round additionally writes a gamma+1-wide candidate
-        # window at the cursor, so the slack widens to gamma+1
-        self.t_buf = self.t_store + (self.gamma + 1 if self.spec else 1)
+        # window at the cursor, so the slack widens to gamma_max+1
+        self.t_buf = self.t_store + (self.gamma_max + 1 if self.spec else 1)
         self.opts = GenerationOptions.from_config(
             self.cfg, max_new_tokens=self.max_new, return_timestamps=True,
             no_speech_token_id=self.tok.no_speech)
+        # per-lane sampling (greedy engine only — the speculative verify
+        # contract is argmax agreement): lanes carry their own temperature /
+        # top-k / PRNG key.  ``top_k_max`` is the compiled-in top-k width
+        # (one static lax.top_k; each lane masks below ITS OWN kth value) —
+        # requests asking for a larger k are rejected at submission.
+        self.k_max = int(top_k_max)
         self._jit_cache: Dict[Any, Any] = {}
         self._state = None
         self._jnp = jnp
@@ -166,20 +180,37 @@ class ContinuousBatchingEngine:
                 drafted=jnp.zeros((b,), jnp.int32),
                 accepted=jnp.zeros((b,), jnp.int32),
             )
+        else:
+            # per-lane sampling state (greedy engine only; sampled requests
+            # under a speculative engine ride the fallback thread)
+            self._state.update(
+                temp=jnp.zeros((b,), jnp.float32),
+                topk=jnp.zeros((b,), jnp.int32),
+                rng=jnp.zeros((b, 2), jnp.uint32),
+            )
         return self._state
 
     # ------------------------------------------------------------- step
-    def _step_block(self):
+    def _step_block(self, sampling: bool = False):
         """jit (params, state) -> (state', packed) where ``packed`` is ONE
         fresh int32 vector ``[finished | pos | tokens.ravel()]`` — a
         concatenate output can never alias the state buffers, so the host
         may dispatch the NEXT (state-donating) block before fetching it
-        (the depth-2 pipelining in :class:`ContinuousTranscriber`)."""
-        if "step" in self._jit_cache:
-            return self._jit_cache["step"]
+        (the depth-2 pipelining in :class:`ContinuousTranscriber`).
+
+        Two compiled variants: the default greedy block (argmax select —
+        byte-identical to the engine before sampling existed), and a
+        ``sampling`` block whose select is per-lane temperature/top-k
+        categorical where ``temp > 0`` and argmax elsewhere.  The host
+        dispatches the sampling variant only while a sampled lane is
+        resident — greedy traffic never pays for the sampling machinery
+        (a lax.cond inside the token loop measured ~7% once before; a
+        host-side program switch costs nothing)."""
+        key = ("step", sampling)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
         if self.spec:
-            self._jit_cache["step"] = self._build_spec_block()
-            return self._jit_cache["step"]
+            return self._spec_block(self.gamma)
         import jax
         import jax.numpy as jnp
         from .generation import logits as L
@@ -188,6 +219,7 @@ class ContinuousBatchingEngine:
         cfg, opts = self.cfg, self.opts
         n_steps = self.block_steps
         dtype = self.dtype
+        k_max = self.k_max
 
         def block(params, state):
             dec_params = params["decoder"]
@@ -210,6 +242,24 @@ class ContinuousBatchingEngine:
                 scores = jnp.where(s["use_ts"][:, None], ts_scores, scores)
 
                 nxt = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+                if sampling:
+                    # per-lane temperature sampling with per-lane top-k:
+                    # ONE static lax.top_k(k_max); each lane masks below its
+                    # own kth value (topk == 0 -> full vocab).  Per-lane
+                    # PRNG: the lane's admission key folded with its decode
+                    # position — deterministic per (key, position), never
+                    # reused (pos strictly advances per lane).
+                    t = jnp.maximum(s["temp"], 1e-6)[:, None]
+                    sc = scores / t
+                    vals = jax.lax.top_k(sc, k_max)[0]
+                    idx = jnp.clip(s["topk"] - 1, 0, k_max - 1)
+                    kth = jnp.take_along_axis(vals, idx[:, None], axis=1)
+                    sc = jnp.where((s["topk"] > 0)[:, None] & (sc < kth),
+                                   L.NEG_INF, sc)
+                    keys = jax.vmap(jax.random.fold_in)(s["rng"], gen_idx)
+                    drawn = jax.vmap(jax.random.categorical)(keys, sc)
+                    nxt = jnp.where(s["temp"] > 0,
+                                    drawn.astype(jnp.int32), nxt)
                 logp = jax.nn.log_softmax(scores, axis=-1)
                 tok_logp = jnp.take_along_axis(logp, nxt[:, None],
                                                axis=-1)[:, 0]
@@ -256,10 +306,21 @@ class ContinuousBatchingEngine:
                                       out["tokens"].reshape(-1)])
             return out, packed
 
-        self._jit_cache["step"] = jax.jit(block, donate_argnums=(1,))
-        return self._jit_cache["step"]
+        self._jit_cache[key] = jax.jit(block, donate_argnums=(1,))
+        return self._jit_cache[key]
 
-    def _build_spec_block(self):
+    def _spec_block(self, gamma: int):
+        """Compiled speculative block for one draft length (cached per
+        gamma; the adaptive controller dispatches different lengths as the
+        measured acceptance moves — buffers are sized for gamma_max)."""
+        g = int(gamma)
+        assert 1 <= g <= self.gamma_max, (g, self.gamma_max)
+        key = ("step_spec", g)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = self._build_spec_block(g)
+        return self._jit_cache[key]
+
+    def _build_spec_block(self, gamma: int):
         """Speculative step-block: jit (params, d_params, state) ->
         (state', packed).  Each of the block's rounds runs the draft for
         ``gamma`` single-token steps, verifies all proposals with ONE
@@ -269,7 +330,9 @@ class ContinuousBatchingEngine:
         lifted to per-lane cursors so lanes accept different counts per
         round and admission/retirement stay block-granular.  Output tokens
         are identical to the greedy engine (the teacher's choice at the
-        first mismatch column depends only on accepted-prefix state).
+        first mismatch column depends only on accepted-prefix state) — for
+        EVERY gamma, which is what makes runtime gamma switching free of
+        correctness risk.
 
         Timestamp lanes never reach this program (the transcriber routes
         timestamp requests to the fallback pipeline in speculative mode —
@@ -284,11 +347,10 @@ class ContinuousBatchingEngine:
 
         cfg, opts = self.cfg, self.opts
         d_params_cfg = self.assistant[1]
-        gamma = self.gamma
+        gamma = int(gamma)
         # keep tokens-per-block roughly at the greedy block's granularity
         # (streaming partials and admission latency are per-block)
         n_rounds = max(1, self.block_steps // (gamma + 1))
-        self.spec_rounds = n_rounds
         dtype = self.dtype
         eos = cfg.eos_token_id
 
@@ -456,7 +518,7 @@ class ContinuousBatchingEngine:
         d_cfg = self.assistant[1] if spec else None
 
         def admit(params, d_params, state, mels, prompts, plens, budgets,
-                  use_ts, lanes):
+                  use_ts, lanes, temps=None, topks=None, keys=None):
             enc = encode(params["encoder"], cfg, mels, dtype=dtype)
             cross_new = cross_kv(params["decoder"], cfg, enc)
             cache_new = init_cache(cfg, a, dtype=dtype, max_len=t_buf)
@@ -496,6 +558,12 @@ class ContinuousBatchingEngine:
                 no_speech_prob=state["no_speech_prob"].at[lanes].set(
                     no_speech),
             )
+            if not spec:
+                new.update(
+                    temp=state["temp"].at[lanes].set(temps),
+                    topk=state["topk"].at[lanes].set(topks),
+                    rng=state["rng"].at[lanes].set(keys),
+                )
             if spec:
                 d_enc = (enc if d_cfg.d_model == cfg.d_model
                          else encode(d_params["encoder"], d_cfg, mels,
@@ -527,17 +595,20 @@ class ContinuousBatchingEngine:
         return fn
 
     # ------------------------------------------------------------ driver
-    def step(self):
-        """Dispatch one compiled block.  Returns the packed small-output
-        device vector (fetch with :meth:`unpack`); safe to fetch AFTER
-        further ``step``/``admit`` dispatches (it aliases no state)."""
+    def step(self, sampling: bool = False, gamma: Optional[int] = None):
+        """Dispatch one compiled block (the ``sampling`` variant while a
+        sampled lane is resident — see :meth:`_step_block`; on a
+        speculative engine ``gamma`` selects the draft length for THIS
+        block, <= gamma_max).  Returns the packed small-output device
+        vector (fetch with :meth:`unpack`); safe to fetch AFTER further
+        ``step``/``admit`` dispatches (it aliases no state)."""
         assert self._state is not None, "call init_state() first"
         if self.spec:
-            self._state, packed = self._step_block()(
+            self._state, packed = self._spec_block(gamma or self.gamma)(
                 self.pipe.params, self.assistant[0], self._state)
         else:
-            self._state, packed = self._step_block()(self.pipe.params,
-                                                     self._state)
+            self._state, packed = self._step_block(sampling)(
+                self.pipe.params, self._state)
         return packed
 
     def unpack(self, packed):
@@ -557,12 +628,17 @@ class ContinuousBatchingEngine:
 
     def admit(self, mels, prompts: List[List[int]],
               budgets: List[int], use_ts: List[bool],
-              lanes: List[int]) -> None:
+              lanes: List[int], temps: Optional[List[float]] = None,
+              top_ks: Optional[List[int]] = None,
+              seeds: Optional[List[int]] = None) -> None:
         """Admit ``len(lanes)`` requests (30 s mel windows + prompts) into
         the given free lanes.  One compiled program per admission size —
         callers should bucket sizes.  ``mels`` may live on device already
         (keep them there: fetching mels to host costs ~2 MB/window of
-        tunnel traffic)."""
+        tunnel traffic).
+
+        ``temps``/``top_ks``/``seeds`` set per-lane sampling (greedy engine
+        only; temperature 0 = greedy — the default)."""
         import jax.numpy as jnp
         a = len(lanes)
         assert a == len(prompts) == len(budgets) == len(use_ts) == len(mels)
@@ -577,11 +653,24 @@ class ContinuousBatchingEngine:
                 jnp.asarray(budgets, np.int32), jnp.asarray(use_ts, bool),
                 jnp.asarray(lanes, np.int32))
         if self.spec:
+            assert not (temps and any(t > 0 for t in temps)), \
+                "sampling lanes are fallback-routed under a speculative engine"
             self._state = self._admit_fn(a)(
                 self.pipe.params, self.assistant[0], self._state, *rest)
         else:
-            self._state = self._admit_fn(a)(self.pipe.params, self._state,
-                                            *rest)
+            temps = temps or [0.0] * a
+            top_ks = top_ks or [0] * a
+            # raw threefry key data: [hi32, lo32] of the seed (a stable
+            # per-request stream; host-constructed so admission never pays
+            # a device round-trip for PRNGKey)
+            keys = np.zeros((a, 2), np.uint32)
+            for i, sd in enumerate(seeds or [0] * a):
+                keys[i, 0] = (int(sd) >> 32) & 0xFFFFFFFF
+                keys[i, 1] = int(sd) & 0xFFFFFFFF
+            self._state = self._admit_fn(a)(
+                self.pipe.params, self._state, *rest,
+                jnp.asarray(temps, jnp.float32),
+                jnp.asarray(top_ks, jnp.int32), jnp.asarray(keys))
 
 
 @dataclass
@@ -594,6 +683,9 @@ class _EngineRequest:
     done: threading.Event
     mode: str = "chunked"                   # long-form algorithm (or "sequential")
     num_beams: int = 1                      # beam search width (1 = greedy)
+    temperature: float = 0.0                # 0 = greedy; >0 = sampling
+    top_k: int = 0                          # 0 = full vocab (sampling only)
+    seed: Optional[int] = None              # PRNG seed (sampling only)
     result: Optional[Dict[str, Any]] = None
     error: Optional[str] = None
     # set by the client thread when it stops waiting (timeout / stream
@@ -637,7 +729,8 @@ class ContinuousTranscriber:
                  block_steps: int = 16,
                  max_queue: Optional[int] = None,
                  assistant=None, gamma: int = 5,
-                 synthetic_acceptance: Optional[float] = None):
+                 synthetic_acceptance: Optional[float] = None,
+                 adaptive_gamma: bool = False):
         del max_wait_ms  # admission happens every block; no batching window
         self.pipe = pipe
         self.default_language = default_language
@@ -682,7 +775,31 @@ class ContinuousTranscriber:
                       "tokens_out": 0}
         if self.engine.spec:
             self.stats.update({"drafted": 0, "accepted": 0,
-                               "ts_fallback": 0})
+                               "ts_fallback": 0, "sampled_fallback": 0})
+            # adaptive draft length: the controller walks a small ladder of
+            # compiled gammas on the measured per-draft acceptance (the
+            # reference's gamma is a fixed flag; acceptance varies per
+            # domain/speaker, and the optimal draft length with it)
+            self.adaptive_gamma = bool(adaptive_gamma)
+            g0 = self.engine.gamma
+            self._gamma_levels = sorted({max(1, g0 // 2), g0,
+                                         min(self.engine.gamma_max, 2 * g0)})
+            self._gamma_idx = self._gamma_levels.index(g0)
+            self._ctrl_d = 0
+            self._ctrl_a = 0
+            self._lane_ctr: Dict[int, tuple] = {}
+            self.stats.update({"gamma_current": g0, "gamma_raises": 0,
+                               "gamma_drops": 0})
+        else:
+            self.adaptive_gamma = False
+            self.stats["sampled"] = 0
+        # server-derived seeds for sampled requests that don't pin their own
+        self._sample_counter = 0
+        self._sample_lock = threading.Lock()
+        # sampled lanes currently resident (worker-thread-owned): while > 0
+        # the engine dispatches its sampling step-block variant; greedy-only
+        # traffic runs the unchanged greedy program
+        self._sampled_inflight = 0
 
     # ------------------------------------------------------------- client
     def start(self) -> "ContinuousTranscriber":
@@ -713,15 +830,12 @@ class ContinuousTranscriber:
                task: str = "transcribe", return_timestamps: bool = False,
                timeout: Optional[float] = None,
                max_new_tokens: Optional[int] = None,
-               mode: str = "chunked", num_beams: int = 1) -> Dict[str, Any]:
-        from .audio.io import load_audio
-        wav = load_audio(audio, self.pipe.cfg.sampling_rate)
-        from .serving import _coerce_beams, _coerce_mode, _coerce_timestamps
-        ts = _coerce_timestamps(return_timestamps)
-        req = _EngineRequest(wav, language or self.default_language, task,
-                             ts, max_new_tokens, threading.Event(),
-                             mode=_coerce_mode(mode, ts),
-                             num_beams=_coerce_beams(num_beams))
+               mode: str = "chunked", num_beams: int = 1,
+               temperature: float = 0.0, top_k: int = 0,
+               seed: Optional[int] = None) -> Dict[str, Any]:
+        req = self._make_request(audio, language, task, return_timestamps,
+                                 max_new_tokens, mode, num_beams,
+                                 temperature, top_k, seed)
         self._enqueue(req)
         if not req.done.wait(timeout):
             self._cancel(req)
@@ -729,6 +843,35 @@ class ContinuousTranscriber:
         if req.error is not None:
             raise RuntimeError(req.error)
         return req.result
+
+    def _make_request(self, audio, language, task, return_timestamps,
+                      max_new_tokens, mode, num_beams, temperature, top_k,
+                      seed, stream=None) -> _EngineRequest:
+        """Shared admission-time validation for both waiting styles."""
+        from .audio.io import load_audio
+        wav = load_audio(audio, self.pipe.cfg.sampling_rate)
+        from .serving import (_coerce_beams, _coerce_mode, _coerce_sampling,
+                              _coerce_timestamps)
+        ts = _coerce_timestamps(return_timestamps)
+        beams = _coerce_beams(num_beams)
+        md = _coerce_mode(mode, ts)
+        temp, k = _coerce_sampling(temperature, top_k, beams, md, ts)
+        if temp > 0:
+            if len(wav) > self.pipe.cfg.n_samples:
+                raise ValueError(
+                    "sampling (temperature > 0) applies to single-window "
+                    "(<=30 s) requests; long-form decoding is greedy/beam "
+                    "per the reference protocol")
+            if k > self.engine.k_max:
+                raise ValueError(
+                    f"top_k={k} exceeds this server's compiled-in maximum "
+                    f"{self.engine.k_max} (engine top_k_max)")
+        return _EngineRequest(wav, language or self.default_language, task,
+                              ts, max_new_tokens, threading.Event(),
+                              mode=md, num_beams=beams, temperature=temp,
+                              top_k=k,
+                              seed=None if seed is None else int(seed),
+                              stream=stream)
 
     def _enqueue(self, req: _EngineRequest) -> None:
         # backlog = raw queue + featurised-but-unadmitted windows + split
@@ -763,6 +906,8 @@ class ContinuousTranscriber:
         if self.engine.spec:
             snap["speculative"] = {
                 "gamma": self.engine.gamma,
+                "gamma_current": self.stats["gamma_current"],
+                "adaptive": self.adaptive_gamma,
                 "acceptance_rate": round(
                     self.stats["accepted"] / self.stats["drafted"], 3)
                 if self.stats["drafted"] else None}
@@ -773,7 +918,9 @@ class ContinuousTranscriber:
                       return_timestamps: bool = False,
                       timeout: Optional[float] = None,
                       max_new_tokens: Optional[int] = None,
-                      mode: str = "chunked", num_beams: int = 1):
+                      mode: str = "chunked", num_beams: int = 1,
+                      temperature: float = 0.0, top_k: int = 0,
+                      seed: Optional[int] = None):
         """Streaming transcription: yields ``{"text": ..., "final": False}``
         partials as the lane decodes (once per step-block when the text
         grew), then the full result dict with ``final: True``.
@@ -788,15 +935,10 @@ class ContinuousTranscriber:
         layer has committed a 200 + ndjson headers, so
         :class:`...serving.ServerOverloadedError` maps to 503 + Retry-After
         exactly like the blocking path."""
-        from .audio.io import load_audio
-        wav = load_audio(audio, self.pipe.cfg.sampling_rate)
-        from .serving import _coerce_beams, _coerce_mode, _coerce_timestamps
-        ts = _coerce_timestamps(return_timestamps)
-        req = _EngineRequest(wav, language or self.default_language, task,
-                             ts, max_new_tokens, threading.Event(),
-                             stream=queue.Queue(),
-                             mode=_coerce_mode(mode, ts),
-                             num_beams=_coerce_beams(num_beams))
+        req = self._make_request(audio, language, task, return_timestamps,
+                                 max_new_tokens, mode, num_beams,
+                                 temperature, top_k, seed,
+                                 stream=queue.Queue())
         self._enqueue(req)
 
         def _gen():
@@ -839,16 +981,20 @@ class ContinuousTranscriber:
                 if (req.return_timestamps == "word"
                         or req.mode == "sequential"
                         or req.num_beams > 1
-                        or (self.engine.spec and req.return_timestamps)):
+                        or (self.engine.spec
+                            and (req.return_timestamps
+                                 or req.temperature > 0))):
                     # word timestamps need the pipeline's cross-attention
                     # alignment pass; sequential long-form is a host-driven
                     # sliding window with a fallback ladder; in speculative
-                    # mode the timestamp FSM can't ride the accept/verify
-                    # lanes either — the fallback thread serves all of
-                    # these and lanes never stall
+                    # mode neither the timestamp FSM nor sampling can ride
+                    # the accept/verify lanes (the verify contract is argmax
+                    # agreement) — the fallback thread serves all of these
+                    # and lanes never stall
                     self.stats["word_ts" if req.return_timestamps == "word"
                                else "sequential" if req.mode == "sequential"
                                else "beam" if req.num_beams > 1
+                               else "sampled_fallback" if req.temperature > 0
                                else "ts_fallback"] += 1
                     self._ensure_fb_worker()
                     self._fb_q.put(req)
@@ -948,8 +1094,24 @@ class ContinuousTranscriber:
             budgets = [max(1, min(int(r.max_new_tokens
                                       or self.max_new_tokens),
                                   self.max_new_tokens)) for r in reqs]
-            eng.admit(mels, prompts, budgets,
-                      [r.return_timestamps for r in reqs], lanes)
+            if eng.spec:
+                eng.admit(mels, prompts, budgets,
+                          [r.return_timestamps for r in reqs], lanes)
+            else:
+                seeds = []
+                for r in reqs:
+                    if r.temperature > 0 and r.seed is None:
+                        with self._sample_lock:
+                            r.seed = self._sample_counter
+                            self._sample_counter += 1
+                    seeds.append(r.seed or 0)
+                    if r.temperature > 0:
+                        self.stats["sampled"] += 1
+                        self._sampled_inflight += 1
+                eng.admit(mels, prompts, budgets,
+                          [r.return_timestamps for r in reqs], lanes,
+                          temps=[r.temperature for r in reqs],
+                          top_ks=[r.top_k for r in reqs], seeds=seeds)
             for i, (lane, r) in enumerate(zip(lanes, reqs)):
                 r._plen = len(prompts[i])
                 r._mel = None  # free the device buffer
@@ -985,6 +1147,8 @@ class ContinuousTranscriber:
         tok = self.pipe.tokenizer
         packed, snap = block_out
         finished, pos, tokens, counters = self.engine.unpack(packed)
+        if counters is not None and self.adaptive_gamma:
+            self._update_gamma_controller(snap, counters)
         for lane, r in list(self._inflight.items()):
             if snap.get(lane) is not r:
                 continue  # admitted after this block was dispatched
@@ -998,10 +1162,13 @@ class ContinuousTranscriber:
                 continue
             self._inflight.pop(lane)
             self._free.append(lane)
+            if r.temperature > 0:
+                self._sampled_inflight -= 1
             self.stats["tokens_out"] += max(0, int(pos[lane]) - r._plen)
             if counters is not None:
                 self.stats["drafted"] += int(counters[0][lane])
                 self.stats["accepted"] += int(counters[1][lane])
+                self._lane_ctr.pop(lane, None)
             try:
                 if r.parent is not None:
                     self._finish_chunk(r, ids)
@@ -1049,6 +1216,59 @@ class ContinuousTranscriber:
                 text, _ = tok.decode_asr(
                     outputs, return_timestamps=p.return_timestamps)
                 p.stream.put({"text": text, "final": False})
+
+    @staticmethod
+    def _estimate_accept(ratio: float, gamma: int) -> float:
+        """Invert E[accepted]/gamma = a(1-a^g)/(g(1-a)) for the per-draft
+        acceptance probability a (monotonic in a; bisection)."""
+        ratio = min(max(ratio, 0.0), 1.0)
+        lo, hi = 0.0, 0.999999
+        for _ in range(40):
+            mid = (lo + hi) / 2
+            e = mid * (1 - mid ** gamma) / ((1 - mid) * gamma)
+            if e < ratio:
+                lo = mid
+            else:
+                hi = mid
+        return (lo + hi) / 2
+
+    def _update_gamma_controller(self, snap, counters) -> None:
+        """Walk the gamma ladder on the measured per-draft acceptance.
+
+        Counters are per-lane cumulative since admission; deltas are taken
+        per (lane, request) pair so admissions (which reset the counters)
+        never corrupt the window.  Once the window holds enough drafts, the
+        true per-draft acceptance is recovered from the accepted/drafted
+        ratio (see :meth:`_estimate_accept` — the raw ratio understates it:
+        a rejected draft wastes the rest of its window) and the level moves
+        one rung with hysteresis: a >= 0.8 raises (long drafts amortise the
+        verify), a <= 0.5 drops (most of the window is wasted draft time).
+        Token identity is gamma-independent, so switching is purely a
+        throughput knob."""
+        for lane, r in snap.items():
+            if self._inflight.get(lane) is not r:
+                continue  # lane re-admitted after dispatch: stale counters
+            d, a = int(counters[0][lane]), int(counters[1][lane])
+            rid, pd, pa = self._lane_ctr.get(lane, (None, 0, 0))
+            if rid is not id(r):
+                pd, pa = 0, 0
+            if d >= pd:
+                self._ctrl_d += d - pd
+                self._ctrl_a += a - pa
+            self._lane_ctr[lane] = (id(r), d, a)
+        g = self._gamma_levels[self._gamma_idx]
+        if self._ctrl_d < 16 * g:
+            return
+        est = self._estimate_accept(self._ctrl_a / self._ctrl_d, g)
+        self._ctrl_d = 0
+        self._ctrl_a = 0
+        if est >= 0.8 and self._gamma_idx < len(self._gamma_levels) - 1:
+            self._gamma_idx += 1
+            self.stats["gamma_raises"] += 1
+        elif est <= 0.5 and self._gamma_idx > 0:
+            self._gamma_idx -= 1
+            self.stats["gamma_drops"] += 1
+        self.stats["gamma_current"] = self._gamma_levels[self._gamma_idx]
 
     def _ensure_fb_worker(self) -> None:
         if self._fb_worker is None:
@@ -1121,6 +1341,8 @@ class ContinuousTranscriber:
                 result = self._sequential.run(r.audio, r.language,
                                               r.task, r.max_new_tokens,
                                               r.num_beams)
+            elif r.temperature > 0:
+                result = self._run_sampled_single(r)
             else:
                 max_new = self.max_new_tokens
                 if r.max_new_tokens is not None:
@@ -1137,6 +1359,46 @@ class ContinuousTranscriber:
             logger.exception("fallback request failed")
             self._finish_req(r, error=f"{type(e).__name__}: {e}")
 
+    def _run_sampled_single(self, r: _EngineRequest) -> Dict[str, Any]:
+        """Sampled short-form off the lanes (speculative engines route
+        sampling here — the accept/verify contract is argmax agreement):
+        the pipeline's standard sampled-generate program, one request per
+        call (sampling under a draft-assisted server is a rare mix)."""
+        import jax
+        import jax.numpy as jnp
+        from .audio import compute_mel
+        from .generation import GenerationOptions
+        pipe, cfg, tok = self.pipe, self.pipe.cfg, self.pipe.tokenizer
+        wav = np.zeros((1, cfg.n_samples), np.float32)
+        wav[0, :len(r.audio)] = r.audio
+        mel = compute_mel(jnp.asarray(wav), cfg).astype(pipe.dtype)
+        language = r.language
+        if language is None and len(tok.lang_to_id) > 1:
+            language = pipe.detect_language(mel)[0]
+        prompt = tok.prompt_ids(language=language, task=r.task,
+                                no_timestamps=not r.return_timestamps)
+        opts = GenerationOptions.from_config(
+            cfg, max_new_tokens=self.max_new_tokens,
+            return_timestamps=bool(r.return_timestamps),
+            no_speech_token_id=tok.no_speech, do_sample=True, top_k=r.top_k)
+        fn = pipe._jitted_generate(opts, len(prompt))
+        if r.seed is None:
+            with self._sample_lock:
+                r.seed = self._sample_counter
+                self._sample_counter += 1
+        out = fn(pipe.params, mel, jnp.asarray([prompt], jnp.int32),
+                 float(r.temperature), jax.random.PRNGKey(r.seed))
+        cut = int(np.asarray(out.seq_len)[0])
+        if r.max_new_tokens is not None:
+            cut = min(cut, len(prompt) + max(int(r.max_new_tokens), 0))
+        ids = np.asarray(out.sequences)[0][:cut].tolist()
+        result = {"text": tok.decode(ids, skip_special_tokens=True)}
+        if r.return_timestamps:
+            _, opt = tok.decode_asr([{"tokens": ids}],
+                                    return_timestamps=True)
+            result.update(opt)
+        return result
+
     def _reclaim_cancelled(self) -> None:
         """Free lanes whose occupant's client stopped waiting.  Safe without
         touching device state: admission scatters fresh values over EVERY
@@ -1146,6 +1408,8 @@ class ContinuousTranscriber:
             if (r.parent or r).cancelled:
                 self._inflight.pop(lane)
                 self._free.append(lane)
+                if r.temperature > 0:
+                    self._sampled_inflight -= 1
 
     def _run(self) -> None:
         try:
@@ -1189,7 +1453,11 @@ class ContinuousTranscriber:
                 # fetching block k's outputs, hiding the ~30-50 ms remote
                 # fetch round-trip behind device compute (completion and
                 # admission then lag one block — a few ms of decode)
-                block_out = (self.engine.step(), dict(self._inflight))
+                gamma = (self._gamma_levels[self._gamma_idx]
+                         if self.engine.spec else None)
+                block_out = (self.engine.step(self._sampled_inflight > 0,
+                                              gamma=gamma),
+                             dict(self._inflight))
                 self.stats["blocks"] += 1
                 if prev_packed is not None:
                     self._complete(prev_packed)

@@ -30,6 +30,8 @@ percentiles.  Env knobs:
   BENCH_DRAFT       draft preset (default distil-large-v3)
   BENCH_ACCEPT      pinned per-draft accept rate (default 0.8)
   BENCH_GAMMA       draft tokens per verify round (default 5)
+  BENCH_ADAPTIVE    1 = adaptive draft length (continuous scheduler):
+                    walk {gamma/2, gamma, 2*gamma} on measured acceptance
 
   PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_server.py
 """
@@ -104,6 +106,7 @@ def main():
     draft_preset = os.environ.get("BENCH_DRAFT", "distil-large-v3")
     accept = float(os.environ.get("BENCH_ACCEPT", "0.8"))
     gamma = int(os.environ.get("BENCH_GAMMA", "5"))
+    adaptive = os.environ.get("BENCH_ADAPTIVE") == "1"
 
     cfg = PRESETS[preset].replace(
         fast_bf16_attention=True, use_flash_encoder=True,
@@ -150,6 +153,7 @@ def main():
                                        block_steps=block,
                                        max_queue=10**9,
                                        assistant=assistant, gamma=gamma,
+                                       adaptive_gamma=adaptive,
                                        synthetic_acceptance=(
                                            accept if spec else None)).start()
         else:
@@ -194,6 +198,7 @@ def main():
            "tokens": [tok_min, max_new], "rps_per_client": rps,
            "word_ts_frac": word_ts_frac,
            **({"speculative": {"draft": draft_preset, "gamma": gamma,
+                               "adaptive": adaptive,
                                "synthetic_accept": accept}} if spec else {}),
            **results}
     if len(results) == 2:

@@ -1,0 +1,128 @@
+"""Adaptive draft length on the continuous speculative engine.
+
+The reference's speculative gamma is a fixed flag; the optimal draft length
+moves with the measured acceptance (long drafts amortise the verify when
+the draft is usually right, short drafts stop wasting draft compute when it
+is not).  The controller walks a compiled-gamma ladder {gamma/2, gamma,
+2*gamma} on the per-draft acceptance estimated from the engine's
+drafted/accepted counters.  Token identity is gamma-independent, so the
+controller is a pure throughput knob — pinned here across live switches.
+"""
+
+import threading
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from helpers import make_tiny_checkpoint
+
+
+def _tone(seconds, freq, seed):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(seconds * 16000)) / 16000.0
+    return (0.2 * np.sin(2 * np.pi * freq * t)
+            + 0.01 * rng.standard_normal(t.shape)).astype(np.float32)
+
+
+def test_estimate_accept_inverts():
+    from distil_whisper_tpu.serving_engine import ContinuousTranscriber
+    est = ContinuousTranscriber._estimate_accept
+    for g in (2, 4, 8):
+        for a in (0.2, 0.5, 0.8, 0.95):
+            ratio = a * (1 - a ** g) / ((1 - a) * g)
+            assert abs(est(ratio, g) - a) < 0.02, (g, a)
+    assert est(0.0, 4) < 0.01
+    assert est(1.0, 4) > 0.99
+
+
+@pytest.fixture(scope="module")
+def spec_pair(tmp_path_factory):
+    root = tmp_path_factory.mktemp("adaptive")
+    teacher_ck = make_tiny_checkpoint(root / "teacher", decoder_layers=2,
+                                      seed=0)
+    draft_ck = make_tiny_checkpoint(root / "draft", decoder_layers=1, seed=7)
+    from distil_whisper_tpu.models import load_params
+    from distil_whisper_tpu.pipeline import WhisperPipeline
+    d_params, d_cfg = load_params(draft_ck, dtype=jnp.float32)
+    pipe = WhisperPipeline(teacher_ck, dtype=jnp.float32, batch_size=2,
+                           max_new_tokens=48)
+    return pipe, (d_params, d_cfg)
+
+
+def _drive(tr, n, budget, seconds=1.0):
+    results = [None] * n
+    errors = []
+
+    def post(i):
+        try:
+            results[i] = tr.submit(_tone(seconds, 200.0 + 30 * i, seed=i),
+                                   language="en", max_new_tokens=budget,
+                                   timeout=600)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=post, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, errors
+    return results
+
+
+def test_controller_raises_gamma_when_acceptance_high(spec_pair):
+    pipe, assistant = spec_pair
+    from distil_whisper_tpu.serving_engine import ContinuousTranscriber
+    tr = ContinuousTranscriber(pipe, batch_size=2, max_new_tokens=48,
+                               block_steps=10, assistant=assistant,
+                               gamma=4, adaptive_gamma=True,
+                               synthetic_acceptance=0.95).start()
+    try:
+        assert tr._gamma_levels == [2, 4, 8]
+        _drive(tr, 6, budget=48)
+        assert tr.stats["gamma_raises"] >= 1, tr.stats
+        assert tr.stats["gamma_current"] == 8, tr.stats
+        snap = tr.snapshot()["speculative"]
+        assert snap["adaptive"] is True
+        assert snap["gamma_current"] == 8
+    finally:
+        tr.stop()
+
+
+def test_controller_drops_gamma_when_acceptance_low(spec_pair):
+    pipe, assistant = spec_pair
+    from distil_whisper_tpu.serving_engine import ContinuousTranscriber
+    tr = ContinuousTranscriber(pipe, batch_size=2, max_new_tokens=48,
+                               block_steps=10, assistant=assistant,
+                               gamma=4, adaptive_gamma=True,
+                               synthetic_acceptance=0.05).start()
+    try:
+        _drive(tr, 6, budget=48)
+        assert tr.stats["gamma_drops"] >= 1, tr.stats
+        assert tr.stats["gamma_current"] == 2, tr.stats
+    finally:
+        tr.stop()
+
+
+def test_identity_preserved_across_gamma_switches(spec_pair):
+    """Real (non-synthetic) teacher/draft with the controller on: random
+    weights give near-zero real acceptance, so the controller drops gamma
+    mid-traffic — every output must still equal the plain pipeline's greedy
+    text (the speculative identity guarantee, per gamma and across the
+    switch)."""
+    pipe, assistant = spec_pair
+    from distil_whisper_tpu.serving_engine import ContinuousTranscriber
+    tr = ContinuousTranscriber(pipe, batch_size=2, max_new_tokens=8,
+                               block_steps=6, assistant=assistant,
+                               gamma=4, adaptive_gamma=True).start()
+    try:
+        results = _drive(tr, 6, budget=8)
+        for i, r in enumerate(results):
+            wav = _tone(1.0, 200.0 + 30 * i, seed=i)
+            expect = pipe(wav, language="en", max_new_tokens=8)["text"]
+            assert r["text"] == expect, f"request {i}"
+        # random weights rarely agree: the controller moved down the ladder
+        assert tr.stats["gamma_drops"] >= 1, tr.stats
+    finally:
+        tr.stop()

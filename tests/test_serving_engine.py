@@ -267,6 +267,40 @@ def test_engine_matches_batch_path_int8_kv(tiny):
         tr.stop()
 
 
+def test_engine_matches_batch_path_under_tp(tiny, engine_pipe):
+    """Engine identity holds when the served params are TENSOR-PARALLEL
+    sharded (dp=2 x tp=4 mesh over the 8 virtual devices): the per-lane
+    cache/cross state follows GSPMD propagation through decode, and every
+    text equals the unsharded engine's/pipeline's output — the multi-chip
+    serving configuration."""
+    from distil_whisper_tpu.parallel import make_mesh
+    from distil_whisper_tpu.pipeline import WhisperPipeline
+    from distil_whisper_tpu.serving_engine import ContinuousTranscriber
+    ck, params, cfg, mel = tiny
+    pipe = WhisperPipeline(ck, dtype=jnp.float32, batch_size=2,
+                           max_new_tokens=8, params=params, cfg=cfg,
+                           mesh=make_mesh((2, 4)))
+    tr = ContinuousTranscriber(pipe, batch_size=2, max_new_tokens=8,
+                               block_steps=3).start()
+    try:
+        wavs = [_tone(1.0, 215.0 + 45 * i, seed=20 + i) for i in range(4)]
+        results = [None] * 4
+
+        def post(i):
+            results[i] = tr.submit(wavs[i], language="en", timeout=600)
+
+        threads = [threading.Thread(target=post, args=(i,)) for i in range(4)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=600)
+        for i, wav in enumerate(wavs):
+            assert results[i]["text"] == _expected_text(
+                engine_pipe, wav, "en", False, 8)
+    finally:
+        tr.stop()
+
+
 def test_engine_long_form_in_lanes(engine_pipe):
     """A >30 s file is split into strided windows that ride the lanes; the
     merged result must equal the whole-file chunked pipeline, and a short
