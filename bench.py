@@ -257,6 +257,30 @@ def _speculative_lane(batch, gamma, max_new, accept):
     t_spec = float(np.median([_time_once(f_spec, 1) for _ in range(3)]))
     _, drafted, accepted = (np.asarray(x)
                             for x in spec(teacher, draft, mel, prompt, accept))
+
+    # --- prompt-lookup (n-gram) lane: draft-FREE speculation.  A period-R
+    # synthetic teacher makes the text repeat, so every successful lookup
+    # is correct — the technique's ceiling with zero draft compute.
+    from distil_whisper_tpu.generation.speculative import (
+        ngram_speculative_generate_batched)
+
+    @functools.partial(jax.jit, static_argnames=("period",))
+    def spec_ng(teacher_p, mel, prompt, period):
+        enc = encode(teacher_p["encoder"], t_cfg, mel, dtype=jnp.bfloat16)
+        t_cross = cross_kv(teacher_p["decoder"], t_cfg, enc)
+        out = ngram_speculative_generate_batched(
+            teacher_p["decoder"], t_cfg, t_cross, prompt, sopts,
+            gamma=gamma, max_ngram=3, dtype=jnp.bfloat16,
+            synthetic_period=period)
+        return out.seq_len, out.rounds, out.drafted, out.accepted
+
+    period = 24
+    f_ng = lambda: spec_ng(teacher, mel, prompt, period)[0]  # noqa: E731
+    _fetch(f_ng())
+    t_ng = float(np.median([_time_once(f_ng, 1) for _ in range(3)]))
+    sl, rounds_ng, dr_ng, ac_ng = (np.asarray(x) for x in
+                                   spec_ng(teacher, mel, prompt, period))
+
     audio_s = batch * 30.0
     return {
         "batch": batch, "gamma": gamma, "synthetic_accept": accept,
@@ -265,9 +289,19 @@ def _speculative_lane(batch, gamma, max_new, accept):
         "speedup_vs_teacher_alone": round(t_alone / t_spec, 2),
         "measured_accept_rate": round(
             float(np.sum(accepted)) / max(float(np.sum(drafted)), 1), 3),
+        "ngram_rtfx": round(audio_s / t_ng, 1),
+        "ngram_speedup_vs_teacher_alone": round(t_alone / t_ng, 2),
+        "ngram_tokens_per_round": round(
+            float(np.sum(sl - 1)) / max(float(np.sum(rounds_ng)), 1), 2),
+        "ngram_accept_rate": round(
+            float(np.sum(ac_ng)) / max(float(np.sum(dr_ng)), 1), 3),
+        "ngram_synthetic_period": period,
         "note": "random weights; synthetic acceptance pins the rate while "
                 "both models run their real compute (reference claims ~2x "
-                "at real ~high acceptance, README.md:352-432)",
+                "at real ~high acceptance, README.md:352-432); ngram_* = "
+                "draft-free prompt-lookup decoding on a period-24 "
+                "synthetic teacher (repeating-text ceiling, no draft "
+                "model at all — beyond the reference surface)",
     }
 
 

@@ -75,6 +75,16 @@ def parse_args(argv=None):
     p.add_argument("--output_json", default=None)
     p.add_argument("--gamma", type=int, default=5,
                    help="draft tokens per speculative round")
+    p.add_argument("--speculative_method", default="draft",
+                   choices=["draft", "ngram"],
+                   help="draft = assistant-model proposals (reference "
+                        "semantics, needs --assistant_checkpoint); ngram = "
+                        "prompt-lookup decoding (draft-FREE: proposals are "
+                        "copied from repeated n-grams in the sequence so "
+                        "far — no assistant model, no extra memory)")
+    p.add_argument("--max_ngram", type=int, default=3,
+                   help="longest n-gram to match for --speculative_method "
+                        "ngram (tried max..1, longest match wins)")
     p.add_argument("--num_beams", type=int, default=1)
     p.add_argument("--noise_snr_db", type=float, default=None,
                    help="mix white noise at this SNR (noise evaluation)")
@@ -342,26 +352,47 @@ def main(argv=None):
             hyps.append(out["text"])
 
     elif args.mode == "speculative":
-        assert args.assistant_checkpoint, "--assistant_checkpoint required"
-        draft, draft_cfg = load_params(args.assistant_checkpoint, dtype=dtype)
-        draft = shard_params(draft, param_axes(draft_cfg), mesh)
         prompt = tok.prompt_ids(language=args.language, task=args.task)
         opts = GenerationOptions.from_config(
             cfg, max_new_tokens=args.max_new_tokens)
 
-        @jax.jit
-        def spec(t_params, d_params, mel, prompt_ids):
-            enc = encode(t_params["encoder"], cfg, mel, dtype=dtype)
-            t_cross = cross_kv(t_params["decoder"], cfg, enc)
-            # distil drafts share the teacher encoder (reference :585-599)
-            d_enc = (enc if draft_cfg.d_model == cfg.d_model
-                     else encode(d_params["encoder"], draft_cfg, mel,
-                                 dtype=dtype))
-            d_cross = cross_kv(d_params["decoder"], draft_cfg, d_enc)
-            return speculative_generate_batched(
-                t_params["decoder"], cfg, d_params["decoder"], draft_cfg,
-                t_cross, d_cross, prompt_ids, opts, gamma=args.gamma,
-                dtype=dtype)
+        if args.speculative_method == "ngram":
+            # prompt-lookup decoding: no assistant model at all — drafts
+            # are copied from repeated n-grams in the decoded sequence
+            from ..generation.speculative import (
+                ngram_speculative_generate_batched)
+
+            @jax.jit
+            def spec(t_params, mel, prompt_ids):
+                enc = encode(t_params["encoder"], cfg, mel, dtype=dtype)
+                t_cross = cross_kv(t_params["decoder"], cfg, enc)
+                return ngram_speculative_generate_batched(
+                    t_params["decoder"], cfg, t_cross, prompt_ids, opts,
+                    gamma=args.gamma, max_ngram=args.max_ngram, dtype=dtype)
+
+            run_spec = lambda mel, prompt_arr: spec(params, mel, prompt_arr)
+        else:
+            assert args.assistant_checkpoint, "--assistant_checkpoint required"
+            draft, draft_cfg = load_params(args.assistant_checkpoint,
+                                           dtype=dtype)
+            draft = shard_params(draft, param_axes(draft_cfg), mesh)
+
+            @jax.jit
+            def spec(t_params, d_params, mel, prompt_ids):
+                enc = encode(t_params["encoder"], cfg, mel, dtype=dtype)
+                t_cross = cross_kv(t_params["decoder"], cfg, enc)
+                # distil drafts share the teacher encoder (reference :585-599)
+                d_enc = (enc if draft_cfg.d_model == cfg.d_model
+                         else encode(d_params["encoder"], draft_cfg, mel,
+                                     dtype=dtype))
+                d_cross = cross_kv(d_params["decoder"], draft_cfg, d_enc)
+                return speculative_generate_batched(
+                    t_params["decoder"], cfg, d_params["decoder"], draft_cfg,
+                    t_cross, d_cross, prompt_ids, opts, gamma=args.gamma,
+                    dtype=dtype)
+
+            run_spec = lambda mel, prompt_arr: spec(params, draft, mel,
+                                                    prompt_arr)
 
         # lanes share weights and diverge in cursors (vmap of the bs-1
         # loop), so --batch_size amortises the weight-read floor; the
@@ -378,7 +409,7 @@ def main(argv=None):
             while len(mels) < bs:          # pad the ragged last group
                 mels.append(mels[-1])
             mel = jnp.concatenate(mels, axis=0).astype(dtype)
-            out = spec(params, draft, mel, prompt_arr)
+            out = run_spec(mel, prompt_arr)
             seqs = np.asarray(out.sequences)
             lens = np.asarray(out.seq_len)
             for i in range(len(group)):

@@ -25,6 +25,11 @@ scheduler the accept/verify loop runs PER LANE (each block round advances
 every lane by 1..gamma+1 tokens at its own cursor), composing in-flight
 batching with draft assistance.
 
+Draft-free variant (``--ngram_speculative``, both schedulers): proposals
+come from repeated n-grams in each request's own decoded text (prompt-
+lookup decoding) instead of an assistant model — zero extra weights/KV,
+same token-identity guarantee.  Wins when speech repeats phrases.
+
 Sampling (``temperature=T&top_k=K&seed=S`` query params): HF ``do_sample``
 semantics per request.  The microbatch scheduler groups sampled requests
 into shared device calls; the continuous scheduler runs sampled LANES
@@ -90,6 +95,16 @@ def build_server(argv=None):
                         "requests fall back to plain generate")
     p.add_argument("--gamma", type=int, default=5,
                    help="draft tokens per speculative round")
+    p.add_argument("--ngram_speculative", action="store_true",
+                   help="prompt-lookup decoding (draft-FREE speculation): "
+                        "proposals are copied from repeated n-grams in the "
+                        "sequence decoded so far — no assistant checkpoint, "
+                        "no draft KV cache, token-identical to greedy.  "
+                        "Wins whenever speech repeats phrases (and on "
+                        "condition-on-prev prompts).  Both schedulers; on "
+                        "the continuous engine the lookup runs per lane")
+    p.add_argument("--max_ngram", type=int, default=3,
+                   help="longest n-gram to match for --ngram_speculative")
     p.add_argument("--adaptive_gamma", action="store_true",
                    help="walk the draft length over {gamma/2, gamma, "
                         "2*gamma} on the measured per-draft acceptance "
@@ -128,6 +143,9 @@ def build_server(argv=None):
                            max_new_tokens=args.max_new_tokens,
                            params=params, cfg=cfg)
     assistant = None
+    if args.ngram_speculative and args.assistant_checkpoint:
+        p.error("--ngram_speculative and --assistant_checkpoint are "
+                "mutually exclusive (pick one speculation method)")
     if args.assistant_checkpoint:
         from ..parallel import shard_params
         from ..models import param_axes
@@ -147,7 +165,9 @@ def build_server(argv=None):
             block_steps=args.block_steps,
             max_queue=args.max_queue,
             assistant=assistant, gamma=args.gamma,
-            adaptive_gamma=args.adaptive_gamma).start()
+            adaptive_gamma=args.adaptive_gamma,
+            ngram_speculative=args.ngram_speculative,
+            max_ngram=args.max_ngram).start()
     else:
         if args.adaptive_gamma:
             p.error("--adaptive_gamma requires --scheduler continuous "
@@ -158,7 +178,9 @@ def build_server(argv=None):
             default_language=args.language,
             max_new_tokens=args.max_new_tokens,
             max_queue=args.max_queue,
-            assistant=assistant, gamma=args.gamma).start()
+            assistant=assistant, gamma=args.gamma,
+            ngram_speculative=args.ngram_speculative,
+            max_ngram=args.max_ngram).start()
     httpd = make_http_server(transcriber, args.host, args.port,
                              max_body_mb=args.max_body_mb)
     return httpd, transcriber

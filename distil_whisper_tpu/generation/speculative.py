@@ -46,6 +46,54 @@ def _process(scores, gen_idx, cfg, opts, prompt_len):
     return scores
 
 
+def _bias_to(scores, target_tok):
+    """Force argmax(scores) == target_tok WITHOUT severing the data
+    dependence on the computed logits: overriding the token choice
+    directly would make every model forward pass dead code, and XLA
+    would eliminate the whole thing (docs/PERFORMANCE.md measurement
+    rule 3 — an early draft of this mode 'ran' 256 tokens in 27 ms).
+    Clamp + scale keeps |scores| <= 1e-4, the +1e6 one-hot dominates."""
+    v = scores.shape[-1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (v,), 0)
+    bias = jnp.where(iota == target_tok, 1e6, 0.0)
+    return jnp.maximum(scores, -1e5) * 1e-9 + bias
+
+
+def _teacher_choices(t_logits, cur, p, gamma, cfg, opts, bias_fn=None):
+    """Teacher argmax per verify column (column i predicts absolute
+    position cur + i); ``bias_fn(scores, abs_pos)`` is the benchmark-only
+    synthetic-token override."""
+    cols = []
+    for i in range(gamma + 1):
+        sc = _process(t_logits[:, i].astype(jnp.float32), cur + i - p,
+                      cfg, opts, p)
+        if bias_fn is not None:
+            sc = bias_fn(sc, cur + i)
+        cols.append(jnp.argmax(sc, axis=-1)[0])
+    return jnp.stack(cols).astype(jnp.int32)  # [gamma+1]
+
+
+def _verify_accept(t_choice, drafts, cur, total, eos, gamma):
+    """Longest-matching-prefix acceptance (shared by the draft-model and
+    n-gram proposers — correctness never depends on WHAT was proposed,
+    every emitted token is the teacher's own choice).  Returns the
+    (gamma+1)-token window to write at ``cur``, the number of accepted
+    draft tokens, and the finished flag (EOS inside the window or budget
+    exhausted)."""
+    matches = (drafts == t_choice[:gamma])
+    n = jnp.sum(jnp.cumprod(matches.astype(jnp.int32)))  # accepted drafts
+    candidate = jnp.concatenate([drafts, t_choice[gamma:]])  # [gamma+1]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (gamma + 1,), 0)
+    accepted_vec = jnp.where(idx == n, t_choice, candidate)
+    # EOS inside the accepted window ends the sequence early.
+    in_window = idx <= n
+    is_eos = jnp.logical_and(accepted_vec == eos, in_window)
+    eos_idx = jnp.min(jnp.where(is_eos, idx, gamma + 1))
+    n_eff = jnp.minimum(n, eos_idx)
+    finished = jnp.logical_or(jnp.any(is_eos), cur + n_eff + 1 >= total)
+    return accepted_vec, n_eff, finished
+
+
 def speculative_generate(
         teacher_dec: Dict[str, Any], teacher_cfg: WhisperConfig,
         draft_dec: Dict[str, Any], draft_cfg: WhisperConfig,
@@ -82,18 +130,6 @@ def speculative_generate(
         # position-keyed pseudo-random token, kept far from eos/specials
         # (Knuth multiplicative hash, folded into int32 range)
         return (pos * jnp.int32(60493) % jnp.int32(997)) % 400 + 10
-
-    def _bias_to(scores, target_tok):
-        """Force argmax(scores) == target_tok WITHOUT severing the data
-        dependence on the computed logits: overriding the token choice
-        directly would make every model forward pass dead code, and XLA
-        would eliminate the whole thing (docs/PERFORMANCE.md measurement
-        rule 3 — an early draft of this mode 'ran' 256 tokens in 27 ms).
-        Clamp + scale keeps |scores| <= 1e-4, the +1e6 one-hot dominates."""
-        v = scores.shape[-1]
-        iota = jax.lax.broadcasted_iota(jnp.int32, (v,), 0)
-        bias = jnp.where(iota == target_tok, 1e6, 0.0)
-        return jnp.maximum(scores, -1e5) * 1e-9 + bias
 
     noise_key = jax.random.PRNGKey(synthetic_seed)
 
@@ -169,33 +205,13 @@ def speculative_generate(
         t_logits, t_cache = decode(teacher_dec, teacher_cfg, t_in,
                                    cross=teacher_cross, cache=s["t_cache"],
                                    pos_offset=cur - 1, dtype=dtype)
-        # column i predicts absolute position cur + i
-        cols = []
-        for i in range(gamma + 1):
-            gi = cur + i - p
-            sc = _process(t_logits[:, i].astype(jnp.float32), gi,
-                          teacher_cfg, opts, p)
-            if synthetic_acceptance is not None:
-                # teacher always "chooses" the oracle token for its position
-                sc = _bias_to(sc, _oracle(cur + i))
-            cols.append(jnp.argmax(sc, axis=-1)[0])
-        t_choice = jnp.stack(cols).astype(jnp.int32)  # [gamma+1]
-
-        matches = (drafts == t_choice[:gamma])
-        n = jnp.sum(jnp.cumprod(matches.astype(jnp.int32)))  # accepted drafts
-        candidate = jnp.concatenate(
-            [drafts, t_choice[gamma:]])                       # [gamma+1]
-        accepted_vec = jnp.where(
-            jax.lax.broadcasted_iota(jnp.int32, (gamma + 1,), 0) == n,
-            t_choice, candidate)
-
-        # EOS inside the accepted window ends the sequence early.
-        idx = jax.lax.broadcasted_iota(jnp.int32, (gamma + 1,), 0)
-        in_window = idx <= n
-        is_eos = jnp.logical_and(accepted_vec == eos, in_window)
-        eos_idx = jnp.min(jnp.where(is_eos, idx, gamma + 1))
-        n_eff = jnp.minimum(n, eos_idx)
-        finished = jnp.logical_or(jnp.any(is_eos), cur + n_eff + 1 >= total)
+        # teacher always "chooses" the oracle token for its position
+        bias_fn = (None if synthetic_acceptance is None
+                   else lambda sc, pos: _bias_to(sc, _oracle(pos)))
+        t_choice = _teacher_choices(t_logits, cur, p, gamma,
+                                    teacher_cfg, opts, bias_fn)
+        accepted_vec, n_eff, finished = _verify_accept(
+            t_choice, drafts, cur, total, eos, gamma)
 
         tokens = jax.lax.dynamic_update_slice(
             s["tokens"], accepted_vec[None, :], (0, cur))
@@ -274,4 +290,191 @@ def speculative_generate_batched(
     return SpeculativeOutput(
         sequences=out.sequences[:, 0],          # [N, 1, total] -> [N, total]
         seq_len=out.seq_len[:, 0],              # [N, 1] -> [N]
+        rounds=out.rounds, drafted=out.drafted, accepted=out.accepted)
+
+
+# --------------------------------------------------------------------------
+# Prompt-lookup (n-gram) speculative decoding — DRAFT-FREE speculation.
+# --------------------------------------------------------------------------
+
+def _propose_ngram(tokens, cur, gamma: int, max_ngram: int, pad_id: int):
+    """Draft ``gamma`` tokens by n-gram lookup over the already-accepted
+    sequence: find the most recent earlier occurrence of the last-k-gram
+    (k = max_ngram down to 1, longest match wins) and copy the tokens that
+    followed it.  Pure JAX, O(T * max_ngram) compares per round (T <= 460
+    — negligible next to a decode step).
+
+    Returns ``(drafts [gamma] int32, found bool)``.  When no k-gram
+    recurs, drafts are ``pad_id`` — the verify step simply accepts 0 and
+    the round degrades to one (gamma+1)-wide teacher decode (~the cost of
+    a plain decode step: decode is weight/KV-read bound, docs/PERFORMANCE
+    measured a wide verify at ~1.2x a 1-token step per layer).
+
+    Correctness never depends on the proposal: every emitted token is the
+    teacher's own argmax (``_verify_accept``), so garbage drafts cost
+    speed, never tokens.
+    """
+    t = tokens[0]                       # [T] — bs-1 layout like the spec loop
+    T = t.shape[0]
+    found = jnp.asarray(False)
+    start = jnp.asarray(0, jnp.int32)   # continuation start index
+    for k in range(max_ngram, 0, -1):
+        gram = jax.lax.dynamic_slice(t, (jnp.maximum(cur - k, 0),), (k,))
+        # windows[j] = t[j : j+k] for every start j (static stack of shifts)
+        windows = jnp.stack([t[i:T - k + 1 + i] for i in range(k)], axis=1)
+        eq = jnp.all(windows == gram[None, :], axis=1)      # [T-k+1]
+        j = jax.lax.broadcasted_iota(jnp.int32, (T - k + 1,), 0)
+        # strictly-earlier occurrence with >=1 accepted continuation token;
+        # j + k <= cur - 1 also excludes the gram matching itself at
+        # j = cur - k.  Positions >= cur hold junk from rejected windows —
+        # excluded as match sources by the same bound.
+        valid = jnp.logical_and(eq, j + k <= cur - 1)
+        valid = jnp.logical_and(valid, cur >= k + 1)
+        jstar = jnp.max(jnp.where(valid, j, -1))
+        ok = jstar >= 0
+        start = jnp.where(jnp.logical_and(~found, ok), jstar + k, start)
+        found = jnp.logical_or(found, ok)
+    drafts = jax.lax.dynamic_slice(t, (start,), (gamma,))
+    drafts = jnp.where(found, drafts,
+                       jnp.full((gamma,), pad_id, jnp.int32))
+    return drafts.astype(jnp.int32), found
+
+
+def ngram_speculative_generate(
+        teacher_dec: Dict[str, Any], teacher_cfg: WhisperConfig,
+        teacher_cross: Dict[str, Any],
+        prompt_ids: jnp.ndarray, opts: GenerationOptions,
+        gamma: int = 5, max_ngram: int = 3, dtype=jnp.float32,
+        synthetic_period: int = None) -> SpeculativeOutput:
+    """Prompt-lookup decoding: n-gram speculation with NO draft model
+    (HF transformers' ``prompt_lookup_num_tokens``; Saxena 2023 "Prompt
+    Lookup Decoding").  The teacher verifies exactly as in
+    ``speculative_generate`` — output is token-identical to teacher-only
+    greedy — but proposals come from copying the continuation of the most
+    recent repeated n-gram in the sequence built so far.
+
+    Why this fits ASR serving: condition-on-prev long-form prompts embed
+    the previous segment's text, and real speech repeats phrases — every
+    repeat is free draft tokens with zero extra model compute and zero
+    extra memory (no draft weights, no draft KV cache).  Beyond the
+    reference surface (its speculative mode requires a trained assistant
+    checkpoint, training/run_eval.py:578-599).
+
+    ``synthetic_period`` (BENCHMARK-ONLY): bias the teacher's token
+    choices to a fixed pseudo-random sequence with period R — after the
+    first R tokens every lookup succeeds, measuring the technique's
+    ceiling speedup on-chip without trained weights (the same
+    keep-the-data-dependence trick as ``synthetic_acceptance``)."""
+    assert prompt_ids.shape[0] == 1, "ngram speculation is per-lane/bs-1"
+    assert not opts.return_timestamps, "use plain generate for timestamps"
+    b, p = prompt_ids.shape
+    total = p + opts.max_new_tokens
+    assert total <= teacher_cfg.max_target_positions
+    eos = teacher_cfg.eos_token_id
+    pad = teacher_cfg.pad_token_id
+
+    def _oracle_p(pos):
+        # period-R pseudo-random token stream, kept far from eos/specials
+        return ((pos % synthetic_period) * jnp.int32(131)
+                % jnp.int32(389)) % 400 + 10
+
+    bias_fn = (None if synthetic_period is None
+               else lambda sc, pos: _bias_to(sc, _oracle_p(pos)))
+
+    prompt_ids = prompt_ids.astype(jnp.int32)
+    slack = gamma + 1
+    t_cache = init_cache(teacher_cfg, b, dtype=dtype, max_len=total + slack)
+
+    t_logits, t_cache = decode(teacher_dec, teacher_cfg, prompt_ids,
+                               cross=teacher_cross, cache=t_cache,
+                               pos_offset=0, dtype=dtype)
+    first_scores = _process(t_logits[:, -1].astype(jnp.float32), 0,
+                            teacher_cfg, opts, p)
+    if bias_fn is not None:
+        first_scores = bias_fn(first_scores, p)
+    first_tok = jnp.argmax(first_scores, axis=-1).astype(jnp.int32)
+
+    tokens = jnp.full((b, total + slack), pad, jnp.int32)
+    tokens = jax.lax.dynamic_update_slice(tokens, prompt_ids, (0, 0))
+    tokens = jax.lax.dynamic_update_slice(tokens, first_tok[:, None], (0, p))
+
+    state = dict(
+        tokens=tokens,
+        cur=jnp.asarray(p + 1, jnp.int32),
+        t_cache=t_cache,
+        finished=(first_tok[0] == eos),
+        rounds=jnp.zeros((), jnp.int32),
+        drafted=jnp.zeros((), jnp.int32),
+        accepted=jnp.zeros((), jnp.int32),
+    )
+
+    def cond(s):
+        return jnp.logical_and(s["cur"] < total, ~s["finished"])
+
+    def body(s):
+        cur = s["cur"]
+        drafts, found = _propose_ngram(s["tokens"], cur, gamma,
+                                       max_ngram, pad)
+        last_tok = jax.lax.dynamic_slice(
+            s["tokens"], (0, cur - 1), (b, 1))[:, 0]
+        t_in = jnp.concatenate([last_tok, drafts])[None, :]  # [1, gamma+1]
+        t_logits, t_cache = decode(teacher_dec, teacher_cfg, t_in,
+                                   cross=teacher_cross, cache=s["t_cache"],
+                                   pos_offset=cur - 1, dtype=dtype)
+        t_choice = _teacher_choices(t_logits, cur, p, gamma,
+                                    teacher_cfg, opts, bias_fn)
+        accepted_vec, n_eff, finished = _verify_accept(
+            t_choice, drafts, cur, total, eos, gamma)
+        tokens = jax.lax.dynamic_update_slice(
+            s["tokens"], accepted_vec[None, :], (0, cur))
+        # acceptance-rate stats count only real lookups (pad fillers would
+        # deflate the rate without carrying information)
+        g = jnp.where(found, gamma, 0)
+        return dict(tokens=tokens, cur=cur + n_eff + 1,
+                    t_cache=t_cache, finished=finished,
+                    rounds=s["rounds"] + 1,
+                    drafted=s["drafted"] + g,
+                    accepted=s["accepted"] + jnp.minimum(n_eff, g))
+
+    state = jax.lax.while_loop(cond, body, state)
+    seq_len = jnp.minimum(state["cur"], total)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (b, total), 1)
+    tokens = jnp.where(iota < seq_len, state["tokens"][:, :total], pad)
+    return SpeculativeOutput(sequences=tokens, seq_len=seq_len[None],
+                             rounds=state["rounds"], drafted=state["drafted"],
+                             accepted=state["accepted"])
+
+
+def ngram_speculative_generate_batched(
+        teacher_dec: Dict[str, Any], teacher_cfg: WhisperConfig,
+        teacher_cross: Dict[str, Any],
+        prompt_ids: jnp.ndarray, opts: GenerationOptions,
+        gamma: int = 5, max_ngram: int = 3, dtype=jnp.float32,
+        synthetic_period: int = None) -> SpeculativeOutput:
+    """Batched prompt-lookup decoding — ``vmap`` of the bs-1 loop over
+    the batch, same lane-parallel shape as
+    ``speculative_generate_batched`` (weights shared via in_axes=None;
+    per-lane cursors; lanes accept different counts per round)."""
+    n = prompt_ids.shape[0]
+    if n == 1:
+        out = ngram_speculative_generate(
+            teacher_dec, teacher_cfg, teacher_cross, prompt_ids, opts,
+            gamma=gamma, max_ngram=max_ngram, dtype=dtype,
+            synthetic_period=synthetic_period)
+        return SpeculativeOutput(
+            sequences=out.sequences, seq_len=out.seq_len,
+            rounds=out.rounds[None], drafted=out.drafted[None],
+            accepted=out.accepted[None])
+
+    def one(t_cross, prompt):
+        t_cross = jax.tree.map(lambda x: x[:, None], t_cross)
+        return ngram_speculative_generate(
+            teacher_dec, teacher_cfg, t_cross, prompt[None], opts,
+            gamma=gamma, max_ngram=max_ngram, dtype=dtype,
+            synthetic_period=synthetic_period)
+
+    axes = jax.tree.map(lambda _: 1, teacher_cross)
+    out = jax.vmap(one, in_axes=(axes, 0))(teacher_cross, prompt_ids)
+    return SpeculativeOutput(
+        sequences=out.sequences[:, 0], seq_len=out.seq_len[:, 0],
         rounds=out.rounds, drafted=out.drafted, accepted=out.accepted)

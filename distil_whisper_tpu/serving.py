@@ -229,7 +229,8 @@ class BatchingTranscriber:
                  max_new_tokens: Optional[int] = None,
                  max_queue: Optional[int] = None,
                  assistant=None, gamma: int = 5,
-                 synthetic_acceptance: Optional[float] = None):
+                 synthetic_acceptance: Optional[float] = None,
+                 ngram_speculative: bool = False, max_ngram: int = 3):
         self.pipe = pipe
         self.batch_size = batch_size or pipe.batch_size
         self.max_wait_s = max_wait_ms / 1e3
@@ -243,6 +244,14 @@ class BatchingTranscriber:
         # (the timestamp FSM is not expressible inside the accept/verify
         # loop — those fall back to plain generate).
         self.assistant = assistant
+        # prompt-lookup decoding (draft-FREE speculation): proposals are
+        # copied from repeated n-grams in the sequence decoded so far —
+        # no assistant weights, no draft KV cache, still token-identical
+        # to plain greedy.  Mutually exclusive with ``assistant``.
+        self.ngram = bool(ngram_speculative)
+        assert not (self.ngram and assistant is not None), \
+            "pick ONE speculation method: assistant draft or ngram lookup"
+        self.max_ngram = int(max_ngram)
         self.gamma = int(gamma)
         # BENCHMARK-ONLY (same contract as generation.speculative): pin the
         # per-draft accept rate with a position-keyed oracle while both
@@ -264,7 +273,7 @@ class BatchingTranscriber:
         # server-derived seeds for sampled requests that don't pin their own
         self._sample_counter = 0
         self._sample_lock = threading.Lock()
-        if assistant is not None:
+        if assistant is not None or self.ngram:
             self.stats.update({"speculative_batches": 0, "drafted": 0,
                                "accepted": 0})
 
@@ -343,8 +352,9 @@ class BatchingTranscriber:
                 "max_queue": self.max_queue,
                 "batch_size": self.batch_size,
                 "stats": dict(self.stats)}
-        if self.assistant is not None:
+        if self.assistant is not None or self.ngram:
             snap["speculative"] = {
+                "method": "ngram" if self.ngram else "draft",
                 "gamma": self.gamma,
                 "acceptance_rate": round(
                     self.stats["accepted"] / self.stats["drafted"], 3)
@@ -361,14 +371,30 @@ class BatchingTranscriber:
         import jax
         from .models.whisper import encode, cross_kv
         from .generation import GenerationOptions
-        from .generation.speculative import speculative_generate_batched
+        from .generation.speculative import (speculative_generate_batched,
+                                             ngram_speculative_generate_batched)
 
         pipe, cfg = self.pipe, self.pipe.cfg
-        draft_cfg = self.assistant[1]
         opts = GenerationOptions.from_config(
             cfg, max_new_tokens=self.max_new_tokens)
         gamma = self.gamma
         synth = self.synthetic_acceptance
+
+        if self.ngram:
+            max_ngram = self.max_ngram
+
+            @jax.jit
+            def spec_ngram(t_params, mel, prompt_ids):
+                enc = encode(t_params["encoder"], cfg, mel, dtype=pipe.dtype)
+                t_cross = cross_kv(t_params["decoder"], cfg, enc)
+                return ngram_speculative_generate_batched(
+                    t_params["decoder"], cfg, t_cross, prompt_ids, opts,
+                    gamma=gamma, max_ngram=max_ngram, dtype=pipe.dtype)
+
+            self._spec_fn = spec_ngram
+            return spec_ngram
+
+        draft_cfg = self.assistant[1]
 
         @jax.jit
         def spec(t_params, d_params, mel, prompt_ids):
@@ -580,14 +606,19 @@ class BatchingTranscriber:
                 out = fn(pipe.params, pipe._put_batch(mels), prompts,
                          float(temp), jax.random.PRNGKey(seed))
                 self.stats["sampled"] += len(reqs)
-            elif self.assistant is not None and not return_timestamps:
+            elif ((self.assistant is not None or self.ngram)
+                  and not return_timestamps):
                 # draft-assisted decoding: token-identical to the plain
                 # greedy path (the non-timestamp processor stacks match —
                 # generate._process_scores vs speculative._process), faster
                 # whenever the draft's acceptance rate earns back its cost
-                out = self._speculative_fn()(
-                    pipe.params, self.assistant[0],
-                    pipe._put_batch(mels), prompts)
+                if self.ngram:
+                    out = self._speculative_fn()(
+                        pipe.params, pipe._put_batch(mels), prompts)
+                else:
+                    out = self._speculative_fn()(
+                        pipe.params, self.assistant[0],
+                        pipe._put_batch(mels), prompts)
                 self.stats["speculative_batches"] += 1
                 self.stats["drafted"] += int(
                     np.sum(np.asarray(out.drafted)[:len(reqs)]))

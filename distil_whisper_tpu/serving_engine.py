@@ -53,6 +53,7 @@ deployment actually needs.  Outputs are token-identical to the whole-batch
 from __future__ import annotations
 
 import logging
+import os
 import queue
 import threading
 from dataclasses import dataclass
@@ -92,7 +93,9 @@ class ContinuousBatchingEngine:
                  max_new_tokens: Optional[int] = None,
                  assistant=None, gamma: int = 5,
                  synthetic_acceptance: Optional[float] = None,
-                 top_k_max: int = 64):
+                 top_k_max: int = 64,
+                 ngram_speculative: bool = False, max_ngram: int = 3,
+                 synthetic_period: Optional[int] = None):
         import jax.numpy as jnp
         from .generation import GenerationOptions
 
@@ -114,7 +117,22 @@ class ContinuousBatchingEngine:
         # structure with random weights (zero-egress sandbox).
         self.assistant = assistant
         self.gamma = int(gamma)
-        self.spec = assistant is not None
+        # prompt-lookup (n-gram) speculation on the lanes: DRAFT-FREE —
+        # proposals are copied from the most recent repeated n-gram in each
+        # lane's own decoded sequence; the verify contract (and therefore
+        # token identity, fallback routing, adaptive gamma) is unchanged.
+        # ``synthetic_period`` (BENCHMARK-ONLY) biases the teacher to a
+        # period-R per-lane oracle so the text repeats — the lookup
+        # ceiling, measurable with random weights.
+        self.ngram = bool(ngram_speculative)
+        assert not (self.ngram and assistant is not None), \
+            "pick ONE speculation method: assistant draft or ngram lookup"
+        self.max_ngram = int(max_ngram)
+        self.synthetic_period = synthetic_period
+        self.spec = assistant is not None or self.ngram
+        assert synthetic_acceptance is None or assistant is not None, \
+            "synthetic_acceptance pins a DRAFT's agreement; for ngram use " \
+            "synthetic_period (repeating-text oracle)"
         self.synthetic_acceptance = synthetic_acceptance
         # longest possible prompt: [sot, lang?, task?, notimestamps]
         langs = sorted(self.tok.lang_to_id) or [None]
@@ -124,7 +142,7 @@ class ContinuousBatchingEngine:
         assert self.t_store <= self.cfg.max_target_positions, (
             f"p_max({self.p_max}) + max_new({self.max_new}) exceeds "
             f"{self.cfg.max_target_positions}")
-        if self.spec:
+        if assistant is not None:
             assert self.t_store <= assistant[1].max_target_positions, (
                 "draft max_target_positions too small for the serve budget")
         # adaptive-gamma headroom: the step program is compiled per gamma
@@ -172,14 +190,17 @@ class ContinuousBatchingEngine:
             no_speech_prob=jnp.zeros((b,), jnp.float32),
         )
         if self.spec:
-            d_cfg = self.assistant[1]
             self._state.update(
-                d_cache=init_cache(d_cfg, b, dtype=self.dtype,
-                                   max_len=self.t_buf),
-                d_cross=_zero_cross(d_cfg, b, self.dtype),
                 drafted=jnp.zeros((b,), jnp.int32),
                 accepted=jnp.zeros((b,), jnp.int32),
             )
+            if self.assistant is not None:
+                d_cfg = self.assistant[1]
+                self._state.update(
+                    d_cache=init_cache(d_cfg, b, dtype=self.dtype,
+                                       max_len=self.t_buf),
+                    d_cross=_zero_cross(d_cfg, b, self.dtype),
+                )
         else:
             # per-lane sampling state (greedy engine only; sampled requests
             # under a speculative engine ride the fallback thread)
@@ -346,7 +367,9 @@ class ContinuousBatchingEngine:
         from .models.whisper import decode
 
         cfg, opts = self.cfg, self.opts
-        d_params_cfg = self.assistant[1]
+        ngram, max_ngram = self.ngram, self.max_ngram
+        period = self.synthetic_period
+        d_params_cfg = self.assistant[1] if self.assistant else None
         gamma = int(gamma)
         # keep tokens-per-block roughly at the greedy block's granularity
         # (streaming partials and admission latency are per-block)
@@ -389,9 +412,16 @@ class ContinuousBatchingEngine:
             u = (h >> jnp.uint32(8)).astype(jnp.float32) / jnp.float32(2**24)
             return u < synth
 
+        def _oracle_p(tok_pos):
+            # period-R per-lane pseudo-random stream (lanes phase-shifted
+            # so they do not finish in lockstep)
+            lane = jax.lax.broadcasted_iota(jnp.int32, tok_pos.shape, 0)
+            return (((tok_pos + 31 * lane) % period)
+                    * jnp.int32(131) % jnp.int32(389)) % 400 + 10
+
         def block(params, d_params, state):
             dec = params["decoder"]
-            d_dec = d_params["decoder"]
+            d_dec = d_params["decoder"] if d_params is not None else None
 
             def one_round(_, s):
                 b = s["pos"].shape[0]
@@ -400,26 +430,39 @@ class ContinuousBatchingEngine:
                 last_tok = jnp.take_along_axis(
                     s["tokens"], (pos - 1)[:, None], axis=1)[:, 0]
 
-                # ---- draft proposes gamma tokens at its own lane cursors
-                def draft_step(carry, _):
-                    tok, off, dc = carry
-                    lg, dc = decode(d_dec, d_params_cfg, tok[:, None],
-                                    cross=s["d_cross"], cache=dc,
-                                    pos_offset=off, dtype=dtype)
-                    scores = _proc(lg[:, -1].astype(jnp.float32),
-                                   off + 1 - plen, plen)
-                    if synth is not None:
-                        tok_pos = off + 1
-                        target = jnp.where(_agree(tok_pos), _oracle(tok_pos),
-                                           _oracle(tok_pos) + 1)
-                        scores = _bias_to(scores, target)
-                    nxt = jnp.argmax(scores, -1).astype(jnp.int32)
-                    return (nxt, off + 1, dc), nxt
+                if ngram:
+                    # ---- drafts from per-lane n-gram lookup (no model)
+                    from .generation.speculative import _propose_ngram
 
-                (_, _, d_cache), drafts = jax.lax.scan(
-                    draft_step, (last_tok, pos - 1, s["d_cache"]), None,
-                    length=gamma)
-                drafts = drafts.T                          # [B, gamma]
+                    def lookup(row, cur):
+                        return _propose_ngram(row[None], cur, gamma,
+                                              max_ngram, cfg.pad_token_id)
+
+                    drafts, found = jax.vmap(lookup)(s["tokens"], pos)
+                    d_cache = None
+                else:
+                    # ---- draft proposes gamma tokens at its lane cursors
+                    def draft_step(carry, _):
+                        tok, off, dc = carry
+                        lg, dc = decode(d_dec, d_params_cfg, tok[:, None],
+                                        cross=s["d_cross"], cache=dc,
+                                        pos_offset=off, dtype=dtype)
+                        scores = _proc(lg[:, -1].astype(jnp.float32),
+                                       off + 1 - plen, plen)
+                        if synth is not None:
+                            tok_pos = off + 1
+                            target = jnp.where(_agree(tok_pos),
+                                               _oracle(tok_pos),
+                                               _oracle(tok_pos) + 1)
+                            scores = _bias_to(scores, target)
+                        nxt = jnp.argmax(scores, -1).astype(jnp.int32)
+                        return (nxt, off + 1, dc), nxt
+
+                    (_, _, d_cache), drafts = jax.lax.scan(
+                        draft_step, (last_tok, pos - 1, s["d_cache"]), None,
+                        length=gamma)
+                    drafts = drafts.T                      # [B, gamma]
+                    found = jnp.ones((b,), bool)
 
                 # ---- teacher verifies [last_accepted, d_0..d_{g-1}] at once
                 t_in = jnp.concatenate([last_tok[:, None], drafts], axis=1)
@@ -434,6 +477,10 @@ class ContinuousBatchingEngine:
                     if synth is not None:
                         # the teacher always "chooses" its position's oracle
                         sc = _bias_to(sc, _oracle(pos + i))
+                    elif period is not None:
+                        # periodic oracle: the decoded text repeats with
+                        # period R, so lookups succeed — the ngram ceiling
+                        sc = _bias_to(sc, _oracle_p(pos + i))
                     ch = jnp.argmax(sc, -1).astype(jnp.int32)
                     lp = jnp.take_along_axis(jax.nn.log_softmax(sc, -1),
                                              ch[:, None], axis=-1)[:, 0]
@@ -478,12 +525,17 @@ class ContinuousBatchingEngine:
                         row, v, (p,)))(s["tokens"], pad_vec, pos)
                 sum_logprobs = s["sum_logprobs"] + jnp.sum(
                     jnp.where(idx < emit[:, None], t_logp, 0.0), axis=1)
-                return dict(
-                    s, tokens=tokens, cache=cache, d_cache=d_cache,
+                live_draft = jnp.where(
+                    jnp.logical_or(frozen, ~found), 0, gamma)
+                nxt = dict(
+                    s, tokens=tokens, cache=cache,
                     finished=finished, sum_logprobs=sum_logprobs,
                     pos=pos + emit,
-                    drafted=s["drafted"] + jnp.where(frozen, 0, gamma),
+                    drafted=s["drafted"] + live_draft,
                     accepted=s["accepted"] + jnp.maximum(emit - 1, 0))
+                if d_cache is not None:
+                    nxt["d_cache"] = d_cache
+                return nxt
 
             out = jax.lax.fori_loop(0, n_rounds, one_round, state)
             packed = jnp.concatenate([out["finished"].astype(jnp.int32),
@@ -492,6 +544,9 @@ class ContinuousBatchingEngine:
                                       out["tokens"].reshape(-1)])
             return out, packed
 
+        if ngram:
+            return jax.jit(lambda params, state: block(params, None, state),
+                           donate_argnums=(1,))
         return jax.jit(block, donate_argnums=(2,))
 
     # ------------------------------------------------------------- admit
@@ -515,7 +570,8 @@ class ContinuousBatchingEngine:
         t_buf, t_store = self.t_buf, self.t_store
         ns_id = self.opts.no_speech_token_id
         spec = self.spec
-        d_cfg = self.assistant[1] if spec else None
+        draft = self.assistant is not None
+        d_cfg = self.assistant[1] if draft else None
 
         def admit(params, d_params, state, mels, prompts, plens, budgets,
                   use_ts, lanes, temps=None, topks=None, keys=None):
@@ -565,6 +621,11 @@ class ContinuousBatchingEngine:
                     rng=state["rng"].at[lanes].set(keys),
                 )
             if spec:
+                new.update(
+                    drafted=state["drafted"].at[lanes].set(0),
+                    accepted=state["accepted"].at[lanes].set(0),
+                )
+            if draft:
                 d_enc = (enc if d_cfg.d_model == cfg.d_model
                          else encode(d_params["encoder"], d_cfg, mels,
                                      dtype=dtype))
@@ -579,12 +640,10 @@ class ContinuousBatchingEngine:
                                          d_cache_new),
                     d_cross=jax.tree.map(scatter_rows, state["d_cross"],
                                          d_cross_new),
-                    drafted=state["drafted"].at[lanes].set(0),
-                    accepted=state["accepted"].at[lanes].set(0),
                 )
             return new
 
-        if spec:
+        if draft:
             fn = jax.jit(admit, donate_argnums=(2,))
         else:
             base = jax.jit(
@@ -604,8 +663,12 @@ class ContinuousBatchingEngine:
         ``step``/``admit`` dispatches (it aliases no state)."""
         assert self._state is not None, "call init_state() first"
         if self.spec:
-            self._state, packed = self._spec_block(gamma or self.gamma)(
-                self.pipe.params, self.assistant[0], self._state)
+            blk = self._spec_block(gamma or self.gamma)
+            if self.assistant is not None:
+                self._state, packed = blk(
+                    self.pipe.params, self.assistant[0], self._state)
+            else:                      # ngram: no draft params
+                self._state, packed = blk(self.pipe.params, self._state)
         else:
             self._state, packed = self._step_block(sampling)(
                 self.pipe.params, self._state)
@@ -655,22 +718,26 @@ class ContinuousBatchingEngine:
         if self.spec:
             assert not (temps and any(t > 0 for t in temps)), \
                 "sampling lanes are fallback-routed under a speculative engine"
-            self._state = self._admit_fn(a)(
-                self.pipe.params, self.assistant[0], self._state, *rest)
-        else:
-            temps = temps or [0.0] * a
-            top_ks = top_ks or [0] * a
-            # raw threefry key data: [hi32, lo32] of the seed (a stable
-            # per-request stream; host-constructed so admission never pays
-            # a device round-trip for PRNGKey)
-            keys = np.zeros((a, 2), np.uint32)
-            for i, sd in enumerate(seeds or [0] * a):
-                keys[i, 0] = (int(sd) >> 32) & 0xFFFFFFFF
-                keys[i, 1] = int(sd) & 0xFFFFFFFF
-            self._state = self._admit_fn(a)(
-                self.pipe.params, self._state, *rest,
-                jnp.asarray(temps, jnp.float32),
-                jnp.asarray(top_ks, jnp.int32), jnp.asarray(keys))
+            if self.assistant is not None:
+                self._state = self._admit_fn(a)(
+                    self.pipe.params, self.assistant[0], self._state, *rest)
+            else:                      # ngram: greedy-shaped admit
+                self._state = self._admit_fn(a)(
+                    self.pipe.params, self._state, *rest)
+            return
+        temps = temps or [0.0] * a
+        top_ks = top_ks or [0] * a
+        # raw threefry key data: [hi32, lo32] of the seed (a stable
+        # per-request stream; host-constructed so admission never pays
+        # a device round-trip for PRNGKey)
+        keys = np.zeros((a, 2), np.uint32)
+        for i, sd in enumerate(seeds or [0] * a):
+            keys[i, 0] = (int(sd) >> 32) & 0xFFFFFFFF
+            keys[i, 1] = int(sd) & 0xFFFFFFFF
+        self._state = self._admit_fn(a)(
+            self.pipe.params, self._state, *rest,
+            jnp.asarray(temps, jnp.float32),
+            jnp.asarray(top_ks, jnp.int32), jnp.asarray(keys))
 
 
 @dataclass
@@ -730,7 +797,9 @@ class ContinuousTranscriber:
                  max_queue: Optional[int] = None,
                  assistant=None, gamma: int = 5,
                  synthetic_acceptance: Optional[float] = None,
-                 adaptive_gamma: bool = False):
+                 adaptive_gamma: bool = False,
+                 ngram_speculative: bool = False, max_ngram: int = 3,
+                 synthetic_period: Optional[int] = None):
         del max_wait_ms  # admission happens every block; no batching window
         self.pipe = pipe
         self.default_language = default_language
@@ -745,7 +814,9 @@ class ContinuousTranscriber:
             pipe, lanes=batch_size or pipe.batch_size,
             block_steps=block_steps, max_new_tokens=self.max_new_tokens,
             assistant=assistant, gamma=gamma,
-            synthetic_acceptance=synthetic_acceptance)
+            synthetic_acceptance=synthetic_acceptance,
+            ngram_speculative=ngram_speculative, max_ngram=max_ngram,
+            synthetic_period=synthetic_period)
         self.batch_size = self.engine.lanes
         # backlog bound, in 30 s windows waiting for a lane; None -> 8
         # full refills deep.  0 is honoured (shed everything — drain mode).
@@ -757,6 +828,12 @@ class ContinuousTranscriber:
         # never blocks on host prep or the language-detect fetch
         self._ready: "queue.Queue[Optional[_EngineRequest]]" = queue.Queue()
         self._featurizer: Optional[threading.Thread] = None
+        # A/B knob: DWT_INLINE_ADMISSION=1 reverts to featurising on the
+        # step-loop thread (the pre-producer-thread behavior) — the
+        # featurizer thread only routes.  Exists so the overlap win is
+        # measurable with one env var (scripts/bench_server.py).
+        self._inline_admission = bool(int(
+            os.environ.get("DWT_INLINE_ADMISSION", "0")))
         self._worker: Optional[threading.Thread] = None
         self._pending: List[_EngineRequest] = []
         self._inflight: Dict[int, _EngineRequest] = {}
@@ -905,6 +982,7 @@ class ContinuousTranscriber:
                 "stats": dict(self.stats)}
         if self.engine.spec:
             snap["speculative"] = {
+                "method": "ngram" if self.engine.ngram else "draft",
                 "gamma": self.engine.gamma,
                 "gamma_current": self.stats["gamma_current"],
                 "adaptive": self.adaptive_gamma,
@@ -1003,7 +1081,8 @@ class ContinuousTranscriber:
                             if len(req.audio) > self.pipe.cfg.n_samples
                             else [req])
                 for c in children:
-                    if not (c.parent or c).cancelled:
+                    if (not self._inline_admission
+                            and not (c.parent or c).cancelled):
                         self._featurise(c)
                     self._ready.put(c)
             except Exception as e:  # noqa: BLE001

@@ -32,6 +32,15 @@ percentiles.  Env knobs:
   BENCH_GAMMA       draft tokens per verify round (default 5)
   BENCH_ADAPTIVE    1 = adaptive draft length (continuous scheduler):
                     walk {gamma/2, gamma, 2*gamma} on measured acceptance
+  BENCH_NGRAM       1 = draft-free prompt-lookup speculation (exclusive
+                    with BENCH_SPEC).  On the continuous scheduler a
+                    BENCH_PERIOD-R teacher oracle (default 24) makes each
+                    lane's text repeat — the lookup ceiling; the
+                    microbatch lane runs raw random-weight behavior
+  DWT_INLINE_ADMISSION=1  revert admission featurisation (mel + language
+                    detect) onto the step-loop thread — the pre-overlap
+                    behavior; A/B against the default producer-thread
+                    overlap to measure the p95 win under admission churn
 
   PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_server.py
 """
@@ -107,6 +116,11 @@ def main():
     accept = float(os.environ.get("BENCH_ACCEPT", "0.8"))
     gamma = int(os.environ.get("BENCH_GAMMA", "5"))
     adaptive = os.environ.get("BENCH_ADAPTIVE") == "1"
+    # draft-free prompt-lookup speculation; BENCH_PERIOD pins a period-R
+    # teacher oracle (repeating text — the lookup ceiling)
+    ngram = os.environ.get("BENCH_NGRAM") == "1"
+    period = int(os.environ.get("BENCH_PERIOD", "24")) if ngram else None
+    assert not (ngram and spec), "BENCH_NGRAM and BENCH_SPEC are exclusive"
 
     cfg = PRESETS[preset].replace(
         fast_bf16_attention=True, use_flash_encoder=True,
@@ -154,6 +168,8 @@ def main():
                                        max_queue=10**9,
                                        assistant=assistant, gamma=gamma,
                                        adaptive_gamma=adaptive,
+                                       ngram_speculative=ngram,
+                                       synthetic_period=period,
                                        synthetic_acceptance=(
                                            accept if spec else None)).start()
         else:
@@ -163,6 +179,7 @@ def main():
                                      max_new_tokens=max_new,
                                      max_queue=10**9,
                                      assistant=assistant, gamma=gamma,
+                                     ngram_speculative=ngram,
                                      synthetic_acceptance=(
                                          accept if spec else None)).start()
         # warmup: compile (full batch for microbatch; admit buckets + step

@@ -141,6 +141,35 @@ def main():
               f"(measured accept {res[f'measured_accept_rate_{int(k*100)}']})",
               flush=True)
 
+    # --- prompt-lookup (n-gram) speculation: draft-FREE.  Period-R
+    # synthetic teacher = repeating text, the technique's best case; the
+    # worst case is the plain-decode rate + one wide-verify overhead ---
+    from distil_whisper_tpu.generation.speculative import (
+        ngram_speculative_generate_batched)
+
+    for period in (16, 48, None):
+        @functools.partial(jax.jit, static_argnames=("p_",))
+        def spec_ng(teacher_p, mel, prompt, p_):
+            enc = encode(teacher_p["encoder"], t_cfg, mel, dtype=jnp.bfloat16)
+            t_cross = cross_kv(teacher_p["decoder"], t_cfg, enc)
+            out = ngram_speculative_generate_batched(
+                teacher_p["decoder"], t_cfg, t_cross, prompt, sopts,
+                gamma=gamma, max_ngram=3, dtype=jnp.bfloat16,
+                synthetic_period=p_)
+            return out.seq_len, out.rounds, out.drafted, out.accepted
+
+        t_ng = run(lambda: spec_ng(teacher, mel, prompt, period)[0])
+        sl, rnds, dr, ac = (np.asarray(x) for x in
+                            spec_ng(teacher, mel, prompt, period))
+        tag = f"period{period}" if period else "raw"
+        res[f"ngram_ms_{tag}"] = round(t_ng * 1e3, 1)
+        res[f"ngram_speedup_{tag}"] = round(t_alone / t_ng, 2)
+        res[f"ngram_tokens_per_round_{tag}"] = round(
+            float(np.sum(sl - 1)) / max(float(np.sum(rnds)), 1), 2)
+        print(f"ngram ({tag}): {t_ng*1e3:.1f} ms, "
+              f"speedup {t_alone/t_ng:.2f}x, "
+              f"{res[f'ngram_tokens_per_round_{tag}']} tok/round", flush=True)
+
     print(json.dumps(res))
 
 

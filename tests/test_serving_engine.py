@@ -730,3 +730,86 @@ def test_engine_word_timestamps_fallback(engine_pipe):
         assert tr.snapshot()["fallback_depth"] == 0
     finally:
         tr.stop()
+
+
+def test_engine_inline_admission_knob(engine_pipe, monkeypatch):
+    """DWT_INLINE_ADMISSION=1 (the A/B knob for measuring the admission-
+    overlap win) featurises on the step-loop thread and must be output-
+    identical to the default producer-thread path."""
+    from distil_whisper_tpu.serving_engine import ContinuousTranscriber
+    monkeypatch.setenv("DWT_INLINE_ADMISSION", "1")
+    tr = ContinuousTranscriber(engine_pipe, batch_size=2, max_new_tokens=8,
+                               block_steps=2).start()
+    try:
+        assert tr._inline_admission
+        wavs = [_tone(1.0, 220.0 + 40 * i, seed=10 + i) for i in range(3)]
+        results = [None] * 3
+
+        def post(i):
+            results[i] = tr.submit(wavs[i], language="en", timeout=600)
+
+        ts = [threading.Thread(target=post, args=(i,)) for i in range(3)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=600)
+        for i in range(3):
+            assert results[i]["text"] == _expected_text(
+                engine_pipe, wavs[i], "en", False, 8)
+    finally:
+        tr.stop()
+
+
+def test_engine_ngram_speculative_matches_greedy(engine_pipe):
+    """Per-lane prompt-lookup (n-gram) speculation — NO draft model: engine
+    lanes must emit exactly the greedy path's tokens under staggered
+    admission and mixed budgets; /v1/stats reports method=ngram."""
+    from distil_whisper_tpu.serving_engine import ContinuousTranscriber
+    tr = ContinuousTranscriber(engine_pipe, batch_size=2, block_steps=4,
+                               max_new_tokens=10,
+                               ngram_speculative=True, gamma=3,
+                               max_ngram=2).start()
+    try:
+        waves = [_tone(1.0, f, 20 + i)
+                 for i, f in enumerate((250.0, 335.0, 415.0, 505.0))]
+        budgets = [10, 5, 8, 10]
+        results = {}
+
+        def make(i):
+            def run():
+                results[i] = tr.submit(waves[i], language="en",
+                                       max_new_tokens=budgets[i],
+                                       timeout=600)
+            return run
+
+        threads = [threading.Thread(target=make(i)) for i in range(4)]
+        for i, t in enumerate(threads):
+            t.start()
+            time.sleep(0.3 * i)  # staggered admission mid-decode
+        for t in threads:
+            t.join(timeout=900)
+        for i in range(4):
+            assert results[i]["text"] == _expected_text(
+                engine_pipe, waves[i], "en", False, budgets[i]), i
+        snap = tr.snapshot()
+        assert snap["speculative"]["method"] == "ngram"
+        assert snap["speculative"]["gamma"] == 3
+    finally:
+        tr.stop()
+
+
+def test_engine_ngram_periodic_oracle_accepts(engine_pipe):
+    """synthetic_period (BENCHMARK-ONLY): a period-R teacher makes each
+    lane's text repeat, so lookups succeed and acceptance goes positive —
+    the measurable ceiling for the draft-free mode."""
+    from distil_whisper_tpu.serving_engine import ContinuousTranscriber
+    tr = ContinuousTranscriber(engine_pipe, batch_size=2, block_steps=4,
+                               max_new_tokens=24,
+                               ngram_speculative=True, gamma=3, max_ngram=2,
+                               synthetic_period=6).start()
+    try:
+        tr.submit(_tone(1.0, 290.0, 31), language="en", timeout=600)
+        assert tr.stats["drafted"] > 0
+        assert tr.stats["accepted"] > 0, tr.stats
+    finally:
+        tr.stop()

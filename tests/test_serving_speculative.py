@@ -175,3 +175,65 @@ def test_max_tokens_truncation_matches_prefix(spec_server):
     _, full = _post(base + "/v1/transcribe?language=en", wav)
     _, short = _post(base + "/v1/transcribe?language=en&max_tokens=3", wav)
     assert full["text"].startswith(short["text"])
+
+
+# ----------------------------------------------------------------------
+# Prompt-lookup (n-gram) speculation over HTTP — no assistant checkpoint.
+# ----------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ngram_server(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ngram")
+    ck = make_tiny_checkpoint(root / "teacher", decoder_layers=2, seed=3)
+    from distil_whisper_tpu.cli.run_server import build_server
+    httpd, transcriber = build_server([
+        "--model_checkpoint", ck,
+        "--ngram_speculative", "--gamma", "3", "--max_ngram", "2",
+        "--host", "127.0.0.1", "--port", "0",
+        "--batch_size", "2", "--max_wait_ms", "50",
+        "--max_new_tokens", "10", "--dtype", "float32",
+        "--language", "en",
+    ])
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    port = httpd.server_address[1]
+    yield f"http://127.0.0.1:{port}", transcriber
+    httpd.shutdown()
+    transcriber.stop()
+
+
+def test_ngram_speculative_token_identity_over_http(ngram_server):
+    """Draft-free prompt-lookup serving == plain greedy for the same
+    inputs; the stats surface reports method=ngram."""
+    from distil_whisper_tpu.serving import BatchingTranscriber
+
+    base, spec_tr = ngram_server
+    plain = BatchingTranscriber(spec_tr.pipe, batch_size=2,
+                                default_language="en",
+                                max_new_tokens=10).start()
+    try:
+        for freq in (220.0, 341.0, 452.0):
+            wav = _wav_bytes(freq=freq)
+            status, out = _post(base + "/v1/transcribe?language=en", wav)
+            assert status == 200
+            ref = plain.submit(wav, language="en")
+            assert out["text"] == ref["text"], f"freq={freq}"
+    finally:
+        plain.stop()
+    assert spec_tr.stats["speculative_batches"] >= 3
+    with urllib.request.urlopen(base + "/v1/stats", timeout=60) as r:
+        snap = json.loads(r.read())
+    assert snap["speculative"]["method"] == "ngram"
+
+
+def test_ngram_and_assistant_mutually_exclusive(tmp_path_factory):
+    from distil_whisper_tpu.serving import BatchingTranscriber
+    from distil_whisper_tpu.pipeline import WhisperPipeline
+    ck = make_tiny_checkpoint(
+        tmp_path_factory.mktemp("x") / "ck", decoder_layers=1, seed=5)
+    import jax.numpy as jnp
+    pipe = WhisperPipeline(ck, dtype=jnp.float32, batch_size=2,
+                           max_new_tokens=4)
+    with pytest.raises(AssertionError):
+        BatchingTranscriber(pipe, assistant=(pipe.params, pipe.cfg),
+                            ngram_speculative=True)

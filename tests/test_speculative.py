@@ -200,3 +200,90 @@ def test_synthetic_acceptance_follows_prefix_law(setup):
     # higher acceptance -> fewer rounds / fewer drafted tokens for the
     # same budget
     assert stats[0.6][2] > stats[0.8][2] > stats[0.95][2], stats
+
+
+# ----------------------------------------------------------------------
+# Prompt-lookup (n-gram) speculation — draft-free; same identity bar.
+# ----------------------------------------------------------------------
+
+def test_ngram_propose_unit():
+    """Handcrafted lookup: longest match wins, continuation is copied,
+    self-match and not-yet-accepted junk are excluded."""
+    from distil_whisper_tpu.generation.speculative import _propose_ngram
+    # accepted prefix: 5 6 7 9 5 6 7   (cur=7); the last 3-gram [5,6,7]
+    # recurs at j=0 -> continuation t[3:6] = [9, 5, 6]
+    toks = jnp.asarray([[5, 6, 7, 9, 5, 6, 7, 1, 1, 1, 1, 1]], jnp.int32)
+    d, found = _propose_ngram(toks, jnp.asarray(7, jnp.int32),
+                              gamma=3, max_ngram=3, pad_id=0)
+    assert bool(found)
+    np.testing.assert_array_equal(np.asarray(d), [9, 5, 6])
+    # no repeat anywhere -> not found, pad proposals
+    toks2 = jnp.asarray([[3, 4, 5, 6, 7, 8, 0, 0, 0, 0, 0, 0]], jnp.int32)
+    d2, found2 = _propose_ngram(toks2, jnp.asarray(6, jnp.int32),
+                                gamma=3, max_ngram=3, pad_id=0)
+    assert not bool(found2)
+    np.testing.assert_array_equal(np.asarray(d2), [0, 0, 0])
+    # junk BEYOND cur must not be used as a match source: same 3-gram
+    # present only at positions >= cur
+    toks3 = jnp.asarray([[3, 4, 5, 6, 7, 8, 6, 7, 8, 9, 9, 9]], jnp.int32)
+    _, found3 = _propose_ngram(toks3, jnp.asarray(6, jnp.int32),
+                               gamma=3, max_ngram=3, pad_id=0)
+    # last 3-gram of the ACCEPTED prefix (cur=6) is [6,7,8] at j=3; the
+    # copy at j=6 sits at cur and may not match (j + k <= cur - 1)
+    assert not bool(found3)
+
+
+@pytest.mark.parametrize("gamma,max_ngram", [(3, 2), (5, 3)])
+def test_ngram_identical_to_teacher_greedy(setup, gamma, max_ngram):
+    from distil_whisper_tpu.generation.speculative import (
+        ngram_speculative_generate)
+    teacher, _, _, t_cross, _ = setup
+    opts = GenerationOptions(max_new_tokens=32, suppress_tokens=(7, 8))
+    prompt = jnp.asarray([[3]], jnp.int32)
+    golden = generate(teacher["decoder"], TEACHER_CFG, t_cross, prompt, opts)
+    g_seq = np.asarray(golden.sequences)[0][:int(golden.seq_len[0])]
+    out = ngram_speculative_generate(
+        teacher["decoder"], TEACHER_CFG, t_cross, prompt, opts,
+        gamma=gamma, max_ngram=max_ngram)
+    s_seq = np.asarray(out.sequences)[0][:int(out.seq_len[0])]
+    np.testing.assert_array_equal(s_seq, g_seq)
+
+
+def test_ngram_batched_matches_bs1():
+    from distil_whisper_tpu.generation.speculative import (
+        ngram_speculative_generate, ngram_speculative_generate_batched)
+    teacher = init_params(TEACHER_CFG, jax.random.PRNGKey(11))
+    rng = np.random.default_rng(11)
+    mel = jnp.asarray(rng.standard_normal((3, 80, 3000)), jnp.float32)
+    enc = encode(teacher["encoder"], TEACHER_CFG, mel)
+    t_cross = cross_kv(teacher["decoder"], TEACHER_CFG, enc)
+    opts = GenerationOptions(max_new_tokens=24)
+    prompts = jnp.tile(jnp.asarray([[3]], jnp.int32), (3, 1))
+    outb = ngram_speculative_generate_batched(
+        teacher["decoder"], TEACHER_CFG, t_cross, prompts, opts, gamma=3)
+    for i in range(3):
+        tci = jax.tree.map(lambda x: x[:, i:i + 1], t_cross)
+        o1 = ngram_speculative_generate(
+            teacher["decoder"], TEACHER_CFG, tci, prompts[i:i + 1],
+            opts, gamma=3)
+        np.testing.assert_array_equal(np.asarray(outb.sequences)[i],
+                                      np.asarray(o1.sequences)[0])
+        assert int(outb.seq_len[i]) == int(o1.seq_len[0])
+
+
+def test_ngram_periodic_oracle_accepts_all_lookups(setup):
+    """With a period-R synthetic teacher the decoded text repeats with
+    period R, so every successful lookup's proposals are correct: accepted
+    == drafted, and tokens/round beats 1 (the plain-decode rate)."""
+    from distil_whisper_tpu.generation.speculative import (
+        ngram_speculative_generate)
+    teacher, _, _, t_cross, _ = setup
+    opts = GenerationOptions(max_new_tokens=64)
+    prompt = jnp.asarray([[3]], jnp.int32)
+    out = ngram_speculative_generate(
+        teacher["decoder"], TEACHER_CFG, t_cross, prompt, opts,
+        gamma=4, max_ngram=3, synthetic_period=8)
+    drafted, accepted = int(out.drafted), int(out.accepted)
+    assert drafted > 0 and accepted == drafted
+    tokens_emitted = int(out.seq_len[0]) - 1
+    assert tokens_emitted / int(out.rounds) > 2.0
