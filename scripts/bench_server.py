@@ -116,6 +116,11 @@ def main():
     accept = float(os.environ.get("BENCH_ACCEPT", "0.8"))
     gamma = int(os.environ.get("BENCH_GAMMA", "5"))
     adaptive = os.environ.get("BENCH_ADAPTIVE") == "1"
+    # BENCH_LANG=auto leaves language unset so every admission pays the
+    # language-detect device fetch -- the cost the featurizer-thread
+    # overlap hides (A/B with DWT_INLINE_ADMISSION=1)
+    lang = os.environ.get("BENCH_LANG", "en")
+    lang = None if lang in ("auto", "") else lang
     # draft-free prompt-lookup speculation; BENCH_PERIOD pins a period-R
     # teacher oracle (repeating text — the lookup ceiling)
     ngram = os.environ.get("BENCH_NGRAM") == "1"
@@ -162,7 +167,7 @@ def main():
             # max_queue: the bench measures saturation throughput, so
             # admit the whole offered load (no 503 shedding mid-bench)
             ts = ContinuousTranscriber(pipe, batch_size=batch,
-                                       default_language="en",
+                                       default_language=lang,
                                        max_new_tokens=max_new,
                                        block_steps=block,
                                        max_queue=10**9,
@@ -175,7 +180,7 @@ def main():
         else:
             ts = BatchingTranscriber(pipe, batch_size=batch,
                                      max_wait_ms=100,
-                                     default_language="en",
+                                     default_language=lang,
                                      max_new_tokens=max_new,
                                      max_queue=10**9,
                                      assistant=assistant, gamma=gamma,
