@@ -65,6 +65,9 @@ Headline fields:
       a synthetic 80% acceptance rate (random weights never agree; synthetic
       acceptance drives the REAL compute of both models with oracle token
       choices, so the cost structure is measured, the accept rate is pinned).
+      Its ngram_* keys measure draft-FREE prompt-lookup speculation on a
+      period-24 synthetic teacher (repeating text — the lookup ceiling;
+      beyond the reference surface).
   hf_distil_rtfx — the in-run reference-stack measurement behind vs_baseline.
   rtfx_128 / ratio_128 — the short-form eval default (max_new_tokens=128).
   rtfx_eos96 / ratio_eos96 — EOS forced at generated position 96 (typical
