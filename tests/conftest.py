@@ -19,3 +19,21 @@ import jax  # noqa: E402
 # on local virtual CPU devices.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled-executable caches after every test module.
+
+    One long pytest process accumulates hundreds of XLA:CPU executables;
+    past a threshold the NEXT compile segfaults inside
+    ``backend_compile_and_load`` (the same environment bug the multichip
+    dryrun dodges via subprocess isolation — see scripts and dev notes).
+    Clearing between modules keeps the per-process compile population
+    bounded; jitted functions simply retrace on next use."""
+    yield
+    import jax
+    jax.clear_caches()
