@@ -59,8 +59,8 @@ class BasicTextNormalizer:
 
     def __call__(self, s: str) -> str:
         s = s.lower()
-        s = re.sub(r"[<\[][^>\]]*[>\]]", "", s)  # remove words between brackets
-        s = re.sub(r"\(([^)]+?)\)", "", s)       # remove words between parens
+        s = re.sub(r"[<\[][^>\]]*[>\]]", "", s)  # drop bracketed annotations
+        s = re.sub(r"\(([^)]+?)\)", "", s)       # drop parenthesised asides
         s = self.clean(s).lower()
         if self.split_letters:
             if regex is None:  # pragma: no cover
@@ -179,24 +179,25 @@ class EnglishNumberNormalizer:
             has_prefix = current[0] in self.prefixes
             current_without_prefix = current[1:] if has_prefix else current
             if re.match(r"^\d+(\.\d+)?$", current_without_prefix):
-                # arabic numbers (potentially with signs and fractions)
+                # digit literal, possibly signed or fractional/decimal
                 f = to_fraction(current_without_prefix)
                 if f is None:
                     raise ValueError("Converting the fraction failed")
                 if value is not None:
                     if isinstance(value, str) and value.endswith("."):
-                        # concatenate decimals / ip-address-like
+                        # a pending "n." glues onto the digits (decimal
+                        # fractions, ip-address-like runs)
                         value = str(value) + str(current)
                         continue
                     else:
                         yield output(value)
                 prefix = current[0] if has_prefix else prefix
                 if f.denominator == 1:
-                    value = f.numerator  # int
+                    value = f.numerator  # whole number -> keep it an int
                 else:
                     value = current_without_prefix
             elif current not in self.words:
-                # non-numeric word
+                # ordinary word: flush any pending number, pass it through
                 if value is not None:
                     yield output(value)
                 yield output(current)
@@ -207,7 +208,7 @@ class EnglishNumberNormalizer:
                 if value is None:
                     value = ones
                 elif isinstance(value, str) or prev in self.ones:
-                    if prev in self.tens and ones < 10:  # twenty one
+                    if prev in self.tens and ones < 10:  # "twenty one": fill the 0
                         assert isinstance(value, str)
                         value = value[:-1] + str(ones)
                     else:
@@ -217,13 +218,13 @@ class EnglishNumberNormalizer:
                         value += ones
                     else:
                         value = str(value) + str(ones)
-                else:  # eleven to nineteen
+                else:  # teens merge only onto a clean hundreds boundary
                     if value % 100 == 0:
                         value += ones
                     else:
                         value = str(value) + str(ones)
             elif current in self.ones_suffixed:
-                # ordinal or cardinal; yield the number right away
+                # suffixed form ("first", "ones"): terminal — emit now
                 ones, suffix = self.ones_suffixed[current]
                 if value is None:
                     yield output(str(ones) + suffix)
@@ -238,7 +239,7 @@ class EnglishNumberNormalizer:
                         yield output(str(value + ones) + suffix)
                     else:
                         yield output(str(value) + str(ones) + suffix)
-                else:  # eleven to nineteen
+                else:  # teens merge only onto a clean hundreds boundary
                     if value % 100 == 0:
                         yield output(str(value + ones) + suffix)
                     else:
@@ -294,14 +295,15 @@ class EnglishNumberNormalizer:
                     else:
                         yield output(value)
                         yield output(str(multiplier) + suffix)
-                else:  # int
+                else:  # accumulated int: scale the sub-thousand residue
                     before = value // 1000 * 1000
                     residual = value % 1000
                     value = before + residual * multiplier
                     yield output(str(value) + suffix)
                 value = None
             elif current in self.preceding_prefixers:
-                # apply prefix (positive, minus, etc.) if it precedes a number
+                # sign-like words ("minus", "negative") become a prefix only
+                # when a number actually follows
                 if value is not None:
                     yield output(value)
                 if next_ in self.words or next_is_numeric:
@@ -309,14 +311,15 @@ class EnglishNumberNormalizer:
                 else:
                     yield output(current)
             elif current in self.following_prefixers:
-                # apply prefix (dollars, cents, etc.) only after a number
+                # currency words prefix the number they FOLLOW ("five dollars"
+                # -> "$5"); bare currency words pass through
                 if value is not None:
                     prefix = self.following_prefixers[current]
                     yield output(value)
                 else:
                     yield output(current)
             elif current in self.suffixers:
-                # apply suffix symbols (percent -> '%')
+                # words rendered as a trailing symbol on the number
                 if value is not None:
                     suffix = self.suffixers[current]
                     if isinstance(suffix, dict):
@@ -332,12 +335,13 @@ class EnglishNumberNormalizer:
                     yield output(current)
             elif current in self.specials:
                 if next_ not in self.words and not next_is_numeric:
-                    # apply special handling only if the next word can be numeric
+                    # special forms bind only when a numeric word follows
                     if value is not None:
                         yield output(value)
                     yield output(current)
                 elif current == "and":
-                    # ignore "and" after hundreds, thousands, etc.
+                    # the "and" inside a multiplier chain ("one hundred and
+                    # five") is silent; elsewhere it is an ordinary word
                     if prev not in self.multipliers:
                         if value is not None:
                             yield output(value)
@@ -364,7 +368,8 @@ class EnglishNumberNormalizer:
             yield output(value)
 
     def preprocess(self, s: str) -> str:
-        # replace "<number> and a half" with "<number> point five"
+        # "<number> and a half" reads as a decimal: rewrite to "point five"
+        # (only when the preceding word really is numeric)
         results = []
         segments = re.split(r"\band\s+a\s+half\b", s)
         for i, segment in enumerate(segments):
@@ -380,10 +385,10 @@ class EnglishNumberNormalizer:
                 else:
                     results.append("and a half")
         s = " ".join(results)
-        # put a space at number/letter boundary
+        # split glued digit/letter runs so the FSM sees separate words...
         s = re.sub(r"([a-z])([0-9])", r"\1 \2", s)
         s = re.sub(r"([0-9])([a-z])", r"\1 \2", s)
-        # but remove spaces which could be a suffix
+        # ...except ordinal/plural suffixes, which re-attach
         s = re.sub(r"([0-9])\s+(st|nd|rd|th|s)\b", r"\1\2", s)
         return s
 
@@ -403,10 +408,10 @@ class EnglishNumberNormalizer:
             except ValueError:  # pragma: no cover
                 return m.string
 
-        # apply currency postprocessing: "$2 and ¢7" -> "$2.07"
+        # fold cents into the dollar amount: "$2 and ¢7" -> "$2.07"
         s = re.sub(r"([€£$])([0-9]+) (?:and )?¢([0-9]{1,2})\b", combine_cents, s)
         s = re.sub(r"[€£$]0.([0-9]{1,2})\b", extract_cents, s)
-        # write "one(s)" instead of "1(s)", just for readability
+        # a lone "1"/"1s" reads better spelled out
         s = re.sub(r"\b1(s?)\b", r"one\1", s)
         return s
 
@@ -431,7 +436,7 @@ class EnglishTextNormalizer:
     def __init__(self, english_spelling_mapping: Optional[Dict[str, str]] = None):
         self.ignore_patterns = r"\b(hmm|mm|mhm|mmm|uh|um)\b"
         self.replacers = {
-            # common contractions
+            # fixed-form contractions with irregular expansions
             r"\bwon't\b": "will not",
             r"\bcan't\b": "can not",
             r"\blet's\b": "let us",
@@ -446,7 +451,7 @@ class EnglishTextNormalizer:
             r"\bcoulda\b": "could have",
             r"\bshoulda\b": "should have",
             r"\bma'am\b": "madam",
-            # contractions in titles/prefixes
+            # abbreviated titles (the trailing space guards re-splitting)
             r"\bmr\b": "mister ",
             r"\bmrs\b": "missus ",
             r"\bst\b": "saint ",
@@ -468,15 +473,16 @@ class EnglishTextNormalizer:
             r"\bjr\b": "junior ",
             r"\bsr\b": "senior ",
             r"\besq\b": "esquire ",
-            # prefect tenses, ideally it should be any past participles,
-            # but it's harder to make a list of all of them
+            # perfect-tense 'd/'s before the handful of participles where
+            # the expansion is unambiguous (a full participle list would be
+            # open-ended)
             r"'d been\b": " had been",
             r"'s been\b": " has been",
             r"'d gone\b": " had gone",
             r"'s gone\b": " has gone",
-            r"'d done\b": " had done",  # "'s done" is ambiguous
+            r"'d done\b": " had done",  # no "'s done": is/has both plausible
             r"'s got\b": " has got",
-            # general contractions
+            # regular clitic expansions
             r"n't\b": " not",
             r"'re\b": " are",
             r"'s\b": " is",
@@ -492,19 +498,19 @@ class EnglishTextNormalizer:
 
     def __call__(self, s: str) -> str:
         s = s.lower()
-        s = re.sub(r"[<\[][^>\]]*[>\]]", "", s)  # remove words between brackets
-        s = re.sub(r"\(([^)]+?)\)", "", s)       # remove words between parens
+        s = re.sub(r"[<\[][^>\]]*[>\]]", "", s)  # drop bracketed annotations
+        s = re.sub(r"\(([^)]+?)\)", "", s)       # drop parenthesised asides
         s = re.sub(self.ignore_patterns, "", s)
-        s = re.sub(r"\s+'", "'", s)  # standardize when there's a space before an apostrophe
+        s = re.sub(r"\s+'", "'", s)  # re-attach floating apostrophes
         for pattern, replacement in self.replacers.items():
             s = re.sub(pattern, replacement, s)
-        s = re.sub(r"(\d),(\d)", r"\1\2", s)  # remove commas between digits
-        s = re.sub(r"\.([^0-9]|$)", r" \1", s)  # remove periods not followed by numbers
-        s = remove_symbols_and_diacritics(s, keep=".%$¢€£")  # keep numeric symbols
+        s = re.sub(r"(\d),(\d)", r"\1\2", s)  # 1,000 -> 1000
+        s = re.sub(r"\.([^0-9]|$)", r" \1", s)  # keep only decimal points
+        s = remove_symbols_and_diacritics(s, keep=".%$¢€£")  # spare number symbols
         s = self.standardize_numbers(s)
         s = self.standardize_spellings(s)
-        # now remove prefix/suffix symbols that aren't preceded/followed by numbers
+        # number symbols that ended up unattached to digits are noise
         s = re.sub(r"[.$¢€£]([^0-9])", r" \1", s)
         s = re.sub(r"([^0-9])%", r"\1 ", s)
-        s = re.sub(r"\s+", " ", s)  # replace any successive whitespaces with a space
+        s = re.sub(r"\s+", " ", s)  # collapse whitespace runs
         return s.strip()
