@@ -240,17 +240,18 @@ class BatchingTranscriber:
         # README.md:352-432): ``assistant`` = (draft_params, draft_cfg) — a
         # distil draft proposes, the served model verifies; output is
         # token-identical to the served model's own greedy decode, so it is
-        # a pure speed knob.  Applies to short-form non-timestamp requests
-        # (the timestamp FSM is not expressible inside the accept/verify
-        # loop — those fall back to plain generate).
+        # a pure speed knob.  Applies to short-form requests, timestamped
+        # or not (the Whisper timestamp FSM runs per verify column inside
+        # the accept/verify loop — generation.speculative).
         self.assistant = assistant
         # prompt-lookup decoding (draft-FREE speculation): proposals are
         # copied from repeated n-grams in the sequence decoded so far —
         # no assistant weights, no draft KV cache, still token-identical
         # to plain greedy.  Mutually exclusive with ``assistant``.
         self.ngram = bool(ngram_speculative)
-        assert not (self.ngram and assistant is not None), \
-            "pick ONE speculation method: assistant draft or ngram lookup"
+        if self.ngram and assistant is not None:
+            raise ValueError(
+                "pick ONE speculation method: assistant draft or ngram lookup")
         self.max_ngram = int(max_ngram)
         self.gamma = int(gamma)
         # BENCHMARK-ONLY (same contract as generation.speculative): pin the
@@ -258,7 +259,7 @@ class BatchingTranscriber:
         # models run their real compute — measures the speculative cost
         # structure with random weights.  Output tokens are synthetic.
         self.synthetic_acceptance = synthetic_acceptance
-        self._spec_fn = None
+        self._spec_fn = {}  # keyed by return_timestamps
         # backlog bound (requests waiting for a worker slot); None -> 8
         # batches deep.  0 is honoured (shed everything — drain mode).
         self.max_queue = (8 * self.batch_size if max_queue is None
@@ -361,13 +362,18 @@ class BatchingTranscriber:
                 if self.stats["drafted"] else None}
         return snap
 
-    def _speculative_fn(self):
-        """Jitted draft-assisted generate (built once; jax retraces per
-        batch/prompt shape).  The draft shares the served model's encoder
-        when widths match (the reference's distil-draft setup,
-        /root/reference/training/run_eval.py:578-599)."""
-        if self._spec_fn is not None:
-            return self._spec_fn
+    def _speculative_fn(self, return_timestamps: bool = False):
+        """Jitted draft-assisted generate (built once per timestamps flag;
+        jax retraces per batch/prompt shape).  The draft shares the served
+        model's encoder when widths match (the reference's distil-draft
+        setup, /root/reference/training/run_eval.py:578-599).  Timestamped
+        groups run the same accept/verify loop with the Whisper FSM applied
+        per verify column (generation.speculative._teacher_choices) — the
+        composition HF assisted generation provides the reference
+        (training/run_eval.py:706-735)."""
+        key = bool(return_timestamps)
+        if key in self._spec_fn:
+            return self._spec_fn[key]
         import jax
         from .models.whisper import encode, cross_kv
         from .generation import GenerationOptions
@@ -376,7 +382,9 @@ class BatchingTranscriber:
 
         pipe, cfg = self.pipe, self.pipe.cfg
         opts = GenerationOptions.from_config(
-            cfg, max_new_tokens=self.max_new_tokens)
+            cfg, max_new_tokens=self.max_new_tokens,
+            return_timestamps=key,
+            no_speech_token_id=pipe.tokenizer.no_speech)
         gamma = self.gamma
         synth = self.synthetic_acceptance
 
@@ -391,7 +399,7 @@ class BatchingTranscriber:
                     t_params["decoder"], cfg, t_cross, prompt_ids, opts,
                     gamma=gamma, max_ngram=max_ngram, dtype=pipe.dtype)
 
-            self._spec_fn = spec_ngram
+            self._spec_fn[key] = spec_ngram
             return spec_ngram
 
         draft_cfg = self.assistant[1]
@@ -409,7 +417,7 @@ class BatchingTranscriber:
                 t_cross, d_cross, prompt_ids, opts, gamma=gamma,
                 dtype=pipe.dtype, synthetic_acceptance=synth)
 
-        self._spec_fn = spec
+        self._spec_fn[key] = spec
         return spec
 
     def submit_stream(self, audio, **kw):
@@ -606,17 +614,17 @@ class BatchingTranscriber:
                 out = fn(pipe.params, pipe._put_batch(mels), prompts,
                          float(temp), jax.random.PRNGKey(seed))
                 self.stats["sampled"] += len(reqs)
-            elif ((self.assistant is not None or self.ngram)
-                  and not return_timestamps):
+            elif self.assistant is not None or self.ngram:
                 # draft-assisted decoding: token-identical to the plain
-                # greedy path (the non-timestamp processor stacks match —
-                # generate._process_scores vs speculative._process), faster
+                # greedy path (the processor stacks match column-for-column
+                # — generate._process_scores vs speculative._process, incl.
+                # the timestamp FSM applied per verify column), faster
                 # whenever the draft's acceptance rate earns back its cost
                 if self.ngram:
-                    out = self._speculative_fn()(
+                    out = self._speculative_fn(return_timestamps)(
                         pipe.params, pipe._put_batch(mels), prompts)
                 else:
-                    out = self._speculative_fn()(
+                    out = self._speculative_fn(return_timestamps)(
                         pipe.params, self.assistant[0],
                         pipe._put_batch(mels), prompts)
                 self.stats["speculative_batches"] += 1

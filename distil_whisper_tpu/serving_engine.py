@@ -125,14 +125,19 @@ class ContinuousBatchingEngine:
         # period-R per-lane oracle so the text repeats — the lookup
         # ceiling, measurable with random weights.
         self.ngram = bool(ngram_speculative)
-        assert not (self.ngram and assistant is not None), \
-            "pick ONE speculation method: assistant draft or ngram lookup"
+        if self.ngram and assistant is not None:
+            raise ValueError(
+                "pick ONE speculation method: assistant draft or ngram lookup")
         self.max_ngram = int(max_ngram)
         self.synthetic_period = synthetic_period
         self.spec = assistant is not None or self.ngram
-        assert synthetic_acceptance is None or assistant is not None, \
-            "synthetic_acceptance pins a DRAFT's agreement; for ngram use " \
-            "synthetic_period (repeating-text oracle)"
+        if synthetic_acceptance is not None and self.ngram:
+            # scoped to speculative engines: on a plain greedy engine the
+            # knob is a harmless no-op (kept for callers that pass it
+            # unconditionally)
+            raise ValueError(
+                "synthetic_acceptance pins a DRAFT's agreement; for ngram "
+                "use synthetic_period (repeating-text oracle)")
         self.synthetic_acceptance = synthetic_acceptance
         # longest possible prompt: [sot, lang?, task?, notimestamps]
         langs = sorted(self.tok.lang_to_id) or [None]
@@ -355,10 +360,14 @@ class ContinuousBatchingEngine:
         EVERY gamma, which is what makes runtime gamma switching free of
         correctness risk.
 
-        Timestamp lanes never reach this program (the transcriber routes
-        timestamp requests to the fallback pipeline in speculative mode —
-        the FSM is sequential by construction), so the timestamp rules are
-        compiled out.  ``packed`` gains per-lane cumulative drafted/accepted
+        Timestamp lanes ride the same rounds: the Whisper FSM runs per
+        verify COLUMN, each column's per-lane state advanced through the
+        draft tokens it is conditioned on, gated by ``use_ts`` exactly as
+        in the greedy block (same construction as
+        generation.speculative._teacher_choices — columns past the first
+        mismatch use a counterfactual state but are discarded by the
+        accept rule, so every EMITTED token saw the greedy block's FSM
+        state).  ``packed`` gains per-lane cumulative drafted/accepted
         counters: ``[finished | pos | drafted | accepted | tokens.ravel()]``.
         """
         import jax
@@ -430,6 +439,16 @@ class ContinuousBatchingEngine:
                 last_tok = jnp.take_along_axis(
                     s["tokens"], (pos - 1)[:, None], axis=1)[:, 0]
 
+                use_ts = s["use_ts"]
+
+                def _apply_ts(scores, gidx, ts_state):
+                    # per-lane FSM rules, gated exactly like the greedy
+                    # block (non-ts lanes see the plain stack)
+                    ts_sc = L.timestamp_rules(
+                        scores, gidx, ts_state, cfg,
+                        opts.max_initial_timestamp_index)
+                    return jnp.where(use_ts[:, None], ts_sc, scores)
+
                 if ngram:
                     # ---- drafts from per-lane n-gram lookup (no model)
                     from .generation.speculative import _propose_ngram
@@ -442,13 +461,16 @@ class ContinuousBatchingEngine:
                     d_cache = None
                 else:
                     # ---- draft proposes gamma tokens at its lane cursors
+                    # (FSM-legal proposals via the carried per-lane state —
+                    # acceptance hygiene only, the verify pass decides)
                     def draft_step(carry, _):
-                        tok, off, dc = carry
+                        tok, off, dc, dts = carry
                         lg, dc = decode(d_dec, d_params_cfg, tok[:, None],
                                         cross=s["d_cross"], cache=dc,
                                         pos_offset=off, dtype=dtype)
                         scores = _proc(lg[:, -1].astype(jnp.float32),
                                        off + 1 - plen, plen)
+                        scores = _apply_ts(scores, off + 1 - plen, dts)
                         if synth is not None:
                             tok_pos = off + 1
                             target = jnp.where(_agree(tok_pos),
@@ -456,10 +478,12 @@ class ContinuousBatchingEngine:
                                                _oracle(tok_pos) + 1)
                             scores = _bias_to(scores, target)
                         nxt = jnp.argmax(scores, -1).astype(jnp.int32)
-                        return (nxt, off + 1, dc), nxt
+                        return (nxt, off + 1, dc,
+                                dts.update(nxt, cfg.timestamp_begin)), nxt
 
-                    (_, _, d_cache), drafts = jax.lax.scan(
-                        draft_step, (last_tok, pos - 1, s["d_cache"]), None,
+                    (_, _, d_cache, _), drafts = jax.lax.scan(
+                        draft_step,
+                        (last_tok, pos - 1, s["d_cache"], s["ts"]), None,
                         length=gamma)
                     drafts = drafts.T                      # [B, gamma]
                     found = jnp.ones((b,), bool)
@@ -470,10 +494,12 @@ class ContinuousBatchingEngine:
                                          cache=s["cache"],
                                          pos_offset=pos - 1, dtype=dtype)
                 cols, lps = [], []
+                col_ts = s["ts"]
                 for i in range(gamma + 1):
                     # column i predicts absolute position pos + i
                     sc = _proc(t_logits[:, i].astype(jnp.float32),
                                pos + i - plen, plen)
+                    sc = _apply_ts(sc, pos + i - plen, col_ts)
                     if synth is not None:
                         # the teacher always "chooses" its position's oracle
                         sc = _bias_to(sc, _oracle(pos + i))
@@ -486,6 +512,9 @@ class ContinuousBatchingEngine:
                                              ch[:, None], axis=-1)[:, 0]
                     cols.append(ch)
                     lps.append(lp)
+                    if i < gamma:
+                        col_ts = col_ts.update(drafts[:, i],
+                                               cfg.timestamp_begin)
                 t_choice = jnp.stack(cols, axis=1)         # [B, gamma+1]
                 t_logp = jnp.stack(lps, axis=1)            # [B, gamma+1]
 
@@ -525,14 +554,46 @@ class ContinuousBatchingEngine:
                         row, v, (p,)))(s["tokens"], pad_vec, pos)
                 sum_logprobs = s["sum_logprobs"] + jnp.sum(
                     jnp.where(idx < emit[:, None], t_logp, 0.0), axis=1)
-                live_draft = jnp.where(
-                    jnp.logical_or(frozen, ~found), 0, gamma)
+
+                # advance the per-lane FSM past the emitted window in one
+                # shot (== emit sequential TimestampState.update calls;
+                # emit == 0 leaves a lane's state untouched)
+                emitted = idx < emit[:, None]
+                w_last = jnp.take_along_axis(
+                    accepted_vec, jnp.maximum(emit - 1, 0)[:, None],
+                    axis=1)[:, 0]
+                w_pen = jnp.take_along_axis(
+                    accepted_vec, jnp.maximum(emit - 2, 0)[:, None],
+                    axis=1)[:, 0]
+                old = s["ts"]
+                is_ts_w = jnp.logical_and(emitted,
+                                          accepted_vec >= cfg.timestamp_begin)
+                ts_pos = jnp.max(jnp.where(is_ts_w, idx, -1), axis=1)
+                w_ts = jnp.take_along_axis(
+                    accepted_vec, jnp.maximum(ts_pos, 0)[:, None],
+                    axis=1)[:, 0]
+                new_ts = L.TimestampState(
+                    prev=jnp.where(emit >= 1, w_last,
+                                   old.prev).astype(jnp.int32),
+                    prevprev=jnp.where(
+                        emit >= 2, w_pen,
+                        jnp.where(emit == 1, old.prev,
+                                  old.prevprev)).astype(jnp.int32),
+                    last_ts=jnp.where(ts_pos >= 0, w_ts,
+                                      old.last_ts).astype(jnp.int32))
+                # drafted/accepted move together: rounds with no real lookup
+                # (found=False — pad fillers) credit neither, or the
+                # acceptance-rate estimate could exceed 1 when a pad draft
+                # coincidentally matches the teacher's choice
+                dead = jnp.logical_or(frozen, ~found)
+                live_draft = jnp.where(dead, 0, gamma)
+                live_accept = jnp.where(dead, 0, jnp.maximum(emit - 1, 0))
                 nxt = dict(
-                    s, tokens=tokens, cache=cache,
+                    s, tokens=tokens, cache=cache, ts=new_ts,
                     finished=finished, sum_logprobs=sum_logprobs,
                     pos=pos + emit,
                     drafted=s["drafted"] + live_draft,
-                    accepted=s["accepted"] + jnp.maximum(emit - 1, 0))
+                    accepted=s["accepted"] + live_accept)
                 if d_cache is not None:
                     nxt["d_cache"] = d_cache
                 return nxt
@@ -808,8 +869,9 @@ class ContinuousTranscriber:
         # draft_cfg)): every block round drafts gamma tokens and verifies
         # them with one wide teacher decode per lane — in-flight batching
         # and draft-assisted decoding compose (beyond the reference, whose
-        # speculative path is batch-1 offline).  Timestamp requests fall
-        # back to the pipeline (the FSM is sequential by construction).
+        # speculative path is batch-1 offline).  Timestamp requests ride
+        # the same lanes: the Whisper FSM runs per verify column inside
+        # the block (generation.speculative semantics).
         self.engine = ContinuousBatchingEngine(
             pipe, lanes=batch_size or pipe.batch_size,
             block_steps=block_steps, max_new_tokens=self.max_new_tokens,
@@ -1059,21 +1121,19 @@ class ContinuousTranscriber:
                 if (req.return_timestamps == "word"
                         or req.mode == "sequential"
                         or req.num_beams > 1
-                        or (self.engine.spec
-                            and (req.return_timestamps
-                                 or req.temperature > 0))):
+                        or (self.engine.spec and req.temperature > 0)):
                     # word timestamps need the pipeline's cross-attention
                     # alignment pass; sequential long-form is a host-driven
                     # sliding window with a fallback ladder; in speculative
-                    # mode neither the timestamp FSM nor sampling can ride
-                    # the accept/verify lanes (the verify contract is argmax
-                    # agreement) — the fallback thread serves all of these
-                    # and lanes never stall
+                    # mode sampling cannot ride the accept/verify lanes
+                    # (the verify contract is argmax agreement) — the
+                    # fallback thread serves these and lanes never stall.
+                    # Segment-timestamp requests RIDE the speculative lanes
+                    # (per-column FSM in the verify pass, _build_spec_block)
                     self.stats["word_ts" if req.return_timestamps == "word"
                                else "sequential" if req.mode == "sequential"
                                else "beam" if req.num_beams > 1
-                               else "sampled_fallback" if req.temperature > 0
-                               else "ts_fallback"] += 1
+                               else "sampled_fallback"] += 1
                     self._ensure_fb_worker()
                     self._fb_q.put(req)
                     continue

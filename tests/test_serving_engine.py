@@ -624,14 +624,15 @@ def test_engine_speculative_matches_greedy(engine_pipe, draft_assistant):
         assert tr.stats["drafted"] > 0
         snap = tr.snapshot()
         assert snap["speculative"]["gamma"] == 3
-        # timestamp request -> fallback pipeline, exact pipeline semantics
+        # timestamp requests RIDE the speculative lanes (per-column FSM in
+        # the verify pass) — identical to the pipeline's timestamped greedy
         res_ts = tr.submit(waves[0], language="en", return_timestamps=True,
                            timeout=600)
         direct = engine_pipe(waves[0], language="en",
                              return_timestamps=True, max_new_tokens=10)
         assert res_ts["text"] == direct["text"]
         assert res_ts.get("chunks") == direct.get("chunks")
-        assert tr.stats["ts_fallback"] == 1
+        assert tr.stats["ts_fallback"] == 0
     finally:
         tr.stop()
 

@@ -99,16 +99,31 @@ def test_speculative_stats_surface(spec_server):
     assert 0.0 <= snap["speculative"]["acceptance_rate"] <= 1.0
 
 
-def test_timestamped_requests_fall_back_to_plain_generate(spec_server):
-    """Segment-timestamp requests can't ride the accept/verify loop (no
-    timestamp FSM there) — they must still be served, via plain generate."""
+def test_timestamped_requests_ride_speculation(spec_server):
+    """Segment-timestamp requests ride the accept/verify loop (the Whisper
+    FSM runs per verify column — generation.speculative) and the output is
+    identical to the plain pipeline's timestamped greedy decode."""
+    from distil_whisper_tpu.serving import BatchingTranscriber
     base, spec_tr = spec_server
     before = spec_tr.stats["speculative_batches"]
+    wav = _wav_bytes(freq=260.0)
     status, out = _post(base + "/v1/transcribe?language=en&timestamps=1",
-                        _wav_bytes(freq=260.0))
+                        wav)
     assert status == 200
     assert "chunks" in out
-    assert spec_tr.stats["speculative_batches"] == before
+    assert spec_tr.stats["speculative_batches"] == before + 1
+    plain = BatchingTranscriber(spec_tr.pipe, batch_size=2,
+                                default_language="en",
+                                max_new_tokens=8).start()
+    try:
+        ref = plain.submit(wav, language="en", return_timestamps=True)
+        assert out["text"] == ref["text"]
+        # the HTTP layer JSON-round-trips tuples into lists
+        assert out["chunks"] == [
+            {**c, "timestamp": list(c["timestamp"])}
+            for c in ref.get("chunks", [])]
+    finally:
+        plain.stop()
 
 
 @pytest.fixture(scope="module")
@@ -159,12 +174,13 @@ def test_engine_speculative_identity_over_http(spec_engine_server):
         snap = json.loads(r.read())
     assert snap["speculative"]["gamma"] == 3
     assert 0.0 <= snap["speculative"]["acceptance_rate"] <= 1.0
-    # segment timestamps fall back to the pipeline (served, not refused)
+    # segment timestamps ride the speculative lanes (per-column FSM in the
+    # verify pass — no pipeline fallback)
     status, out = _post(base + "/v1/transcribe?language=en&timestamps=1",
                         _wav_bytes(freq=260.0))
     assert status == 200
     assert "chunks" in out
-    assert spec_tr.stats["ts_fallback"] >= 1
+    assert spec_tr.stats["ts_fallback"] == 0
 
 
 def test_max_tokens_truncation_matches_prefix(spec_server):
@@ -234,6 +250,6 @@ def test_ngram_and_assistant_mutually_exclusive(tmp_path_factory):
     import jax.numpy as jnp
     pipe = WhisperPipeline(ck, dtype=jnp.float32, batch_size=2,
                            max_new_tokens=4)
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         BatchingTranscriber(pipe, assistant=(pipe.params, pipe.cfg),
                             ngram_speculative=True)

@@ -271,6 +271,158 @@ def test_ngram_batched_matches_bs1():
         assert int(outb.seq_len[i]) == int(o1.seq_len[0])
 
 
+def _assert_same_output(out, golden, check_logprobs=True):
+    np.testing.assert_array_equal(
+        np.asarray(out.sequences)[0][:int(out.seq_len[0])],
+        np.asarray(golden.sequences)[0][:int(golden.seq_len[0])])
+    if check_logprobs:
+        np.testing.assert_allclose(np.asarray(out.sum_logprobs),
+                                   np.asarray(golden.sum_logprobs),
+                                   atol=2e-3, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(out.no_speech_prob),
+                                   np.asarray(golden.no_speech_prob),
+                                   atol=1e-5)
+
+
+# ----------------------------------------------------------------------
+# Timestamp-FSM composition: speculative/ngram decode must be
+# token-identical to timestamped greedy ``generate`` (the reference gets
+# this composition from HF assisted generation, which re-runs the full
+# logits-processor stack per verified position — training/run_eval.py:
+# 706-735).  Vocab layout mimics the real Whisper tail so the FSM uses
+# real index arithmetic (timestamp_begin = vocab_size - 1501 = 401).
+# ----------------------------------------------------------------------
+
+TS_VOCAB = 1902
+TS_EOS = 300
+TS_CFG = WhisperConfig(
+    vocab_size=TS_VOCAB, num_mel_bins=80, d_model=64,
+    encoder_layers=2, decoder_layers=4,
+    encoder_attention_heads=4, decoder_attention_heads=4,
+    encoder_ffn_dim=96, decoder_ffn_dim=96,
+    pad_token_id=0, eos_token_id=TS_EOS, decoder_start_token_id=3,
+    begin_suppress_tokens=())
+
+
+@pytest.fixture(scope="module")
+def ts_setup():
+    teacher = init_params(TS_CFG, jax.random.PRNGKey(2))
+    draft, d_cfg = init_student_from_teacher(teacher, TS_CFG,
+                                             decoder_layers=2)
+    rng = np.random.default_rng(5)
+    mel = jnp.asarray(rng.standard_normal((1, 80, 3000)), jnp.float32)
+    enc = encode(teacher["encoder"], TS_CFG, mel)
+    t_cross = cross_kv(teacher["decoder"], TS_CFG, enc)
+    d_cross = cross_kv(draft["decoder"], d_cfg, enc)
+    return teacher, draft, d_cfg, t_cross, d_cross
+
+
+@pytest.mark.parametrize("gamma", [2, 4])
+def test_timestamped_identical_to_greedy(ts_setup, gamma):
+    teacher, draft, d_cfg, t_cross, d_cross = ts_setup
+    opts = GenerationOptions(max_new_tokens=32, return_timestamps=True,
+                             max_initial_timestamp_index=50,
+                             no_speech_token_id=398)
+    prompt = jnp.asarray([[3]], jnp.int32)
+    golden = generate(teacher["decoder"], TS_CFG, t_cross, prompt, opts)
+    out = speculative_generate(
+        teacher["decoder"], TS_CFG, draft["decoder"], d_cfg,
+        t_cross, d_cross, prompt, opts, gamma=gamma)
+    _assert_same_output(out, golden)
+    # FSM invariants hold on the emitted stream
+    seq = np.asarray(out.sequences)[0][1:int(out.seq_len[0])]
+    ts_begin = TS_CFG.timestamp_begin
+    assert ts_begin <= seq[0] <= ts_begin + 50
+    ts = [t for t in seq if t >= ts_begin]
+    assert ts == sorted(ts)
+
+
+@pytest.mark.parametrize("seed", [23, 57])
+def test_timestamped_identity_multi_seed(seed):
+    """Fresh weights/mel per seed: the FSM state the verify columns see must
+    track every accept/reject pattern the weights produce."""
+    teacher = init_params(TS_CFG, jax.random.PRNGKey(seed))
+    draft, d_cfg = init_student_from_teacher(teacher, TS_CFG,
+                                             decoder_layers=2)
+    rng = np.random.default_rng(seed)
+    mel = jnp.asarray(rng.standard_normal((1, 80, 3000)), jnp.float32)
+    enc = encode(teacher["encoder"], TS_CFG, mel)
+    t_cross = cross_kv(teacher["decoder"], TS_CFG, enc)
+    d_cross = cross_kv(draft["decoder"], d_cfg, enc)
+    opts = GenerationOptions(max_new_tokens=28, return_timestamps=True,
+                             max_initial_timestamp_index=50)
+    prompt = jnp.asarray([[3]], jnp.int32)
+    golden = generate(teacher["decoder"], TS_CFG, t_cross, prompt, opts)
+    out = speculative_generate(
+        teacher["decoder"], TS_CFG, draft["decoder"], d_cfg,
+        t_cross, d_cross, prompt, opts, gamma=3)
+    _assert_same_output(out, golden, check_logprobs=False)
+
+
+@pytest.mark.parametrize("gamma,max_ngram", [(3, 2), (5, 3)])
+def test_ngram_timestamped_identical_to_greedy(ts_setup, gamma, max_ngram):
+    from distil_whisper_tpu.generation.speculative import (
+        ngram_speculative_generate)
+    teacher, _, _, t_cross, _ = ts_setup
+    opts = GenerationOptions(max_new_tokens=32, return_timestamps=True,
+                             max_initial_timestamp_index=50,
+                             no_speech_token_id=398)
+    prompt = jnp.asarray([[3]], jnp.int32)
+    golden = generate(teacher["decoder"], TS_CFG, t_cross, prompt, opts)
+    out = ngram_speculative_generate(
+        teacher["decoder"], TS_CFG, t_cross, prompt, opts,
+        gamma=gamma, max_ngram=max_ngram)
+    _assert_same_output(out, golden)
+
+
+def test_sum_logprobs_match_generate(setup):
+    """Non-timestamp path: the new sum_logprobs / no_speech_prob outputs
+    must reproduce ``generate``'s accounting (they make speculative a
+    drop-in for the sequential ladder's greedy rung)."""
+    teacher, draft, d_cfg, t_cross, d_cross = setup
+    opts = GenerationOptions(max_new_tokens=24, no_speech_token_id=101)
+    prompt = jnp.asarray([[3]], jnp.int32)
+    golden = generate(teacher["decoder"], TEACHER_CFG, t_cross, prompt, opts)
+    out = speculative_generate(
+        teacher["decoder"], TEACHER_CFG, draft["decoder"], d_cfg,
+        t_cross, d_cross, prompt, opts, gamma=3)
+    _assert_same_output(out, golden)
+    from distil_whisper_tpu.generation.speculative import (
+        ngram_speculative_generate)
+    outn = ngram_speculative_generate(
+        teacher["decoder"], TEACHER_CFG, t_cross, prompt, opts, gamma=3)
+    _assert_same_output(outn, golden)
+
+
+@pytest.mark.parametrize("method", ["draft", "ngram"])
+def test_padded_prompt_drop_in(ts_setup, method):
+    """Left-padded condition-on-prev prompts (``pad_len`` + static
+    ``sot_slot``) — the sequential long-form layout — must decode
+    identically to ``generate`` under speculation, timestamps on."""
+    teacher, draft, d_cfg, t_cross, d_cross = ts_setup
+    opts = GenerationOptions(max_new_tokens=24, return_timestamps=True,
+                             max_initial_timestamp_index=50,
+                             no_speech_token_id=398)
+    # [pad, pad, prev, prev, prev, sot] — pad_len=2, base prompt [sot]
+    prompt = jnp.asarray([[0, 0, 17, 55, 21, 3]], jnp.int32)
+    pad_len = jnp.asarray([2], jnp.int32)
+    sot_slot = 5
+    golden = generate(teacher["decoder"], TS_CFG, t_cross, prompt, opts,
+                      pad_len=pad_len, sot_slot=sot_slot)
+    if method == "draft":
+        out = speculative_generate(
+            teacher["decoder"], TS_CFG, draft["decoder"], d_cfg,
+            t_cross, d_cross, prompt, opts, gamma=3,
+            pad_len=pad_len, sot_slot=sot_slot)
+    else:
+        from distil_whisper_tpu.generation.speculative import (
+            ngram_speculative_generate)
+        out = ngram_speculative_generate(
+            teacher["decoder"], TS_CFG, t_cross, prompt, opts, gamma=3,
+            pad_len=pad_len, sot_slot=sot_slot)
+    _assert_same_output(out, golden)
+
+
 def test_ngram_periodic_oracle_accepts_all_lookups(setup):
     """With a period-R synthetic teacher the decoded text repeats with
     period R, so every successful lookup's proposals are correct: accepted
