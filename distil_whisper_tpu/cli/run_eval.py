@@ -132,6 +132,8 @@ def seq_options_from_args(args) -> SequentialOptions:
 
 def main(argv=None):
     args = parse_args(argv)
+    from .common import apply_platform_env
+    apply_platform_env()
     setup_logging()
     maybe_initialize_distributed(force=args.distributed)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
@@ -317,10 +319,31 @@ def main(argv=None):
                 hyps.append(tok.decode(ids[len(prompt):]))
 
     elif args.mode == "sequential":
+        # Speculation composes with the sequential ladder (t=0 rung only):
+        # opt in with --assistant_checkpoint (draft) or
+        # --speculative_method ngram (draft-free prompt lookup — with
+        # --condition_on_prev the prompt embeds the previous window's text,
+        # the ideal n-gram source).
+        spec_method, spec_assistant = None, None
+        if args.speculative_method == "ngram":
+            if args.assistant_checkpoint:
+                raise ValueError(
+                    "--speculative_method ngram is draft-free; drop "
+                    "--assistant_checkpoint (or use --speculative_method "
+                    "draft to use it)")
+            spec_method = "ngram"
+        elif args.assistant_checkpoint:
+            spec_method = "draft"
+            d_params, d_cfg = load_params(args.assistant_checkpoint,
+                                          dtype=dtype)
+            d_params = shard_params(d_params, param_axes(d_cfg), mesh)
+            spec_assistant = (d_params, d_cfg)
         tr = SequentialTranscriber(
             params, cfg, tok, seq_options_from_args(args),
             language=args.language, task=args.task,
-            batch_size=args.batch_size, dtype=dtype)
+            batch_size=args.batch_size, dtype=dtype,
+            speculative_method=spec_method, assistant=spec_assistant,
+            gamma=args.gamma, max_ngram=args.max_ngram)
         feats = [np.asarray(compute_mel(
             jnp.asarray(a), cfg, pad_to_chunk=False)[0]) for a in audios]
         init_prompt = None
@@ -334,8 +357,29 @@ def main(argv=None):
         for r in results:
             hyps.append(r["text"])
             n_tokens += sum(len(s["tokens"]) for s in r["segments"])
+        if tr.spec_stats["drafted"]:
+            logger.info("sequential speculative acceptance rate: %.1f%% "
+                        "(%d rounds)",
+                        100 * tr.spec_stats["accepted"]
+                        / tr.spec_stats["drafted"], tr.spec_stats["rounds"])
 
     elif args.mode == "chunked":
+        # speculation opt-in mirrors sequential mode: --assistant_checkpoint
+        # (draft) or --speculative_method ngram (draft-free)
+        spec_method, spec_assistant = None, None
+        if args.speculative_method == "ngram":
+            if args.assistant_checkpoint:
+                raise ValueError(
+                    "--speculative_method ngram is draft-free; drop "
+                    "--assistant_checkpoint (or use --speculative_method "
+                    "draft to use it)")
+            spec_method = "ngram"
+        elif args.assistant_checkpoint:
+            spec_method = "draft"
+            d_params, d_cfg = load_params(args.assistant_checkpoint,
+                                          dtype=dtype)
+            d_params = shard_params(d_params, param_axes(d_cfg), mesh)
+            spec_assistant = (d_params, d_cfg)
         # mesh= keeps chunked mode on the host-local mesh under
         # multi-process runs (the pipeline would otherwise build a global
         # one and device_put to non-addressable devices)
@@ -343,13 +387,19 @@ def main(argv=None):
                                batch_size=args.batch_size,
                                max_new_tokens=args.max_new_tokens,
                                params=params, cfg=cfg, tokenizer=tok,
-                               mesh=mesh)
+                               mesh=mesh, speculative_method=spec_method,
+                               assistant=spec_assistant, gamma=args.gamma,
+                               max_ngram=args.max_ngram)
         gk = {"num_beams": args.num_beams} if args.num_beams > 1 else None
         for a in audios:
             out = pipe(a, chunk_length_s=args.chunk_length_s,
                        language=args.language, task=args.task,
                        return_timestamps=True, generate_kwargs=gk)
             hyps.append(out["text"])
+        if pipe.spec_stats["drafted"]:
+            logger.info("chunked speculative acceptance rate: %.1f%%",
+                        100 * pipe.spec_stats["accepted"]
+                        / pipe.spec_stats["drafted"])
 
     elif args.mode == "speculative":
         prompt = tok.prompt_ids(language=args.language, task=args.task)
@@ -357,6 +407,11 @@ def main(argv=None):
             cfg, max_new_tokens=args.max_new_tokens)
 
         if args.speculative_method == "ngram":
+            if args.assistant_checkpoint:
+                raise ValueError(
+                    "--speculative_method ngram is draft-free; drop "
+                    "--assistant_checkpoint (or use --speculative_method "
+                    "draft to use it)")
             # prompt-lookup decoding: no assistant model at all — drafts
             # are copied from repeated n-grams in the decoded sequence
             from ..generation.speculative import (

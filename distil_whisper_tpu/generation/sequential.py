@@ -67,13 +67,43 @@ class SequentialTranscriber:
     def __init__(self, params, cfg: WhisperConfig, tokenizer: WhisperTokenizer,
                  opts: SequentialOptions = SequentialOptions(),
                  language: Optional[str] = None, task: str = "transcribe",
-                 batch_size: int = 8, dtype=jnp.float32):
+                 batch_size: int = 8, dtype=jnp.float32,
+                 speculative_method: Optional[str] = None,
+                 assistant=None, gamma: int = 5, max_ngram: int = 3):
         self.params = params
         self.cfg = cfg
         self.tok = tokenizer
         self.opts = opts
         self.batch_size = batch_size
         self.dtype = dtype
+        # Speculative decoding at the temperature-0 rung (the rung that
+        # serves nearly every window in practice): "draft" = assistant-model
+        # speculation, "ngram" = draft-free prompt lookup.  Both are
+        # token-identical to the greedy program they replace (the timestamp
+        # FSM runs per verify column — generation.speculative), so the
+        # fallback ladder's accept/retry decisions are unchanged.  Prompt
+        # lookup pays most HERE: with condition_on_prev the prompt embeds
+        # the previous window's text verbatim — a ready-made n-gram source.
+        # Fallback rungs (t > 0) sample and cannot ride the argmax-agreement
+        # verify contract; they use the plain sampling program.
+        if speculative_method not in (None, "draft", "ngram"):
+            raise ValueError(f"unknown speculative_method "
+                             f"{speculative_method!r}; use 'draft' or 'ngram'")
+        if speculative_method == "draft" and assistant is None:
+            raise ValueError("speculative_method='draft' requires "
+                             "assistant=(draft_params, draft_cfg)")
+        if speculative_method == "ngram" and assistant is not None:
+            raise ValueError("pick ONE speculation method: assistant draft "
+                             "or ngram lookup")
+        if speculative_method and opts.num_beams > 1:
+            raise ValueError("speculative decoding verifies greedy argmax "
+                             "agreement; it does not compose with beam "
+                             "search (num_beams > 1)")
+        self.spec_method = speculative_method
+        self.assistant = assistant
+        self.gamma = int(gamma)
+        self.max_ngram = int(max_ngram)
+        self.spec_stats = {"drafted": 0, "accepted": 0, "rounds": 0}
         self.base_prompt = tokenizer.prompt_ids(language=language, task=task,
                                                 no_timestamps=False)
         # fixed prompt layout: [pad ... pad | <|startofprev|> ctx... | base]
@@ -98,13 +128,63 @@ class SequentialTranscriber:
 
             sot_slot = self.prompt_len - len(self.base_prompt)
 
-            def fn(params, mel, prompts, pad_len, temperature, rng):
-                return encode_and_generate(
-                    params, self.cfg, mel, prompts, gen_opts,
-                    temperature=temperature, rng=rng, pad_len=pad_len,
-                    sot_slot=sot_slot, dtype=self.dtype)
-            self._jit_cache[do_sample] = jax.jit(fn)
+            if not do_sample and self.spec_method:
+                fn = self._build_spec_fn(gen_opts, sot_slot)
+            else:
+                def fn(params, mel, prompts, pad_len, temperature, rng):
+                    return encode_and_generate(
+                        params, self.cfg, mel, prompts, gen_opts,
+                        temperature=temperature, rng=rng, pad_len=pad_len,
+                        sot_slot=sot_slot, dtype=self.dtype)
+                fn = jax.jit(fn)
+            self._jit_cache[do_sample] = fn
         return self._jit_cache[do_sample]
+
+    def _build_spec_fn(self, gen_opts: GenerationOptions, sot_slot: int):
+        """Speculative window program for the t=0 rung — same call shape as
+        the greedy program (temperature/rng accepted and ignored: the verify
+        contract is deterministic argmax agreement).  Lanes ride the batched
+        vmap paths so every window in the group speculates independently."""
+        from ..models.whisper import encode as encode_fn, cross_kv
+        from .speculative import (speculative_generate_batched,
+                                  ngram_speculative_generate_batched)
+        cfg, dtype = self.cfg, self.dtype
+        gamma, max_ngram = self.gamma, self.max_ngram
+
+        if self.spec_method == "ngram":
+            @jax.jit
+            def spec(params, mel, prompts, pad_len):
+                enc = encode_fn(params["encoder"], cfg, mel, dtype=dtype)
+                t_cross = cross_kv(params["decoder"], cfg, enc)
+                return ngram_speculative_generate_batched(
+                    params["decoder"], cfg, t_cross, prompts, gen_opts,
+                    gamma=gamma, max_ngram=max_ngram, dtype=dtype,
+                    pad_len=pad_len, sot_slot=sot_slot)
+
+            def fn(params, mel, prompts, pad_len, temperature, rng):
+                return spec(params, mel, prompts, pad_len)
+            return fn
+
+        d_cfg = self.assistant[1]
+
+        @jax.jit
+        def spec(params, d_params, mel, prompts, pad_len):
+            enc = encode_fn(params["encoder"], cfg, mel, dtype=dtype)
+            t_cross = cross_kv(params["decoder"], cfg, enc)
+            # distil drafts share the teacher encoder when widths match
+            # (reference run_eval.py:585-599)
+            d_enc = (enc if d_cfg.d_model == cfg.d_model
+                     else encode_fn(d_params["encoder"], d_cfg, mel,
+                                    dtype=dtype))
+            d_cross = cross_kv(d_params["decoder"], d_cfg, d_enc)
+            return speculative_generate_batched(
+                params["decoder"], cfg, d_params["decoder"], d_cfg,
+                t_cross, d_cross, prompts, gen_opts, gamma=gamma,
+                dtype=dtype, pad_len=pad_len, sot_slot=sot_slot)
+
+        def fn(params, mel, prompts, pad_len, temperature, rng):
+            return spec(params, self.assistant[0], mel, prompts, pad_len)
+        return fn
 
     def _beam_fn(self):
         """Beam program for the temperature-0 rung (opts.num_beams > 1)."""
@@ -155,6 +235,15 @@ class SequentialTranscriber:
                      jnp.asarray(prompts, jnp.int32),
                      jnp.asarray(pads, jnp.int32),
                      float(temperature), rng)
+            if getattr(out, "drafted", None) is not None:
+                # speculative rung: live rows only (padded lanes speculate
+                # on a copied window — their counters are noise)
+                self.spec_stats["drafted"] += int(
+                    np.sum(np.asarray(out.drafted)[:n]))
+                self.spec_stats["accepted"] += int(
+                    np.sum(np.asarray(out.accepted)[:n]))
+                self.spec_stats["rounds"] += int(
+                    np.sum(np.asarray(out.rounds)[:n]))
         return {
             "sequences": np.asarray(out.sequences)[:n],
             "seq_len": np.asarray(out.seq_len)[:n],

@@ -36,7 +36,8 @@ class WhisperPipeline:
                  batch_size: int = 8, max_new_tokens: int = 128,
                  params=None, cfg: Optional[WhisperConfig] = None,
                  tokenizer: Optional[WhisperTokenizer] = None,
-                 mesh=None):
+                 mesh=None, speculative_method: Optional[str] = None,
+                 assistant=None, gamma: int = 5, max_ngram: int = 3):
         if params is None or cfg is None:
             params, cfg = load_params(checkpoint, cfg, dtype=dtype)
         if dtype == jnp.bfloat16:
@@ -58,6 +59,28 @@ class WhisperPipeline:
         # round the compiled batch up to a multiple of the data-axis size
         self.batch_size = -(-batch_size // self._n_data) * self._n_data
         self.max_new_tokens = max_new_tokens
+        # Speculative decoding for the greedy windows this pipeline batches
+        # (short-form AND every chunked long-form window): "ngram" =
+        # draft-free prompt lookup, "draft" = assistant-model speculation
+        # with assistant=(draft_params, draft_cfg).  Token-identical to the
+        # greedy program it replaces (incl. the timestamp FSM — per verify
+        # column, generation.speculative), so chunk merging is unchanged.
+        # The reference's chunked+speculative anchor is the single-long-file
+        # latency table (reference README.md:285-290, :352-432).
+        if speculative_method not in (None, "draft", "ngram"):
+            raise ValueError(f"unknown speculative_method "
+                             f"{speculative_method!r}; use 'draft' or 'ngram'")
+        if speculative_method == "draft" and assistant is None:
+            raise ValueError("speculative_method='draft' requires "
+                             "assistant=(draft_params, draft_cfg)")
+        if speculative_method == "ngram" and assistant is not None:
+            raise ValueError("pick ONE speculation method: assistant draft "
+                             "or ngram lookup")
+        self.speculative_method = speculative_method
+        self.assistant = assistant
+        self.gamma = int(gamma)
+        self.max_ngram = int(max_ngram)
+        self.spec_stats = {"drafted": 0, "accepted": 0}
         self._generate_cache: Dict[Any, Any] = {}
 
     @property
@@ -81,6 +104,53 @@ class WhisperPipeline:
                                            temperature=temperature, rng=rng,
                                            dtype=self.dtype)
             self._generate_cache[key] = jax.jit(fn)
+        return self._generate_cache[key]
+
+    def _jitted_speculative(self, opts: GenerationOptions):
+        """Speculative window program with the plain-generate call shape
+        (temperature/rng accepted and ignored — the verify contract is
+        deterministic argmax agreement; sampling falls back to plain)."""
+        key = ("_spec", opts)
+        if key not in self._generate_cache:
+            from .generation.speculative import (
+                ngram_speculative_generate_batched,
+                speculative_generate_batched)
+            from .models.whisper import cross_kv
+            cfg, dtype = self.cfg, self.dtype
+            gamma, max_ngram = self.gamma, self.max_ngram
+
+            if self.speculative_method == "ngram":
+                @jax.jit
+                def spec(params, mel, prompts):
+                    enc = encode(params["encoder"], cfg, mel, dtype=dtype)
+                    t_cross = cross_kv(params["decoder"], cfg, enc)
+                    return ngram_speculative_generate_batched(
+                        params["decoder"], cfg, t_cross, prompts, opts,
+                        gamma=gamma, max_ngram=max_ngram, dtype=dtype)
+
+                def fn(params, mel, prompts, temperature, rng):
+                    return spec(params, mel, prompts)
+            else:
+                d_cfg = self.assistant[1]
+
+                @jax.jit
+                def spec(params, d_params, mel, prompts):
+                    enc = encode(params["encoder"], cfg, mel, dtype=dtype)
+                    t_cross = cross_kv(params["decoder"], cfg, enc)
+                    # distil drafts share the teacher encoder when widths
+                    # match (reference run_eval.py:585-599)
+                    d_enc = (enc if d_cfg.d_model == cfg.d_model
+                             else encode(d_params["encoder"], d_cfg, mel,
+                                         dtype=dtype))
+                    d_cross = cross_kv(d_params["decoder"], d_cfg, d_enc)
+                    return speculative_generate_batched(
+                        params["decoder"], cfg, d_params["decoder"], d_cfg,
+                        t_cross, d_cross, prompts, opts, gamma=gamma,
+                        dtype=dtype)
+
+                def fn(params, mel, prompts, temperature, rng):
+                    return spec(params, self.assistant[0], mel, prompts)
+            self._generate_cache[key] = fn
         return self._generate_cache[key]
 
     def _jitted_beam(self, opts: GenerationOptions, num_beams: int,
@@ -274,6 +344,12 @@ class WhisperPipeline:
             fn = self._jitted_beam(opts, num_beams, length_penalty)
         elif word_timestamps:
             fn = self._jitted_generate_with_weights(opts, len(prompt))
+        elif (getattr(self, "speculative_method", None)
+              and not opts.do_sample):
+            # speculative windows: token-identical to plain greedy (segment
+            # timestamps included — the FSM runs per verify column), so the
+            # downstream chunk merge sees the exact same token streams
+            fn = self._jitted_speculative(opts)
         else:
             fn = self._jitted_generate(opts, len(prompt))
 
@@ -313,6 +389,12 @@ class WhisperPipeline:
                 out = fn(self.params, mel_dev, prompts, 0.0, rng)
                 seqs = np.asarray(out.sequences)
                 lens = np.asarray(out.seq_len)
+                if getattr(out, "drafted", None) is not None:
+                    # live rows only: padded lanes decode a zero window
+                    self.spec_stats["drafted"] += int(
+                        np.sum(np.asarray(out.drafted)[:n]))
+                    self.spec_stats["accepted"] += int(
+                        np.sum(np.asarray(out.accepted)[:n]))
             for j in range(n):
                 entry = {
                     "tokens": seqs[j][:lens[j]].tolist(),
