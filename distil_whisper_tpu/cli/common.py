@@ -13,6 +13,20 @@ import numpy as np
 
 logger = logging.getLogger("distil_whisper_tpu")
 
+
+def apply_platform_env() -> None:
+    """Honour ``DWT_PLATFORM`` (e.g. ``cpu``) for CLI subprocesses.
+
+    The sandbox's sitecustomize force-registers the remote TPU platform and
+    ignores ``JAX_PLATFORMS``; scripts that spawn fresh CLI processes (the
+    real-weights conformance pack, CI rehearsals) set ``DWT_PLATFORM=cpu``
+    to pin them to the host backend instead.  Call before any device use."""
+    import os
+    plat = os.environ.get("DWT_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
+
 TOKENIZER_FILES = ("vocab.json", "merges.txt", "tokenizer.json",
                    "added_tokens.json", "special_tokens_map.json",
                    "tokenizer_config.json", "normalizer.json",

@@ -41,6 +41,8 @@ EXPECTED_SHORT=${EXPECTED_SHORT:-9.7}
 SHORT_TOL=${SHORT_TOL:-0.5}
 INT8_TOL=${INT8_TOL:-0.5}
 SEQ_TOL=${SEQ_TOL:-0.2}
+MAX_NEW=${MAX_NEW:-128}          # per-window generation budget
+DTYPE=${DTYPE:-bfloat16}         # rehearsals pin float32 on CPU
 
 mkdir -p "$OUT_DIR"
 SPLIT_ARGS=()
@@ -51,7 +53,8 @@ run_eval() {
     echo "== $name =="
     python -m distil_whisper_tpu.cli.run_eval \
         --model_checkpoint "$CKPT" --language "$LANGUAGE" \
-        --batch_size "$BATCH" --output_json "$OUT_DIR/$name.json" \
+        --batch_size "$BATCH" --max_new_tokens "$MAX_NEW" \
+        --dtype "$DTYPE" --output_json "$OUT_DIR/$name.json" \
         "${SPLIT_ARGS[@]}" "$@"
 }
 

@@ -191,3 +191,75 @@ def test_stage4_eval_all_modes(workspace):
                 "--assistant_checkpoint", workspace["distilled"],
                 "--mode", "speculative"] + common)
     assert res["rtfx"] > 0 and "wer" in res
+
+
+def test_stage4b_eval_speculative_longform(workspace):
+    """Speculation composed with BOTH long-form modes through the CLI
+    (VERDICT r4 #1b/#2): draft-free ngram needs no assistant; draft rides
+    --assistant_checkpoint.  Output structure matches the plain modes."""
+    from distil_whisper_tpu.cli.run_eval import main
+    common = [
+        "--dataset_path", workspace["data"],
+        "--language", "en",
+        "--batch_size", "2",
+        "--max_new_tokens", "8",
+        "--dtype", "float32",
+        "--gamma", "2",
+    ]
+    for mode in ("sequential", "chunked"):
+        res = main(["--model_checkpoint", workspace["distilled"],
+                    "--mode", mode, "--speculative_method", "ngram"] + common)
+        assert res["rtfx"] > 0 and "wer" in res, mode
+        res = main(["--model_checkpoint", workspace["teacher"],
+                    "--assistant_checkpoint", workspace["distilled"],
+                    "--mode", mode] + common)
+        assert res["rtfx"] > 0 and "wer" in res, mode
+    # conflicting flags must be rejected, not silently resolved
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        main(["--model_checkpoint", workspace["teacher"],
+              "--assistant_checkpoint", workspace["distilled"],
+              "--mode", "sequential", "--speculative_method", "ngram"]
+             + common)
+
+
+def test_stage5_validate_real_weights_rehearsal(workspace):
+    """Drive scripts/validate_real_weights.sh end-to-end on the tiny random
+    checkpoint (VERDICT r4 #4): first contact with real weights must not be
+    the first execution of the pack's bash/JSON plumbing.  Expectations are
+    opened wide via the documented env knobs — the rehearsal proves the
+    pipeline (4 eval modes -> JSON -> gate), not the WER values."""
+    import os
+    import subprocess
+    import sys
+
+    repo = Path(__file__).resolve().parent.parent
+    out_dir = workspace["root"] / "real_weights_rehearsal"
+    env = dict(os.environ)
+    pp = [p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p]
+    if str(repo) not in pp:
+        pp.insert(0, str(repo))
+    if "/root/.axon_site" not in pp and os.path.isdir("/root/.axon_site"):
+        pp.append("/root/.axon_site")
+    env.update({
+        "PYTHONPATH": os.pathsep.join(pp),
+        "DWT_PLATFORM": "cpu",      # pin the spawned CLIs to the host backend
+        "BATCH": "2",
+        "MAX_NEW": "8",
+        "DTYPE": "float32",
+        "OUT_DIR": str(out_dir),
+        # random weights -> garbage WER; the gates are rehearsed wide open
+        "EXPECTED_SHORT": "100000",
+        "INT8_TOL": "100000",
+        "SEQ_TOL": "100000",
+    })
+    proc = subprocess.run(
+        ["bash", str(repo / "scripts" / "validate_real_weights.sh"),
+         workspace["teacher"], workspace["data"]],
+        env=env, cwd=str(repo), capture_output=True, text=True, timeout=1500)
+    assert proc.returncode == 0, (proc.stdout[-3000:], proc.stderr[-3000:])
+    for name in ("short_bf16", "short_int8", "seq_bf16", "chunked_bf16"):
+        with open(out_dir / f"{name}.json") as f:
+            assert "wer" in json.load(f), name
+    assert "[PASS] short-form bf16 WER vs published" in proc.stdout
+    assert proc.stdout.count("[PASS]") == 3
