@@ -308,6 +308,111 @@ def _speculative_lane(batch, gamma, max_new, accept):
     }
 
 
+def _util_probe(batch):
+    """Hardware-utilisation attribution for this capture: encoder MFU (bf16
+    exact path vs chip peak) and the decode achieved-HBM fraction (int8
+    teacher cross-stream slope — the scripts/ablate_cross_len.py method:
+    decode cost at two encoder lengths; the slope times the full stream
+    isolates the cross-KV bytes from every constant per-token term).
+
+    Spec constants are env-overridable: BENCH_PEAK_TFLOPS (default 197,
+    TPU v5e bf16) and BENCH_PEAK_GBPS (default 819).  Derivation recorded
+    in docs/PERFORMANCE.md ("the teacher decode is at its bandwidth
+    floor, the encoder at its head_dim-64 compute floor")."""
+    import jax
+    import jax.numpy as jnp
+    from distil_whisper_tpu.config import PRESETS
+    from distil_whisper_tpu.models import init_params
+    from distil_whisper_tpu.models.whisper import (cross_kv, decode, encode,
+                                                   init_cache)
+    from distil_whisper_tpu.ops.quant import quantize_decoder_params
+
+    peak_tflops = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))
+    peak_gbps = float(os.environ.get("BENCH_PEAK_GBPS", "819"))
+    util = {"peak_tflops_bf16": peak_tflops, "peak_hbm_gbps": peak_gbps}
+
+    # ---- encoder MFU (bf16 exact, the headline encoder) ----
+    cfg = PRESETS["distil-large-v3"].replace(fast_bf16_attention=True,
+                                             use_flash_encoder=True)
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((batch, cfg.num_mel_bins, 3000)),
+                      jnp.bfloat16)
+    reps = int(os.environ.get("BENCH_UTIL_REPS", "4"))
+
+    @jax.jit
+    def enc_loop(p, mel):
+        # in-jit repetition (any sub-200 ms on-chip call is fetch-dominated
+        # on this platform); the carry perturbation keeps iterations
+        # data-dependent so XLA cannot CSE them into one
+        def body(carry, _):
+            e = encode(p["encoder"], cfg, mel + carry, dtype=jnp.bfloat16)
+            return (jnp.mean(e) * 1e-30).astype(mel.dtype), jnp.mean(e)
+        _, means = jax.lax.scan(body, jnp.zeros((), mel.dtype), None,
+                                length=reps)
+        return means
+
+    t_enc = _time_once(lambda: enc_loop(params, mel), 1)  # compile
+    t_enc = min(_time_once(lambda: enc_loop(params, mel), 1)
+                for _ in range(3)) / reps
+    b, t, d, f = batch, cfg.max_source_positions, cfg.d_model, \
+        cfg.encoder_ffn_dim
+    per_layer = 8 * b * t * d * d + 4 * b * t * t * d + 4 * b * t * d * f
+    stem = (2 * b * 2 * t * d * 3 * cfg.num_mel_bins
+            + 2 * b * t * d * 3 * d)
+    flops = cfg.encoder_layers * per_layer + stem
+    util["encoder_ms"] = round(t_enc * 1e3, 1)
+    util["encoder_mfu"] = round(flops / t_enc / (peak_tflops * 1e12), 3)
+
+    # ---- decode achieved HBM (int8 teacher serving stack) ----
+    tcfg = PRESETS["large-v3"].replace(fast_bf16_attention=True,
+                                       quantize_self_kv=True,
+                                       quantize_cross_kv=True,
+                                       quantize_decoder=True)
+    tparams = init_params(tcfg, jax.random.PRNGKey(1), dtype=jnp.bfloat16)
+    dec = quantize_decoder_params(tparams["decoder"])
+    steps = int(os.environ.get("BENCH_UTIL_STEPS", "48"))
+
+    def dec_loop(t_enc_len):
+        @jax.jit
+        def loop(dec_params, enc):
+            cross = cross_kv(dec_params, tcfg, enc)
+            cache = init_cache(tcfg, batch, dtype=jnp.bfloat16, max_len=448)
+            tok = jnp.full((batch, 1), tcfg.decoder_start_token_id,
+                           jnp.int32)
+
+            def body(carry, i):
+                tok, cache = carry
+                lg, cache = decode(dec_params, tcfg, tok, cross=cross,
+                                   cache=cache, pos_offset=i,
+                                   dtype=jnp.bfloat16)
+                nxt = jnp.argmax(lg[:, -1], -1).astype(jnp.int32)[:, None]
+                return (nxt, cache), None
+
+            (tok, _), _ = jax.lax.scan(body, (tok, cache),
+                                       jnp.arange(steps))
+            return tok
+
+        # probe data built ON DEVICE (multi-GB host uploads wedge the
+        # tunnel — docs/PERFORMANCE.md)
+        enc = jax.jit(lambda k: jax.random.normal(
+            k, (batch, t_enc_len, tcfg.d_model), jnp.bfloat16) * 0.1)(
+                jax.random.PRNGKey(2))
+        _fetch(loop(dec, enc))  # compile
+        return min(_time_once(lambda: loop(dec, enc), 1)
+                   for _ in range(3)) / steps
+
+    t_short, t_full = dec_loop(375), dec_loop(1500)
+    cross_stream_s = (t_full - t_short) * 1500 / 1125
+    stream_bytes = 2 * tcfg.decoder_layers * batch * 1500 * tcfg.d_model
+    gbps = stream_bytes / cross_stream_s / 1e9
+    util["decode_ms_per_tok"] = round(t_full * 1e3, 2)
+    util["decode_cross_stream_ms"] = round(cross_stream_s * 1e3, 2)
+    util["decode_hbm_gbps"] = round(gbps, 0)
+    util["decode_hbm_frac"] = round(gbps / peak_gbps, 3)
+    return util
+
+
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     long_budget = int(os.environ.get("BENCH_TOKENS", "256"))
@@ -495,6 +600,11 @@ def main():
                 accept=float(os.environ.get("BENCH_SPEC_ACCEPT", "0.8")))
         except Exception as e:  # noqa: BLE001
             extra["speculative_error"] = str(e)[:200]
+
+        try:
+            extra["util"] = _util_probe(batch)
+        except Exception as e:  # noqa: BLE001
+            extra["util_error"] = str(e)[:200]
 
     result = {
         "metric": "rtfx_distil_large_v3_bs%d_%dtok" % (batch, long_budget),
