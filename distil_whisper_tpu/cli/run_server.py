@@ -108,7 +108,7 @@ def build_server(argv=None):
     p.add_argument("--adaptive_gamma", action="store_true",
                    help="walk the draft length over {gamma/2, gamma, "
                         "2*gamma} on the measured per-draft acceptance "
-                        "(continuous scheduler; token-identical at every "
+                        "(both schedulers; token-identical at every "
                         "gamma — a pure throughput knob)")
     p.add_argument("--max_body_mb", type=float, default=100.0,
                    help="reject request bodies larger than this (413)")
@@ -169,16 +169,16 @@ def build_server(argv=None):
             ngram_speculative=args.ngram_speculative,
             max_ngram=args.max_ngram).start()
     else:
-        if args.adaptive_gamma:
-            p.error("--adaptive_gamma requires --scheduler continuous "
-                    "(the microbatch speculative program compiles one "
-                    "static gamma)")
+        if args.adaptive_gamma and not (assistant or args.ngram_speculative):
+            p.error("--adaptive_gamma requires a speculation method "
+                    "(--assistant_checkpoint or --ngram_speculative)")
         transcriber = BatchingTranscriber(
             pipe, batch_size=args.batch_size, max_wait_ms=args.max_wait_ms,
             default_language=args.language,
             max_new_tokens=args.max_new_tokens,
             max_queue=args.max_queue,
             assistant=assistant, gamma=args.gamma,
+            adaptive_gamma=args.adaptive_gamma,
             ngram_speculative=args.ngram_speculative,
             max_ngram=args.max_ngram).start()
     httpd = make_http_server(transcriber, args.host, args.port,

@@ -111,6 +111,23 @@ def _coerce_sampling(temperature, top_k, num_beams, mode,
     return t, k
 
 
+def estimate_accept(ratio: float, gamma: int) -> float:
+    """Invert E[accepted]/gamma = a(1-a^g)/(g(1-a)) for the per-draft
+    acceptance probability a (monotonic in a; bisection).  The raw
+    accepted/drafted ratio understates a: a rejected draft wastes the rest
+    of its window.  Shared by both schedulers' gamma controllers."""
+    ratio = min(max(ratio, 0.0), 1.0)
+    lo, hi = 0.0, 0.999999
+    for _ in range(40):
+        mid = (lo + hi) / 2
+        e = mid * (1 - mid ** gamma) / ((1 - mid) * gamma)
+        if e < ratio:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2
+
+
 def _coerce_mode(mode, return_timestamps) -> str:
     """Validate the long-form algorithm choice."""
     if mode not in ("chunked", "sequential"):
@@ -230,7 +247,8 @@ class BatchingTranscriber:
                  max_queue: Optional[int] = None,
                  assistant=None, gamma: int = 5,
                  synthetic_acceptance: Optional[float] = None,
-                 ngram_speculative: bool = False, max_ngram: int = 3):
+                 ngram_speculative: bool = False, max_ngram: int = 3,
+                 adaptive_gamma: bool = False):
         self.pipe = pipe
         self.batch_size = batch_size or pipe.batch_size
         self.max_wait_s = max_wait_ms / 1e3
@@ -277,6 +295,20 @@ class BatchingTranscriber:
         if assistant is not None or self.ngram:
             self.stats.update({"speculative_batches": 0, "drafted": 0,
                                "accepted": 0})
+        # adaptive draft length (the continuous engine's controller on the
+        # microbatch scheduler): a small ladder of compiled gammas walked on
+        # the measured per-draft acceptance — token identity is
+        # gamma-independent, so switching is purely a throughput knob
+        self.adaptive_gamma = bool(adaptive_gamma) and (
+            assistant is not None or self.ngram)
+        if self.adaptive_gamma:
+            g0 = self.gamma
+            self._gamma_levels = sorted({max(1, g0 // 2), g0, 2 * g0})
+            self._gamma_idx = self._gamma_levels.index(g0)
+            self._ctrl_d = 0
+            self._ctrl_a = 0
+            self.stats.update({"gamma_current": g0, "gamma_raises": 0,
+                               "gamma_drops": 0})
 
     # ------------------------------------------------------------- lifecycle
     def start(self) -> "BatchingTranscriber":
@@ -357,21 +389,28 @@ class BatchingTranscriber:
             snap["speculative"] = {
                 "method": "ngram" if self.ngram else "draft",
                 "gamma": self.gamma,
+                "adaptive": self.adaptive_gamma,
                 "acceptance_rate": round(
                     self.stats["accepted"] / self.stats["drafted"], 3)
                 if self.stats["drafted"] else None}
+            if self.adaptive_gamma:
+                snap["speculative"]["gamma_current"] = \
+                    self.stats["gamma_current"]
         return snap
 
-    def _speculative_fn(self, return_timestamps: bool = False):
-        """Jitted draft-assisted generate (built once per timestamps flag;
-        jax retraces per batch/prompt shape).  The draft shares the served
-        model's encoder when widths match (the reference's distil-draft
-        setup, /root/reference/training/run_eval.py:578-599).  Timestamped
-        groups run the same accept/verify loop with the Whisper FSM applied
-        per verify column (generation.speculative._teacher_choices) — the
-        composition HF assisted generation provides the reference
+    def _speculative_fn(self, return_timestamps: bool = False,
+                        gamma: Optional[int] = None):
+        """Jitted draft-assisted generate (built once per (timestamps,
+        gamma); jax retraces per batch/prompt shape).  The draft shares the
+        served model's encoder when widths match (the reference's
+        distil-draft setup, /root/reference/training/run_eval.py:578-599).
+        Timestamped groups run the same accept/verify loop with the Whisper
+        FSM applied per verify column
+        (generation.speculative._teacher_choices) — the composition HF
+        assisted generation provides the reference
         (training/run_eval.py:706-735)."""
-        key = bool(return_timestamps)
+        gamma = self.gamma if gamma is None else int(gamma)
+        key = (bool(return_timestamps), gamma)
         if key in self._spec_fn:
             return self._spec_fn[key]
         import jax
@@ -383,9 +422,8 @@ class BatchingTranscriber:
         pipe, cfg = self.pipe, self.pipe.cfg
         opts = GenerationOptions.from_config(
             cfg, max_new_tokens=self.max_new_tokens,
-            return_timestamps=key,
+            return_timestamps=bool(return_timestamps),
             no_speech_token_id=pipe.tokenizer.no_speech)
-        gamma = self.gamma
         synth = self.synthetic_acceptance
 
         if self.ngram:
@@ -419,6 +457,29 @@ class BatchingTranscriber:
 
         self._spec_fn[key] = spec
         return spec
+
+    def _update_gamma_controller(self, drafted: int, accepted: int,
+                                 gamma: int) -> None:
+        """Walk the gamma ladder on the measured per-draft acceptance —
+        the continuous engine's controller (serving_engine.py) on whole
+        batches: once the window holds enough drafts, recover the per-draft
+        acceptance (:func:`estimate_accept`) and move one rung with
+        hysteresis (>= 0.8 raises, <= 0.5 drops).  Worker-thread-owned, so
+        no locking; the next batch simply compiles/uses the new rung."""
+        self._ctrl_d += drafted
+        self._ctrl_a += accepted
+        if self._ctrl_d < 16 * gamma:
+            return
+        est = estimate_accept(self._ctrl_a / self._ctrl_d, gamma)
+        self._ctrl_d = 0
+        self._ctrl_a = 0
+        if est >= 0.8 and self._gamma_idx < len(self._gamma_levels) - 1:
+            self._gamma_idx += 1
+            self.stats["gamma_raises"] += 1
+        elif est <= 0.5 and self._gamma_idx > 0:
+            self._gamma_idx -= 1
+            self.stats["gamma_drops"] += 1
+        self.stats["gamma_current"] = self._gamma_levels[self._gamma_idx]
 
     def submit_stream(self, audio, **kw):
         """Streaming facade for API parity with the continuous-batching
@@ -620,18 +681,22 @@ class BatchingTranscriber:
                 # — generate._process_scores vs speculative._process, incl.
                 # the timestamp FSM applied per verify column), faster
                 # whenever the draft's acceptance rate earns back its cost
+                g = (self._gamma_levels[self._gamma_idx]
+                     if self.adaptive_gamma else self.gamma)
                 if self.ngram:
-                    out = self._speculative_fn(return_timestamps)(
+                    out = self._speculative_fn(return_timestamps, g)(
                         pipe.params, pipe._put_batch(mels), prompts)
                 else:
-                    out = self._speculative_fn(return_timestamps)(
+                    out = self._speculative_fn(return_timestamps, g)(
                         pipe.params, self.assistant[0],
                         pipe._put_batch(mels), prompts)
                 self.stats["speculative_batches"] += 1
-                self.stats["drafted"] += int(
-                    np.sum(np.asarray(out.drafted)[:len(reqs)]))
-                self.stats["accepted"] += int(
-                    np.sum(np.asarray(out.accepted)[:len(reqs)]))
+                d = int(np.sum(np.asarray(out.drafted)[:len(reqs)]))
+                a = int(np.sum(np.asarray(out.accepted)[:len(reqs)]))
+                self.stats["drafted"] += d
+                self.stats["accepted"] += a
+                if self.adaptive_gamma:
+                    self._update_gamma_controller(d, a, g)
             else:
                 opts = GenerationOptions.from_config(
                     cfg, max_new_tokens=self.max_new_tokens,

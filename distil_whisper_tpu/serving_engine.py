@@ -1358,18 +1358,10 @@ class ContinuousTranscriber:
 
     @staticmethod
     def _estimate_accept(ratio: float, gamma: int) -> float:
-        """Invert E[accepted]/gamma = a(1-a^g)/(g(1-a)) for the per-draft
-        acceptance probability a (monotonic in a; bisection)."""
-        ratio = min(max(ratio, 0.0), 1.0)
-        lo, hi = 0.0, 0.999999
-        for _ in range(40):
-            mid = (lo + hi) / 2
-            e = mid * (1 - mid ** gamma) / ((1 - mid) * gamma)
-            if e < ratio:
-                lo = mid
-            else:
-                hi = mid
-        return (lo + hi) / 2
+        """Per-draft acceptance from the accepted/drafted ratio — shared
+        with the microbatch controller (:func:`..serving.estimate_accept`)."""
+        from .serving import estimate_accept
+        return estimate_accept(ratio, gamma)
 
     def _update_gamma_controller(self, snap, counters) -> None:
         """Walk the gamma ladder on the measured per-draft acceptance.

@@ -126,3 +126,66 @@ def test_identity_preserved_across_gamma_switches(spec_pair):
         assert tr.stats["gamma_drops"] >= 1, tr.stats
     finally:
         tr.stop()
+
+
+# ----------------------------------------------------------------------
+# The same controller on the MICROBATCH scheduler (VERDICT r4 #8): whole
+# batches feed the window instead of per-lane counter deltas; the next
+# batch compiles/uses the new rung.
+# ----------------------------------------------------------------------
+
+def test_microbatch_controller_raises_gamma(spec_pair):
+    pipe, assistant = spec_pair
+    from distil_whisper_tpu.serving import BatchingTranscriber
+    tr = BatchingTranscriber(pipe, batch_size=2, max_new_tokens=48,
+                             assistant=assistant, gamma=4,
+                             adaptive_gamma=True,
+                             synthetic_acceptance=0.95).start()
+    try:
+        assert tr._gamma_levels == [2, 4, 8]
+        _drive(tr, 6, budget=48)
+        assert tr.stats["gamma_raises"] >= 1, tr.stats
+        assert tr.stats["gamma_current"] == 8, tr.stats
+        snap = tr.snapshot()["speculative"]
+        assert snap["adaptive"] is True
+        assert snap["gamma_current"] == 8
+    finally:
+        tr.stop()
+
+
+def test_microbatch_controller_drops_gamma(spec_pair):
+    pipe, assistant = spec_pair
+    from distil_whisper_tpu.serving import BatchingTranscriber
+    tr = BatchingTranscriber(pipe, batch_size=2, max_new_tokens=48,
+                             assistant=assistant, gamma=4,
+                             adaptive_gamma=True,
+                             synthetic_acceptance=0.05).start()
+    try:
+        _drive(tr, 6, budget=48)
+        assert tr.stats["gamma_drops"] >= 1, tr.stats
+        assert tr.stats["gamma_current"] == 2, tr.stats
+    finally:
+        tr.stop()
+
+
+def test_microbatch_identity_across_gamma_switches(spec_pair):
+    """Real weights, controller on: outputs equal the plain pipeline's
+    greedy text at every rung and across a switch.  The rung move is
+    forced between drives (real tiny-model acceptance sits mid-band, so
+    waiting for the controller to move on its own would be weather) —
+    what's pinned is that the OUTPUT is rung-independent."""
+    pipe, assistant = spec_pair
+    from distil_whisper_tpu.serving import BatchingTranscriber
+    tr = BatchingTranscriber(pipe, batch_size=2, max_new_tokens=8,
+                             assistant=assistant, gamma=4,
+                             adaptive_gamma=True).start()
+    try:
+        results = _drive(tr, 4, budget=8)
+        tr._gamma_idx = 0          # the controller's drop rung (gamma 2)
+        results += _drive(tr, 4, budget=8)
+        for i, r in enumerate(results):
+            wav = _tone(1.0, 200.0 + 30 * (i % 4), seed=i % 4)
+            expect = pipe(wav, language="en", max_new_tokens=8)["text"]
+            assert r["text"] == expect, f"request {i}"
+    finally:
+        tr.stop()
