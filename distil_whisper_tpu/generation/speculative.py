@@ -461,7 +461,7 @@ def ngram_speculative_generate(
         teacher_cross: Dict[str, Any],
         prompt_ids: jnp.ndarray, opts: GenerationOptions,
         gamma: int = 5, max_ngram: int = 3, dtype=jnp.float32,
-        synthetic_period: int = None,
+        synthetic_period: int = None, synthetic_repeat_prob: float = None,
         pad_len=None, sot_slot=None) -> SpeculativeOutput:
     """Prompt-lookup decoding: n-gram speculation with NO draft model
     (HF transformers' ``prompt_lookup_num_tokens``; Saxena 2023 "Prompt
@@ -482,6 +482,12 @@ def ngram_speculative_generate(
     first R tokens every lookup succeeds, measuring the technique's
     ceiling speedup on-chip without trained weights (the same
     keep-the-data-dependence trick as ``synthetic_acceptance``).
+    ``synthetic_repeat_prob`` q (BENCHMARK-ONLY, requires a period)
+    dilutes the oracle: each position emits the periodic token with
+    probability q and a position-unique token otherwise — q-repeating
+    text, interpolating between the no-repetition floor (q=0) and the
+    ceiling (q=1).  Sweeping q publishes speedup-vs-repetition-rate, the
+    calibration that bounds what real traffic can expect.
 
     ``opts.return_timestamps`` composes exactly as in
     :func:`speculative_generate` (per-column FSM in the verify pass);
@@ -496,10 +502,26 @@ def ngram_speculative_generate(
     eos = teacher_cfg.eos_token_id
     pad = teacher_cfg.pad_token_id
 
+    rep_key = jax.random.PRNGKey(9)
+
     def _oracle_p(pos):
         # period-R pseudo-random token stream, kept far from eos/specials
-        return ((pos % synthetic_period) * jnp.int32(131)
-                % jnp.int32(389)) % 400 + 10
+        periodic = ((pos % synthetic_period) * jnp.int32(131)
+                    % jnp.int32(389)) % 400 + 10
+        if synthetic_repeat_prob is None or synthetic_repeat_prob >= 1.0:
+            return periodic
+        # position-pseudo-unique filler breaks the repetition at this
+        # position (deterministic per pos: the lookup and the verify see
+        # the same stream); drawn PAST the periodic band (10..409) and
+        # inside the vocab — an out-of-vocab target would degrade
+        # _bias_to to the model's real (looping) choices
+        lo = 410
+        span = max(min(teacher_cfg.vocab_size - 1 - lo, 400), 1)
+        unique = (pos * jnp.int32(7919)
+                  % jnp.int32(25013)) % jnp.int32(span) + lo
+        rep = jax.random.bernoulli(jax.random.fold_in(rep_key, pos),
+                                   synthetic_repeat_prob)
+        return jnp.where(rep, periodic, unique)
 
     bias_fn = (None if synthetic_period is None
                else lambda sc, pos: _bias_to(sc, _oracle_p(pos)))
@@ -604,7 +626,7 @@ def ngram_speculative_generate_batched(
         teacher_cross: Dict[str, Any],
         prompt_ids: jnp.ndarray, opts: GenerationOptions,
         gamma: int = 5, max_ngram: int = 3, dtype=jnp.float32,
-        synthetic_period: int = None,
+        synthetic_period: int = None, synthetic_repeat_prob: float = None,
         pad_len=None, sot_slot=None) -> SpeculativeOutput:
     """Batched prompt-lookup decoding — ``vmap`` of the bs-1 loop over
     the batch, same lane-parallel shape as
@@ -615,7 +637,8 @@ def ngram_speculative_generate_batched(
         out = ngram_speculative_generate(
             teacher_dec, teacher_cfg, teacher_cross, prompt_ids, opts,
             gamma=gamma, max_ngram=max_ngram, dtype=dtype,
-            synthetic_period=synthetic_period, pad_len=pad_len,
+            synthetic_period=synthetic_period,
+            synthetic_repeat_prob=synthetic_repeat_prob, pad_len=pad_len,
             sot_slot=sot_slot)
         return SpeculativeOutput(
             sequences=out.sequences, seq_len=out.seq_len,
@@ -629,6 +652,7 @@ def ngram_speculative_generate_batched(
             teacher_dec, teacher_cfg, t_cross, prompt[None], opts,
             gamma=gamma, max_ngram=max_ngram, dtype=dtype,
             synthetic_period=synthetic_period,
+            synthetic_repeat_prob=synthetic_repeat_prob,
             pad_len=None if lane_pad is None else lane_pad[None],
             sot_slot=sot_slot)
 

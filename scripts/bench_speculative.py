@@ -170,6 +170,43 @@ def main():
               f"speedup {t_alone/t_ng:.2f}x, "
               f"{res[f'ngram_tokens_per_round_{tag}']} tok/round", flush=True)
 
+    # --- repetition calibration: speedup vs repetition rate q (VERDICT r4
+    # #7).  synthetic_repeat_prob dilutes the period oracle — each position
+    # is the periodic token w.p. q, a unique filler otherwise — so the curve
+    # interpolates the floor (q=0: no lookup ever lands) to the ceiling
+    # (q=1: every lookup lands after the first period).  Real traffic sits
+    # on this curve at its own repetition rate. ---
+    rep_period = int(os.environ.get("NGRAM_REP_PERIOD", "24"))
+    curve = {}
+    for q in (0.0, 0.25, 0.5, 0.75, 0.9, 1.0):
+        @functools.partial(jax.jit, static_argnames=("q_",))
+        def spec_rep(teacher_p, mel, prompt, q_):
+            enc = encode(teacher_p["encoder"], t_cfg, mel, dtype=jnp.bfloat16)
+            t_cross = cross_kv(teacher_p["decoder"], t_cfg, enc)
+            out = ngram_speculative_generate_batched(
+                teacher_p["decoder"], t_cfg, t_cross, prompt, sopts,
+                gamma=gamma, max_ngram=3, dtype=jnp.bfloat16,
+                synthetic_period=rep_period, synthetic_repeat_prob=q_)
+            return out.seq_len, out.rounds, out.drafted, out.accepted
+
+        t_q = run(lambda: spec_rep(teacher, mel, prompt, q)[0])
+        sl, rnds, dr, ac = (np.asarray(x) for x in
+                            spec_rep(teacher, mel, prompt, q))
+        curve[q] = {
+            "ms": round(t_q * 1e3, 1),
+            "speedup": round(t_alone / t_q, 2),
+            "tokens_per_round": round(
+                float(np.sum(sl - 1)) / max(float(np.sum(rnds)), 1), 2),
+            "lookup_accept_rate": round(
+                float(np.sum(ac)) / max(float(np.sum(dr)), 1), 3),
+        }
+        print(f"ngram repetition q={q}: {t_q*1e3:.1f} ms, "
+              f"speedup {curve[q]['speedup']}x, "
+              f"accept {curve[q]['lookup_accept_rate']}", flush=True)
+    res["ngram_repetition_curve"] = {"period": rep_period,
+                                     "points": {str(q): v
+                                                for q, v in curve.items()}}
+
     print(json.dumps(res))
 
 

@@ -439,3 +439,28 @@ def test_ngram_periodic_oracle_accepts_all_lookups(setup):
     assert drafted > 0 and accepted == drafted
     tokens_emitted = int(out.seq_len[0]) - 1
     assert tokens_emitted / int(out.rounds) > 2.0
+
+
+def test_ngram_repeat_prob_calibrates_acceptance(setup):
+    """synthetic_repeat_prob=q dilutes the period oracle into q-repeating
+    text: lookup acceptance must rise monotonically with q, hit ~100% of
+    drafted at q=1 (the pure-period ceiling) and ~0 at q=0 (unique filler
+    everywhere — lookups never land)."""
+    from distil_whisper_tpu.generation.speculative import (
+        ngram_speculative_generate)
+    teacher, _, _, t_cross, _ = setup
+    opts = GenerationOptions(max_new_tokens=72)
+    prompt = jnp.asarray([[3]], jnp.int32)
+    rates = {}
+    for q in (0.0, 0.5, 1.0):
+        out = ngram_speculative_generate(
+            teacher["decoder"], TEACHER_CFG, t_cross, prompt, opts,
+            gamma=4, max_ngram=3, synthetic_period=8,
+            synthetic_repeat_prob=q)
+        drafted, accepted = int(out.drafted), int(out.accepted)
+        rates[q] = accepted / drafted if drafted else 0.0
+        # full budget always emitted (the oracle never chooses EOS)
+        assert int(out.seq_len[0]) == 1 + 72, q
+    assert rates[1.0] == 1.0, rates
+    assert rates[0.0] <= 0.2, rates
+    assert rates[0.0] <= rates[0.5] <= rates[1.0], rates
