@@ -45,8 +45,10 @@ def main():
         fast_bf16_attention=True, use_flash_encoder=True,
         quantize_encoder=int8, quantize_decoder=int8,
         quantize_self_kv=int8, quantize_cross_kv=int8)
-    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-    params = maybe_quantize_encoder(params, cfg)
+    raw_params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    # the transcriber takes pre-quantized params; the pipeline quantizes
+    # in its own constructor (it shards the raw tree first)
+    params = maybe_quantize_encoder(raw_params, cfg)
 
     units = list(bytes_to_unicode().values())
     tok = WhisperTokenizer(
@@ -64,13 +66,16 @@ def main():
     feats = np.asarray(compute_mel(jnp.asarray(audio), cfg,
                                    pad_to_chunk=False)[0])
 
+    skip_seq = os.environ.get("SKIP_SEQ") == "1"
+    skip_chunked = os.environ.get("SKIP_CHUNKED") == "1"
+
     # ---- sequential bs1 (condition_on_prev: the prompt embeds the
     # previous window's text — the prime n-gram source) ----
     seq_opts = SequentialOptions(
         temperatures=(0.0,), logprob_threshold=None,
         no_speech_threshold=None, compression_ratio_threshold=None,
         condition_on_prev_tokens=True, max_new_tokens=max_new)
-    arms = {
+    arms = {} if skip_seq else {
         "seq_plain": SequentialTranscriber(
             params, cfg, tok, seq_opts, language="en", batch_size=1,
             dtype=jnp.bfloat16),
@@ -78,33 +83,39 @@ def main():
             params, cfg, tok, seq_opts, language="en", batch_size=1,
             dtype=jnp.bfloat16, speculative_method="ngram", gamma=gamma),
     }
-    texts = {}
-    for name, tr in arms.items():  # compile + warm
-        texts[name] = tr.transcribe([feats])[0]["text"]
-    assert texts["seq_plain"] == texts["seq_ngram"], "identity violated"
-    times = {name: [] for name in arms}
-    for _ in range(rounds):
-        for name, tr in arms.items():  # interleaved
-            t0 = time.perf_counter()
-            out = tr.transcribe([feats])
-            times[name].append(time.perf_counter() - t0)
-    n_seg = len(out[0]["segments"])
-    for name in arms:
-        med = float(np.median(times[name]))
-        res[f"{name}_s"] = round(med, 2)
-    res["seq_segments"] = n_seg
-    ng = arms["seq_ngram"].spec_stats
-    res["seq_ngram_accept_rate"] = round(
-        ng["accepted"] / ng["drafted"], 3) if ng["drafted"] else None
-    res["seq_speedup"] = round(res["seq_plain_s"] / res["seq_ngram_s"], 3)
-    print("sequential bs1:", {k: res[k] for k in
-                              ("seq_plain_s", "seq_ngram_s", "seq_speedup",
-                               "seq_ngram_accept_rate")}, flush=True)
+    if not skip_seq:
+        texts = {}
+        for name, tr in arms.items():  # compile + warm
+            texts[name] = tr.transcribe([feats])[0]["text"]
+        assert texts["seq_plain"] == texts["seq_ngram"], "identity violated"
+        times = {name: [] for name in arms}
+        for _ in range(rounds):
+            for name, tr in arms.items():  # interleaved
+                t0 = time.perf_counter()
+                out = tr.transcribe([feats])
+                times[name].append(time.perf_counter() - t0)
+        n_seg = len(out[0]["segments"])
+        for name in arms:
+            med = float(np.median(times[name]))
+            res[f"{name}_s"] = round(med, 2)
+        res["seq_segments"] = n_seg
+        ng = arms["seq_ngram"].spec_stats
+        res["seq_ngram_accept_rate"] = round(
+            ng["accepted"] / ng["drafted"], 3) if ng["drafted"] else None
+        res["seq_speedup"] = round(res["seq_plain_s"] / res["seq_ngram_s"],
+                                   3)
+        print("sequential bs1:", {k: res[k] for k in
+                                  ("seq_plain_s", "seq_ngram_s",
+                                   "seq_speedup",
+                                   "seq_ngram_accept_rate")}, flush=True)
 
     # ---- chunked pipeline (the single-long-file latency anchor,
     # reference README.md:285-290) ----
+    if skip_chunked:
+        print(json.dumps(res))
+        return
     mesh1 = make_mesh(devices=jax.devices()[:1])
-    common = dict(checkpoint=None, params=params, cfg=cfg, tokenizer=tok,
+    common = dict(checkpoint=None, params=raw_params, cfg=cfg, tokenizer=tok,
                   dtype=jnp.bfloat16, batch_size=8, max_new_tokens=max_new,
                   mesh=mesh1)
     pipes = {

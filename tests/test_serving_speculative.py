@@ -253,3 +253,26 @@ def test_ngram_and_assistant_mutually_exclusive(tmp_path_factory):
     with pytest.raises(ValueError):
         BatchingTranscriber(pipe, assistant=(pipe.params, pipe.cfg),
                             ngram_speculative=True)
+
+
+def test_engine_long_form_windows_ride_spec_lanes(spec_engine_server):
+    """A >30 s file on the speculative continuous engine: its strided
+    windows ride the spec lanes (every lane speculates — the engine has no
+    per-lane plain path) and the merged result equals the whole-file
+    chunked pipeline output."""
+    base, spec_tr = spec_engine_server
+    before = spec_tr.stats["drafted"]
+    wav = _wav_bytes(seconds=40.0, freq=225.0)
+    status, out = _post(base + "/v1/transcribe?language=en&timestamps=1",
+                        wav)
+    assert status == 200
+    assert spec_tr.stats["long_form"] >= 1
+    assert spec_tr.stats["drafted"] > before  # windows speculated
+    import io
+    import wave as wave_mod
+    with wave_mod.open(io.BytesIO(wav)) as w:
+        frames = np.frombuffer(w.readframes(w.getnframes()), np.int16)
+    audio = (frames.astype(np.float32) / 32768.0)
+    ref = spec_tr.pipe(audio, chunk_length_s=30.0, language="en",
+                       return_timestamps=True, max_new_tokens=8)
+    assert out["text"] == ref["text"]
