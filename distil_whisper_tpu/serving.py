@@ -277,7 +277,7 @@ class BatchingTranscriber:
         # models run their real compute — measures the speculative cost
         # structure with random weights.  Output tokens are synthetic.
         self.synthetic_acceptance = synthetic_acceptance
-        self._spec_fn = {}  # keyed by return_timestamps
+        self._spec_fn = {}  # keyed by (return_timestamps, gamma)
         # backlog bound (requests waiting for a worker slot); None -> 8
         # batches deep.  0 is honoured (shed everything — drain mode).
         self.max_queue = (8 * self.batch_size if max_queue is None
