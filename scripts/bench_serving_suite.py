@@ -2,7 +2,10 @@
 
 Runs every serving arm the round-4 verdict asked to see on an IDLE host
 (microbatch vs continuous, admission-overlap A/B, speculative / ngram /
-adaptive) against ONE shared pipe + param set, flag-flipped between arms —
+adaptive) in ONE process, flag-flipped between arms.  Student arms serve
+distil-large-v3 (full int8 stack by default); teacher_* arms serve
+whisper-large-v3 plain vs distil-drafted speculation — the end-to-end
+serving payoff of the distil recipe.  One process matters:
 the established protocol: a fresh process pays ~30 min of tunnel compiles
 per arm, one process amortises them and keeps the chip state comparable
 (docs/PERFORMANCE.md "one-process flag-flip is THE pattern").
@@ -50,16 +53,24 @@ def main():
     period = int(os.environ.get("BENCH_PERIOD", "24"))
     out_path = os.environ.get("BENCH_OUT", "BENCH_SERVING.json")
 
-    cfg = PRESETS["distil-large-v3"].replace(
-        fast_bf16_attention=True, use_flash_encoder=True,
-        quantize_encoder=int8, quantize_decoder=int8,
-        quantize_self_kv=int8, quantize_cross_kv=int8,
-        quantize_lm_head=int8)
+    def _quant(preset):
+        return PRESETS[preset].replace(
+            fast_bf16_attention=True, use_flash_encoder=True,
+            quantize_encoder=int8, quantize_decoder=int8,
+            quantize_self_kv=int8, quantize_cross_kv=int8,
+            quantize_lm_head=int8)
+
+    cfg = _quant("distil-large-v3")
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     d_cfg = PRESETS["distil-large-v3"].replace(
         fast_bf16_attention=True, use_flash_encoder=True)
     assistant = (init_params(d_cfg, jax.random.PRNGKey(3),
                              dtype=jnp.bfloat16), d_cfg)
+    # the speculative arms serve the TEACHER (whisper-large-v3) with the
+    # distil student as draft — the configuration where speculation pays
+    # (drafting the 2-layer student against itself only measures overhead)
+    t_cfg = _quant("large-v3")
+    t_params = init_params(t_cfg, jax.random.PRNGKey(1), dtype=jnp.bfloat16)
 
     import tests.helpers as H
     ck = "/tmp/bench_server_tok"
@@ -69,26 +80,32 @@ def main():
     pipe = WhisperPipeline(ck, dtype=jnp.bfloat16, batch_size=batch,
                            max_new_tokens=max_new, params=params, cfg=cfg,
                            tokenizer=tok)
+    t_pipe = WhisperPipeline(ck, dtype=jnp.bfloat16, batch_size=batch,
+                             max_new_tokens=max_new, params=t_params,
+                             cfg=t_cfg, tokenizer=tok)
 
     rng = np.random.default_rng(7)
     n_total = clients * per_client
     budgets = rng.integers(tok_min, max_new + 1, n_total)
     wav = (0.05 * rng.standard_normal(cfg.n_samples)).astype(np.float32)
 
-    def microbatch(**kw):
-        return BatchingTranscriber(pipe, batch_size=batch, max_wait_ms=100,
+    def microbatch(p=pipe, **kw):
+        return BatchingTranscriber(p, batch_size=batch, max_wait_ms=100,
                                    default_language=kw.pop("lang", "en"),
                                    max_new_tokens=max_new, max_queue=10**9,
                                    gamma=gamma, **kw)
 
-    def continuous(**kw):
-        return ContinuousTranscriber(pipe, batch_size=batch,
+    def continuous(p=pipe, **kw):
+        return ContinuousTranscriber(p, batch_size=batch,
                                      default_language=kw.pop("lang", "en"),
                                      max_new_tokens=max_new,
                                      block_steps=block, max_queue=10**9,
                                      gamma=gamma, **kw)
 
-    # arm -> (builder, kwargs, env overrides active during the arm)
+    # arm -> (builder, kwargs, env overrides active during the arm).
+    # Student arms serve distil-large-v3 (the production serving config);
+    # teacher_* arms serve whisper-large-v3, plain vs distil-drafted —
+    # the end-to-end serving value of speculation.
     ARMS = {
         "microbatch_plain": (microbatch, {}, {}),
         "continuous_plain": (continuous, {}, {}),
@@ -98,23 +115,27 @@ def main():
         "continuous_overlap_autolang": (continuous, {"lang": None}, {}),
         "continuous_inline_autolang": (continuous, {"lang": None},
                                        {"DWT_INLINE_ADMISSION": "1"}),
-        "microbatch_spec": (microbatch,
-                            {"assistant": assistant,
-                             "synthetic_acceptance": accept}, {}),
-        "continuous_spec": (continuous,
-                            {"assistant": assistant,
-                             "synthetic_acceptance": accept}, {}),
-        "continuous_spec_adaptive": (continuous,
-                                     {"assistant": assistant,
-                                      "synthetic_acceptance": accept,
-                                      "adaptive_gamma": True}, {}),
-        "microbatch_spec_adaptive": (microbatch,
-                                     {"assistant": assistant,
-                                      "synthetic_acceptance": accept,
-                                      "adaptive_gamma": True}, {}),
+        # draft-free prompt lookup on the student (zero extra weights;
+        # synthetic period-R oracle = repeating text, the lookup ceiling)
         "continuous_ngram": (continuous,
                              {"ngram_speculative": True,
                               "synthetic_period": period}, {}),
+        "teacher_continuous_plain": (continuous, {"p": t_pipe}, {}),
+        "teacher_microbatch_plain": (microbatch, {"p": t_pipe}, {}),
+        "teacher_microbatch_spec": (microbatch,
+                                    {"p": t_pipe, "assistant": assistant,
+                                     "synthetic_acceptance": accept}, {}),
+        "teacher_continuous_spec": (continuous,
+                                    {"p": t_pipe, "assistant": assistant,
+                                     "synthetic_acceptance": accept}, {}),
+        "teacher_continuous_spec_adaptive": (
+            continuous, {"p": t_pipe, "assistant": assistant,
+                         "synthetic_acceptance": accept,
+                         "adaptive_gamma": True}, {}),
+        "teacher_microbatch_spec_adaptive": (
+            microbatch, {"p": t_pipe, "assistant": assistant,
+                         "synthetic_acceptance": accept,
+                         "adaptive_gamma": True}, {}),
     }
     subset = os.environ.get("BENCH_ARMS")
     if subset:
@@ -135,18 +156,26 @@ def main():
             for t in warm:
                 t.join()
             print(f"warm {name}", flush=True)
-            wall, lat, errors = run_load(ts, wav, clients, per_client,
-                                         budgets, rps=0)
+            # Two load rounds per arm: round 1 absorbs any programs that
+            # only compile under real traffic (adaptive-gamma rung
+            # switches, language-detect, per-budget prefill widths —
+            # through the tunnel a single such compile dominates a short
+            # wall), round 2 is the steady-state claim.  Both recorded.
+            rounds = []
+            for r in range(2):
+                wall, lat, errors = run_load(ts, wav, clients, per_client,
+                                             budgets, rps=0, seed=1 + r)
+                n = n_total - len(errors)
+                lat = np.asarray(sorted(lat))
+                rounds.append({
+                    "wall_s": round(wall, 2), "requests": n,
+                    "errors": len(errors),
+                    "served_audio_s_per_s": round(n * 30.0 / wall, 1),
+                    "latency_p50_s": round(float(np.percentile(lat, 50)), 3),
+                    "latency_p95_s": round(float(np.percentile(lat, 95)), 3),
+                })
             ts.stop()
-            n = n_total - len(errors)
-            lat = np.asarray(sorted(lat))
-            results[name] = {
-                "wall_s": round(wall, 2), "requests": n,
-                "errors": len(errors),
-                "served_audio_s_per_s": round(n * 30.0 / wall, 1),
-                "latency_p50_s": round(float(np.percentile(lat, 50)), 3),
-                "latency_p95_s": round(float(np.percentile(lat, 95)), 3),
-            }
+            results[name] = dict(rounds[1], round1=rounds[0])
             for k in ("drafted", "accepted", "gamma_current",
                       "gamma_raises", "gamma_drops", "ts_fallback"):
                 if k in ts.stats:
@@ -159,7 +188,8 @@ def main():
                 else:
                     os.environ[k] = v
 
-    out = {"preset": "distil-large-v3", "int8": int8, "batch_size": batch,
+    out = {"preset": "distil-large-v3", "teacher_preset": "large-v3",
+           "int8": int8, "batch_size": batch,
            "clients": clients, "per_client": per_client,
            "tokens": [tok_min, max_new], "block_steps": block,
            "gamma": gamma, "synthetic_accept": accept,
