@@ -107,9 +107,14 @@ def build_server(argv=None):
                    help="longest n-gram to match for --ngram_speculative")
     p.add_argument("--adaptive_gamma", action="store_true",
                    help="walk the draft length over {gamma/2, gamma, "
-                        "2*gamma} on the measured per-draft acceptance "
-                        "(both schedulers; token-identical at every "
-                        "gamma — a pure throughput knob)")
+                        "2*gamma} toward the cost-optimal rung for the "
+                        "measured per-draft acceptance (both schedulers; "
+                        "token-identical at every gamma — a pure "
+                        "throughput knob)")
+    p.add_argument("--draft_cost", type=float, default=None,
+                   help="draft/teacher per-token decode cost ratio for the "
+                        "adaptive-gamma rung picker (default: decoder "
+                        "layer-count ratio; 0 for --ngram_speculative)")
     p.add_argument("--max_body_mb", type=float, default=100.0,
                    help="reject request bodies larger than this (413)")
     p.add_argument("--max_queue", type=int, default=None,
@@ -167,7 +172,7 @@ def build_server(argv=None):
             assistant=assistant, gamma=args.gamma,
             adaptive_gamma=args.adaptive_gamma,
             ngram_speculative=args.ngram_speculative,
-            max_ngram=args.max_ngram).start()
+            max_ngram=args.max_ngram, draft_cost=args.draft_cost).start()
     else:
         if args.adaptive_gamma and not (assistant or args.ngram_speculative):
             p.error("--adaptive_gamma requires a speculation method "
@@ -180,7 +185,7 @@ def build_server(argv=None):
             assistant=assistant, gamma=args.gamma,
             adaptive_gamma=args.adaptive_gamma,
             ngram_speculative=args.ngram_speculative,
-            max_ngram=args.max_ngram).start()
+            max_ngram=args.max_ngram, draft_cost=args.draft_cost).start()
     httpd = make_http_server(transcriber, args.host, args.port,
                              max_body_mb=args.max_body_mb)
     return httpd, transcriber

@@ -128,6 +128,58 @@ def estimate_accept(ratio: float, gamma: int) -> float:
     return (lo + hi) / 2
 
 
+def optimal_gamma(a: float, levels, draft_cost: float,
+                  width_cost: float = 0.04) -> int:
+    """The rung maximising expected emitted tokens per unit round time.
+
+    A round at draft length g emits ``E(a,g) + 1`` tokens (the accepted
+    draft prefix plus the teacher's own choice at the first mismatch) where
+    ``E(a,g) = sum_{i=1..g} a^i``, and costs ``g*draft_cost + 1 +
+    g*width_cost`` in verify-step units: g draft steps, one verify, and the
+    marginal cost of making that verify (g+1) columns wide.  An
+    acceptance-threshold walk ("raise when a >= 0.8") ignores the cost
+    side: at a = 0.8 doubling gamma 5 -> 10 grows E by only 0.6 token while
+    doubling the draft bill — measured as a 281 -> 211 audio-s/s serving
+    regression in BENCH_SERVING_r05.json before this model existed.
+
+    ``draft_cost`` is the draft/teacher per-token decode cost ratio; decode
+    is weight-read bound, so the decoder layer-count ratio is the default
+    proxy (0 for draft-free ngram lookup).  ``width_cost`` defaults to the
+    measured marginal verify column (~4%: scripts/ablate_verify_attn.py,
+    53 vs 44 us/layer across 5 extra columns, attention-side)."""
+    a = min(max(a, 0.0), 0.999999)
+    best, best_v = levels[0], -1.0
+    for g in levels:
+        emit = a * (1 - a ** g) / (1 - a) + 1.0
+        v = emit / (g * draft_cost + 1.0 + g * width_cost)
+        if v > best_v:
+            best, best_v = g, v
+    return best
+
+
+def _gamma_step(est: float, levels, idx: int, draft_cost: float,
+                stats, margin: float = 1.02) -> int:
+    """One controller window: move ``idx`` one rung toward the cost-optimal
+    gamma if that rung is predicted > ``margin`` better than the current
+    one; update the raise/drop counters in ``stats``.  Shared by both
+    schedulers' controllers."""
+
+    def tput(g):
+        a = min(max(est, 0.0), 0.999999)
+        return (a * (1 - a ** g) / (1 - a) + 1.0) / (
+            g * draft_cost + 1.0 + 0.04 * g)
+
+    target = optimal_gamma(est, levels, draft_cost)
+    cur = levels[idx]
+    if target == cur or tput(target) < margin * tput(cur):
+        return idx
+    if target > cur:
+        stats["gamma_raises"] += 1
+        return idx + 1
+    stats["gamma_drops"] += 1
+    return idx - 1
+
+
 def _coerce_mode(mode, return_timestamps) -> str:
     """Validate the long-form algorithm choice."""
     if mode not in ("chunked", "sequential"):
@@ -248,7 +300,8 @@ class BatchingTranscriber:
                  assistant=None, gamma: int = 5,
                  synthetic_acceptance: Optional[float] = None,
                  ngram_speculative: bool = False, max_ngram: int = 3,
-                 adaptive_gamma: bool = False):
+                 adaptive_gamma: bool = False,
+                 draft_cost: Optional[float] = None):
         self.pipe = pipe
         self.batch_size = batch_size or pipe.batch_size
         self.max_wait_s = max_wait_ms / 1e3
@@ -307,6 +360,18 @@ class BatchingTranscriber:
             self._gamma_idx = self._gamma_levels.index(g0)
             self._ctrl_d = 0
             self._ctrl_a = 0
+            self._est_ema = None
+            # draft/teacher per-token decode cost ratio for the rung
+            # picker; decode is weight-read bound so the decoder
+            # layer-count ratio is the default proxy (ngram drafts are
+            # host-side lookups — free)
+            if draft_cost is not None:
+                self._draft_cost = float(draft_cost)
+            elif self.ngram:
+                self._draft_cost = 0.0
+            else:
+                self._draft_cost = (assistant[1].decoder_layers
+                                    / max(pipe.cfg.decoder_layers, 1))
             self.stats.update({"gamma_current": g0, "gamma_raises": 0,
                                "gamma_drops": 0})
 
@@ -396,6 +461,7 @@ class BatchingTranscriber:
             if self.adaptive_gamma:
                 snap["speculative"]["gamma_current"] = \
                     self.stats["gamma_current"]
+                snap["speculative"]["draft_cost"] = self._draft_cost
         return snap
 
     def _speculative_fn(self, return_timestamps: bool = False,
@@ -463,9 +529,12 @@ class BatchingTranscriber:
         """Walk the gamma ladder on the measured per-draft acceptance —
         the continuous engine's controller (serving_engine.py) on whole
         batches: once the window holds enough drafts, recover the per-draft
-        acceptance (:func:`estimate_accept`) and move one rung with
-        hysteresis (>= 0.8 raises, <= 0.5 drops).  Worker-thread-owned, so
-        no locking; the next batch simply compiles/uses the new rung."""
+        acceptance (:func:`estimate_accept`), pick the cost-optimal rung
+        (:func:`optimal_gamma` — expected emitted tokens per round time,
+        pricing draft steps and verify width), and move ONE rung toward it
+        when it is predicted >2% better than the current one (hysteresis
+        against estimate wiggle).  Worker-thread-owned, so no locking; the
+        next batch simply compiles/uses the new rung."""
         self._ctrl_d += drafted
         self._ctrl_a += accepted
         if self._ctrl_d < 16 * gamma:
@@ -473,12 +542,16 @@ class BatchingTranscriber:
         est = estimate_accept(self._ctrl_a / self._ctrl_d, gamma)
         self._ctrl_d = 0
         self._ctrl_a = 0
-        if est >= 0.8 and self._gamma_idx < len(self._gamma_levels) - 1:
-            self._gamma_idx += 1
-            self.stats["gamma_raises"] += 1
-        elif est <= 0.5 and self._gamma_idx > 0:
-            self._gamma_idx -= 1
-            self.stats["gamma_drops"] += 1
+        # EMA over windows: a 16*gamma-draft window is a noisy acceptance
+        # sample — raw estimates intermittently cross the rung boundary
+        # and oscillate (measured r6/d6 on one capture); smoothing costs
+        # one extra window of adaptation latency
+        self._est_ema = est if self._est_ema is None else (
+            0.5 * self._est_ema + 0.5 * est)
+        est = self._est_ema
+        self._gamma_idx = _gamma_step(est, self._gamma_levels,
+                                      self._gamma_idx, self._draft_cost,
+                                      self.stats)
         self.stats["gamma_current"] = self._gamma_levels[self._gamma_idx]
 
     def submit_stream(self, audio, **kw):

@@ -860,7 +860,8 @@ class ContinuousTranscriber:
                  synthetic_acceptance: Optional[float] = None,
                  adaptive_gamma: bool = False,
                  ngram_speculative: bool = False, max_ngram: int = 3,
-                 synthetic_period: Optional[int] = None):
+                 synthetic_period: Optional[int] = None,
+                 draft_cost: Optional[float] = None):
         del max_wait_ms  # admission happens every block; no batching window
         self.pipe = pipe
         self.default_language = default_language
@@ -926,6 +927,18 @@ class ContinuousTranscriber:
             self._gamma_idx = self._gamma_levels.index(g0)
             self._ctrl_d = 0
             self._ctrl_a = 0
+            self._est_ema = None
+            # draft/teacher decode cost ratio for the cost-aware rung
+            # picker (serving.optimal_gamma); layer-count proxy, 0 for
+            # the draft-free ngram lookup
+            if draft_cost is not None:
+                self._draft_cost = float(draft_cost)
+            elif self.engine.ngram:
+                self._draft_cost = 0.0
+            else:
+                self._draft_cost = (
+                    self.engine.assistant[1].decoder_layers
+                    / max(pipe.cfg.decoder_layers, 1))
             self._lane_ctr: Dict[int, tuple] = {}
             self.stats.update({"gamma_current": g0, "gamma_raises": 0,
                                "gamma_drops": 0})
@@ -1051,6 +1064,8 @@ class ContinuousTranscriber:
                 "acceptance_rate": round(
                     self.stats["accepted"] / self.stats["drafted"], 3)
                 if self.stats["drafted"] else None}
+            if self.adaptive_gamma:
+                snap["speculative"]["draft_cost"] = self._draft_cost
         return snap
 
     def submit_stream(self, audio, language: Optional[str] = None,
@@ -1372,10 +1387,11 @@ class ContinuousTranscriber:
         true per-draft acceptance is recovered from the accepted/drafted
         ratio (see :meth:`_estimate_accept` — the raw ratio understates it:
         a rejected draft wastes the rest of its window) and the level moves
-        one rung with hysteresis: a >= 0.8 raises (long drafts amortise the
-        verify), a <= 0.5 drops (most of the window is wasted draft time).
-        Token identity is gamma-independent, so switching is purely a
-        throughput knob."""
+        ONE rung toward the cost-optimal gamma (serving.optimal_gamma —
+        expected emitted tokens per round time, pricing draft steps and
+        verify width) when that rung is predicted >2% better.  Token
+        identity is gamma-independent, so switching is purely a throughput
+        knob."""
         for lane, r in snap.items():
             if self._inflight.get(lane) is not r:
                 continue  # lane re-admitted after dispatch: stale counters
@@ -1393,12 +1409,15 @@ class ContinuousTranscriber:
         est = self._estimate_accept(self._ctrl_a / self._ctrl_d, g)
         self._ctrl_d = 0
         self._ctrl_a = 0
-        if est >= 0.8 and self._gamma_idx < len(self._gamma_levels) - 1:
-            self._gamma_idx += 1
-            self.stats["gamma_raises"] += 1
-        elif est <= 0.5 and self._gamma_idx > 0:
-            self._gamma_idx -= 1
-            self.stats["gamma_drops"] += 1
+        # EMA across windows damps estimate-noise rung oscillation (see
+        # the microbatch controller's matching note)
+        self._est_ema = est if self._est_ema is None else (
+            0.5 * self._est_ema + 0.5 * est)
+        est = self._est_ema
+        from .serving import _gamma_step
+        self._gamma_idx = _gamma_step(est, self._gamma_levels,
+                                      self._gamma_idx, self._draft_cost,
+                                      self.stats)
         self.stats["gamma_current"] = self._gamma_levels[self._gamma_idx]
 
     def _ensure_fb_worker(self) -> None:

@@ -4,8 +4,13 @@ The reference's speculative gamma is a fixed flag; the optimal draft length
 moves with the measured acceptance (long drafts amortise the verify when
 the draft is usually right, short drafts stop wasting draft compute when it
 is not).  The controller walks a compiled-gamma ladder {gamma/2, gamma,
-2*gamma} on the per-draft acceptance estimated from the engine's
-drafted/accepted counters.  Token identity is gamma-independent, so the
+2*gamma} toward the COST-OPTIMAL rung for the per-draft acceptance
+estimated from the engine's drafted/accepted counters —
+serving.optimal_gamma prices the draft steps (draft/teacher decode-cost
+ratio, layer-count proxy) and the verify width, so high acceptance alone
+does not justify a raise when drafting is expensive (the naive
+raise-at-0.8 rule measured a 281 -> 211 audio-s/s serving regression,
+BENCH_SERVING_r05.json).  Token identity is gamma-independent, so the
 controller is a pure throughput knob — pinned here across live switches.
 """
 
@@ -34,6 +39,51 @@ def test_estimate_accept_inverts():
             assert abs(est(ratio, g) - a) < 0.02, (g, a)
     assert est(0.0, 4) < 0.01
     assert est(1.0, 4) > 0.99
+
+
+def test_optimal_gamma_prices_draft_cost():
+    from distil_whisper_tpu.serving import optimal_gamma
+    levels = [2, 5, 10]
+    # cheap draft (distil 2/32 layers): raise pays at high acceptance
+    assert optimal_gamma(0.95, levels, draft_cost=2 / 32) == 10
+    # ...but NOT at 0.8 — the regression the cost model exists to avoid
+    # (BENCH_SERVING_r05.json: gamma 10 at a=0.8 lost 25% served audio-s/s)
+    assert optimal_gamma(0.80, levels, draft_cost=2 / 32) == 5
+    # low acceptance: stop wasting draft compute
+    assert optimal_gamma(0.10, levels, draft_cost=2 / 32) == 2
+    # expensive draft (same-size model): long drafts never pay
+    assert optimal_gamma(0.95, levels, draft_cost=1.0) == 2
+    # free drafts (ngram lookup): only the verify width bounds gamma,
+    # so high acceptance pushes to the top rung
+    assert optimal_gamma(0.95, levels, draft_cost=0.0) == 10
+    # monotone in acceptance for fixed costs
+    prev = 0
+    for a in (0.05, 0.3, 0.6, 0.9, 0.99):
+        g = optimal_gamma(a, levels, draft_cost=0.1)
+        assert g >= prev, (a, g, prev)
+        prev = g
+
+
+def test_gamma_step_hysteresis_and_counters():
+    from distil_whisper_tpu.serving import _gamma_step
+    levels = [2, 4, 8]
+    stats = {"gamma_raises": 0, "gamma_drops": 0}
+    # one rung per window, toward the target
+    idx = _gamma_step(0.97, levels, 0, draft_cost=0.05, stats=stats)
+    assert idx == 1 and stats["gamma_raises"] == 1
+    idx = _gamma_step(0.97, levels, idx, draft_cost=0.05, stats=stats)
+    assert idx == 2 and stats["gamma_raises"] == 2
+    # at the optimum: no move
+    assert _gamma_step(0.97, levels, 2, draft_cost=0.05, stats=stats) == 2
+    # collapse on low acceptance
+    idx = _gamma_step(0.05, levels, 2, draft_cost=0.05, stats=stats)
+    assert idx == 1 and stats["gamma_drops"] == 1
+    # sub-margin predicted gains do not move the rung (hysteresis)
+    stats2 = {"gamma_raises": 0, "gamma_drops": 0}
+    for a in (0.0, 0.2, 0.4, 0.6, 0.8, 1.0):
+        _gamma_step(a, levels, 1, draft_cost=0.05, stats=stats2,
+                    margin=10.0)
+    assert stats2 == {"gamma_raises": 0, "gamma_drops": 0}
 
 
 @pytest.fixture(scope="module")
@@ -74,10 +124,14 @@ def _drive(tr, n, budget, seconds=1.0):
 def test_controller_raises_gamma_when_acceptance_high(spec_pair):
     pipe, assistant = spec_pair
     from distil_whisper_tpu.serving_engine import ContinuousTranscriber
+    # draft_cost pinned to the cheap-draft regime: the tiny fixture's
+    # 1-layer draft over a 2-layer teacher defaults to 0.5, where the
+    # cost model (correctly) refuses to raise even at 95% acceptance
     tr = ContinuousTranscriber(pipe, batch_size=2, max_new_tokens=48,
                                block_steps=10, assistant=assistant,
                                gamma=4, adaptive_gamma=True,
-                               synthetic_acceptance=0.95).start()
+                               synthetic_acceptance=0.95,
+                               draft_cost=0.05).start()
     try:
         assert tr._gamma_levels == [2, 4, 8]
         _drive(tr, 6, budget=48)
@@ -140,7 +194,8 @@ def test_microbatch_controller_raises_gamma(spec_pair):
     tr = BatchingTranscriber(pipe, batch_size=2, max_new_tokens=48,
                              assistant=assistant, gamma=4,
                              adaptive_gamma=True,
-                             synthetic_acceptance=0.95).start()
+                             synthetic_acceptance=0.95,
+                             draft_cost=0.05).start()
     try:
         assert tr._gamma_levels == [2, 4, 8]
         _drive(tr, 6, budget=48)
