@@ -14,7 +14,7 @@ per arm, one process amortises them and keeps the chip state comparable
       python scripts/bench_serving_suite.py
 
 Env: BENCH_BATCH (16), BENCH_CLIENTS (32), BENCH_REQS (2), BENCH_TOKENS
-(96), BENCH_TOKENS_MIN (24), BENCH_INT8 (1), BENCH_BLOCK (16),
+(96), BENCH_TOKENS_MIN (24), BENCH_INT8 (1), BENCH_BLOCK (16), BENCH_ACCEPT_HI (0.95),
 BENCH_GAMMA (5), BENCH_ACCEPT (0.8), BENCH_PERIOD (24), BENCH_ARMS
 (comma list to subset).
 """
@@ -50,6 +50,7 @@ def main():
     block = int(os.environ.get("BENCH_BLOCK", "16"))
     gamma = int(os.environ.get("BENCH_GAMMA", "5"))
     accept = float(os.environ.get("BENCH_ACCEPT", "0.8"))
+    accept_hi = float(os.environ.get("BENCH_ACCEPT_HI", "0.95"))
     period = int(os.environ.get("BENCH_PERIOD", "24"))
     out_path = os.environ.get("BENCH_OUT", "BENCH_SERVING.json")
 
@@ -90,17 +91,19 @@ def main():
     wav = (0.05 * rng.standard_normal(cfg.n_samples)).astype(np.float32)
 
     def microbatch(p=pipe, **kw):
+        kw.setdefault("gamma", gamma)
         return BatchingTranscriber(p, batch_size=batch, max_wait_ms=100,
                                    default_language=kw.pop("lang", "en"),
                                    max_new_tokens=max_new, max_queue=10**9,
-                                   gamma=gamma, **kw)
+                                   **kw)
 
     def continuous(p=pipe, **kw):
+        kw.setdefault("gamma", gamma)
         return ContinuousTranscriber(p, batch_size=batch,
                                      default_language=kw.pop("lang", "en"),
                                      max_new_tokens=max_new,
                                      block_steps=block, max_queue=10**9,
-                                     gamma=gamma, **kw)
+                                     **kw)
 
     # arm -> (builder, kwargs, env overrides active during the arm).
     # Student arms serve distil-large-v3 (the production serving config);
@@ -128,6 +131,14 @@ def main():
         "teacher_continuous_spec": (continuous,
                                     {"p": t_pipe, "assistant": assistant,
                                      "synthetic_acceptance": accept}, {}),
+        # fixed double-length drafts: the oracle rung the adaptive
+        # controller should (only) walk to at high acceptance — at 0.8 it
+        # reproduces the measured gamma=10 regression, at 0.95 it is the
+        # ceiling the adaptive arm should approach
+        "teacher_continuous_spec_g2x": (
+            continuous, {"p": t_pipe, "assistant": assistant,
+                         "synthetic_acceptance": accept,
+                         "gamma": 2 * gamma}, {}),
         "teacher_continuous_spec_adaptive": (
             continuous, {"p": t_pipe, "assistant": assistant,
                          "synthetic_acceptance": accept,
@@ -135,6 +146,21 @@ def main():
         "teacher_microbatch_spec_adaptive": (
             microbatch, {"p": t_pipe, "assistant": assistant,
                          "synthetic_acceptance": accept,
+                         "adaptive_gamma": True}, {}),
+        # high-acceptance replays of the three continuous spec arms: the
+        # regime where the cost-aware controller SHOULD raise to 2x gamma
+        # (and where fixed 2x gamma is the oracle it chases).  Same
+        # process -> the gamma-keyed engine programs are already compiled.
+        "teacher_continuous_spec_hi": (
+            continuous, {"p": t_pipe, "assistant": assistant,
+                         "synthetic_acceptance": accept_hi}, {}),
+        "teacher_continuous_spec_g2x_hi": (
+            continuous, {"p": t_pipe, "assistant": assistant,
+                         "synthetic_acceptance": accept_hi,
+                         "gamma": 2 * gamma}, {}),
+        "teacher_continuous_spec_adaptive_hi": (
+            continuous, {"p": t_pipe, "assistant": assistant,
+                         "synthetic_acceptance": accept_hi,
                          "adaptive_gamma": True}, {}),
     }
     subset = os.environ.get("BENCH_ARMS")
@@ -193,6 +219,7 @@ def main():
            "clients": clients, "per_client": per_client,
            "tokens": [tok_min, max_new], "block_steps": block,
            "gamma": gamma, "synthetic_accept": accept,
+           "synthetic_accept_hi": accept_hi,
            "ngram_period": period, "arms": results}
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
